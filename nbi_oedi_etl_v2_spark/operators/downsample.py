@@ -1,0 +1,100 @@
+"""Hourly (or arbitrary-granularity) time-series downsample.
+
+Reference parity (SURVEY §2.4 A1/A2, §2.8 F1/F2, §2.2 P4):
+``/root/reference/etl/oedi_etl/worker.py:60-137`` floors 15-minute
+timestamps to the hour (epoch-ms integer division in a per-element
+Python loop, ``worker.py:76-102``), then runs a pyarrow
+``group_by([...]).aggregate([...])`` where every non-key column is
+aggregated ``mean`` if floating else ``min`` (``worker.py:104-126``),
+group keys are redundantly aggregated with ``min`` "to retain grouping
+keys" (``worker.py:113-116``), and float outputs are rounded to 7
+decimals (``worker.py:14,129-135``).
+
+The pyarrow aggregate emits columns named ``{col}_{fn}`` — the
+query-visible naming quirk (SURVEY §1.2): downstream saved queries
+join on ``d.bldg_id_min`` (``sql/saved-queries.sql:14,23,37``). This
+implementation reproduces both the ``{col}_{fn}`` aggregate names and
+the trailing plain-named group-key columns that pyarrow appends.
+
+Spark-first design:
+- the hour floor is ``F.date_trunc`` — whole-stage-codegen'd JVM
+  expression, not a Python loop (kills the reference's hottest loop);
+- the aggregation is a single hash aggregate; Spark performs partial
+  (map-side) aggregation before the shuffle automatically, so at
+  100 TB the shuffle carries one row per (hour, building) per input
+  partition, not per 15-min reading (~4× reduction map-side);
+- column classification is driven by ``df.schema`` (the reference
+  introspects the pyarrow schema the same way).
+
+Scale note: grouping keys (timestamp-hour, bldg_id) are high
+cardinality and uniformly distributed — no skew handling needed; AQE
+coalesces the post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECIMAL_PLACES = 7  # worker.py:14
+
+
+def _is_floating(dtype: T.DataType) -> bool:
+    return isinstance(dtype, (T.FloatType, T.DoubleType))
+
+
+def downsample(
+    df: DataFrame,
+    timestamp_col: str = "timestamp",
+    entity_col: str | None = "bldg_id",
+    granularity: str = "hour",
+    decimal_places: int = DECIMAL_PLACES,
+) -> DataFrame:
+    """Downsample a time-series DataFrame to ``granularity``.
+
+    Mirrors worker.py:60-137: group by (floored timestamp[, entity]);
+    mean for float columns, min otherwise; keys also min-aggregated;
+    float aggregates rounded to ``decimal_places``. Output columns are
+    ``{col}_{fn}`` for every input column, then the plain-named group
+    keys (pyarrow output order parity).
+    """
+    if timestamp_col not in df.columns:
+        raise ValueError(f"missing timestamp column {timestamp_col!r}")
+
+    floored = df.withColumn(
+        timestamp_col, F.date_trunc(granularity, F.col(f"`{timestamp_col}`"))
+    )
+
+    # worker.py:105-109 — group by [timestamp, bldg_id] when bldg_id
+    # exists, else [timestamp].
+    keys = [timestamp_col]
+    if entity_col is not None and entity_col in df.columns:
+        keys.append(entity_col)
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = []
+    for name in df.columns:  # preserves input column order (worker.py:112)
+        quoted = F.col(f"`{name}`")
+        if name in keys:
+            # worker.py:113-116 — keys redundantly min-aggregated.
+            aggs.append(F.min(quoted).alias(f"{name}_min"))
+        elif _is_floating(dtypes[name]):
+            # worker.py:117-118 — floats → mean; worker.py:129-135 → round.
+            # Mean runs on an exact DECIMAL accumulator so the result is
+            # independent of partial-aggregation order (SURVEY §7 risk 1);
+            # cast back to double before the round.
+            mean = F.sum(quoted.cast("decimal(25,10)")).cast("double") / F.count(quoted)
+            aggs.append(F.round(mean, decimal_places).alias(f"{name}_mean"))
+        else:
+            # worker.py:119-122 — everything else → min.
+            aggs.append(F.min(quoted).alias(f"{name}_min"))
+
+    out = floored.groupBy(*[F.col(f"`{k}`") for k in keys]).agg(*aggs)
+    # pyarrow group_by output order: aggregate columns first, then keys.
+    ordered = [f"`{name}_min`" if name in keys or not _is_floating(dtypes[name])
+               else f"`{name}_mean`"
+               for name in df.columns]
+    ordered += [f"`{k}`" for k in keys]
+    return out.select(*ordered)

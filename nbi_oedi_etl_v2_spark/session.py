@@ -1,0 +1,71 @@
+"""SparkSession factory.
+
+Reference parity notes:
+- The reference ETL floors timestamps in UTC explicitly
+  (``etl/oedi_etl/worker.py:91-93``) → pin ``spark.sql.session.timeZone``.
+- The reference writes Snappy Parquet (``etl/oedi_etl/worker.py:184``)
+  → pin the parquet codec.
+
+Scale notes (100 TB posture, tested on local[N]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic broadcast-join conversion are the main
+  levers that keep a declarative plan healthy at 1000 executors.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count
+  here; on a real cluster this is overridden (AQE coalescing makes the
+  initial number far less sensitive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "nbi_oedi_etl_v2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf."""
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # TIMESTAMP(NANOS) parquet (events.ts) is otherwise rejected
+        # (PARQUET_TYPE_ILLEGAL); tables.load_table converts the raw
+        # nanos back to microsecond timestamps losslessly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow for the few pandas-UDF operators (multimodal, ANN fallback).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-created session.
+
+    The verification driver hands us its own SparkSession; these are
+    all runtime-settable confs, so correctness-critical settings
+    (UTC timezone above all — worker.py:91-93 parity) are applied
+    defensively here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

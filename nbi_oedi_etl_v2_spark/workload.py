@@ -1,0 +1,391 @@
+"""The named query workload: every SURVEY §2 operator bound to the
+driver's synthetic tables, each paired with its DuckDB oracle SQL.
+
+This is the checked contract surface (`__spark_entry__.queries()` /
+`oracle_sql()` re-export this registry). Query→operator mapping
+follows FIXTURES.md §3; reference citations are on each query.
+
+Conventions:
+- every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver hash-compares by column name);
+- float aggregates use the exact-decimal helpers in
+  ``nbi_oedi_etl_v2_spark.functions`` so summation order can't diverge
+  between engines;
+- ranks/counts are cast to BIGINT on both sides;
+- no query collects to the driver; each returns a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import davg, davg_sql, dsum, dsum_sql
+from .operators.downsample import downsample
+from .tables import load_table, register_views
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    headline: bool = False  # included in bench.py
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/F1/F2/P4 — the reference's core ETL transform
+# (worker.py:60-137), exercised on the `events` time-series table.
+# ---------------------------------------------------------------------------
+
+@query(
+    "etl_hourly_downsample",
+    oracle=f"""
+    WITH floored AS (
+      SELECT event_id, date_trunc('hour', ts) AS ts, user_id, event_type,
+             value, props
+      FROM events
+    )
+    SELECT
+      min(event_id)   AS event_id_min,
+      min(ts)         AS ts_min,
+      min(user_id)    AS user_id_min,
+      min(event_type) AS event_type_min,
+      round({davg_sql('value')}, 7) AS value_mean,
+      min(props)      AS props_min,
+      ts, user_id
+    FROM floored
+    GROUP BY ts, user_id
+    """,
+    headline=True,
+    doc="15-min→hourly downsample with the {col}_{fn} naming quirk "
+        "(worker.py:60-137, SURVEY §1.2/§2.4 A1+A2).",
+)
+def q_etl_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return downsample(events, timestamp_col="ts", entity_col="user_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — flagship aggregation (groupBy + 8 aggregates).
+# Generic coverage of A1-family hash aggregation at scale.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      {dsum_sql('l_quantity')}      AS sum_qty,
+      {dsum_sql('l_extendedprice')} AS sum_base_price,
+      {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+      {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+      {davg_sql('l_quantity')}      AS avg_qty,
+      {davg_sql('l_extendedprice')} AS avg_price,
+      {davg_sql('l_discount')}      AS avg_disc,
+      count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 pricing summary: filter→hash agg with partial "
+        "(map-side) combine; the 100 TB shape of worker.py's A1.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + A3 — saved query 1 analogue: inner equi-join dim×fact +
+# COUNT(DISTINCT) scalar (sql/saved-queries.sql:10-17).
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_active_customers",
+    oracle="""
+    SELECT count(DISTINCT c.c_custkey) AS total_customers
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    """,
+    doc="Saved query 1 parity shape (sql/saved-queries.sql:10-17): "
+        "broadcast dim join + exact COUNT DISTINCT.",
+)
+def q_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    # dim side (customer) is small → broadcast; fact side streams.
+    joined = o.join(F.broadcast(c), c.c_custkey == o.o_custkey, "inner")
+    return joined.agg(F.countDistinct("c_custkey").alias("total_customers"))
+
+
+# ---------------------------------------------------------------------------
+# A4 — saved query 2 analogue: GROUP BY + COUNT(DISTINCT) per group
+# (sql/saved-queries.sql:20-26).
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_per_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(DISTINCT c.c_custkey) AS total_customers
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    """,
+    headline=True,
+    doc="Saved query 2 parity shape (sql/saved-queries.sql:20-26): "
+        "per-group exact count-distinct.",
+)
+def q_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    joined = o.join(F.broadcast(c), c.c_custkey == o.o_custkey, "inner")
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.countDistinct("c_custkey").alias("total_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 + W2 + D1 — saved query 3 analogue: DISTINCT CTE → ROW_NUMBER per
+# group → top-k filter (sql/saved-queries.sql:29-45).
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_per_segment",
+    oracle="""
+    WITH distinct_pairs AS (
+      SELECT DISTINCT c.c_custkey AS custkey, c.c_mktsegment AS segment
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderstatus = 'O'
+    )
+    SELECT custkey, segment,
+           CAST(row_number() OVER (PARTITION BY segment ORDER BY custkey) AS BIGINT) AS rn
+    FROM distinct_pairs
+    QUALIFY rn <= 200 AND segment = 'BUILDING'
+    """,
+    headline=True,
+    doc="Saved query 3 parity shape (sql/saved-queries.sql:29-45): "
+        "DISTINCT → row_number() per group → rn<=k + group filter.",
+)
+def q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    pairs = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey, "inner")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    w = Window.partitionBy("segment").orderBy("custkey")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter((F.col("rn") <= 200) & (F.col("segment") == "BUILDING"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1 — SELECT DISTINCT projection (sql/saved-queries.sql:30-31,41-42).
+# ---------------------------------------------------------------------------
+
+@query(
+    "distinct_flags",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="D1 distinct projection; map-side partial dedup before shuffle.",
+)
+def q_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J1 — multi-hop broadcast dim join + rollup (region ⋈ nation ⋈ customer).
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_customer_rollup",
+    oracle=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS num_customers,
+           round({davg_sql('c.c_acctbal')}, 7) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    headline=True,
+    doc="J1 at scale: two broadcast hash joins (dims ≤25 rows) feeding "
+        "one hash aggregate — zero fact-side shuffles before the agg.",
+)
+def q_nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(davg(F.col("c_acctbal")), 7).alias("avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 on time — count-distinct per month (FIXTURES §3 mapping).
+# ---------------------------------------------------------------------------
+
+@query(
+    "monthly_active_customers",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           count(DISTINCT o_custkey) AS active_customers,
+           count(*) AS num_orders
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="Count-distinct keyed by a derived time column.",
+)
+def q_monthly_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics beyond the reference (running sum, sessionization) —
+# standard warehouse surface a reference user would expect.
+# ---------------------------------------------------------------------------
+
+@query(
+    "user_running_value",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      round(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 7)
+        AS running_value
+    FROM events
+    """,
+    doc="Cumulative windowed sum per user; exact-decimal accumulator "
+        "so the running values hash-match the oracle.",
+)
+def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast("decimal(25,10)")).over(w).cast("double")
+    return e.select(
+        "event_id", "user_id", "ts", "value", F.round(running, 7).alias("running_value")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization: lag-gap flag + running count → session ids "
+        "(guide 'Common OLAP patterns'); batch analogue of "
+        "session_window in streaming.",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microseconds — no float rounding at epoch magnitude
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(order_w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(run_w).cast("bigint").alias("session_seq")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}

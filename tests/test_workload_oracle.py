@@ -1,0 +1,35 @@
+"""Every registered workload query must hash-match its DuckDB oracle —
+the local twin of the driver's CORRECTNESS_r{N}.json gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from nbi_oedi_etl_v2_spark import workload
+from nbi_oedi_etl_v2_spark.testing import check_query
+
+ORACLE_SPECS = [s for s in workload.REGISTRY.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in workload.REGISTRY.values() if s.oracle is None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_query_matches_oracle(spark, sf_dir, spec):
+    problems = check_query(spark, sf_dir, spec.fn, spec.oracle)
+    assert not problems, f"{spec.name}:\n" + "\n".join(problems)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_query_runs(spark, sf_dir, spec):
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
