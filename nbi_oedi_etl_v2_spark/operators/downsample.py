@@ -50,6 +50,7 @@ def downsample(
     entity_col: str | None = "bldg_id",
     granularity: str = "hour",
     decimal_places: int = DECIMAL_PLACES,
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Downsample a time-series DataFrame to ``granularity``.
 
@@ -58,9 +59,16 @@ def downsample(
     float aggregates rounded to ``decimal_places``. Output columns are
     ``{col}_{fn}`` for every input column, then the plain-named group
     keys (pyarrow output order parity).
+
+    ``extra_group_cols`` are additional grouping keys emitted plainly
+    (no ``_min`` twin): hive partition columns like ``upgrade``/
+    ``state``, which the reference's per-file worker never saw as
+    columns at all (they were directory names) but which a partitioned
+    Spark read surfaces and the partitioned write needs back.
     """
     if timestamp_col not in df.columns:
         raise ValueError(f"missing timestamp column {timestamp_col!r}")
+    extra = [c for c in (extra_group_cols or []) if c in df.columns]
 
     floored = df.withColumn(
         timestamp_col, F.date_trunc(granularity, F.col(f"`{timestamp_col}`"))
@@ -76,6 +84,8 @@ def downsample(
 
     aggs = []
     for name in df.columns:  # preserves input column order (worker.py:112)
+        if name in extra:
+            continue  # grouping key, emitted plainly below
         quoted = F.col(f"`{name}`")
         if name in keys:
             # worker.py:113-116 — keys redundantly min-aggregated.
@@ -91,10 +101,10 @@ def downsample(
             # worker.py:119-122 — everything else → min.
             aggs.append(F.min(quoted).alias(f"{name}_min"))
 
-    out = floored.groupBy(*[F.col(f"`{k}`") for k in keys]).agg(*aggs)
+    out = floored.groupBy(*[F.col(f"`{k}`") for k in keys + extra]).agg(*aggs)
     # pyarrow group_by output order: aggregate columns first, then keys.
     ordered = [f"`{name}_min`" if name in keys or not _is_floating(dtypes[name])
                else f"`{name}_mean`"
-               for name in df.columns]
-    ordered += [f"`{k}`" for k in keys]
+               for name in df.columns if name not in extra]
+    ordered += [f"`{k}`" for k in keys + extra]
     return out.select(*ordered)

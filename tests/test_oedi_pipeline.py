@@ -1,0 +1,189 @@
+"""End-to-end OEDI ETL parity: generate a reference-shaped lake, run
+the pipeline (EP1 restated), then run the three saved queries on the
+catalog via Spark SQL and hash-compare each against DuckDB running the
+same (substituted) SQL over the same output files — SURVEY §7 phases
+1-3 in one test module."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from nbi_oedi_etl_v2_spark.config import ETLConfig, JobConfig
+from nbi_oedi_etl_v2_spark.pipeline import run_etl
+from nbi_oedi_etl_v2_spark.plans.query_registry import load_registry
+from nbi_oedi_etl_v2_spark.sources.paths import discover_counties
+from nbi_oedi_etl_v2_spark.testing import compare
+
+from .oedi_fixtures import (
+    BASE_PARTITION,
+    COUNTY_CODES,
+    DATA_PARTITION,
+    KETCHIKAN,
+    RELEASE,
+    YEAR,
+    generate_oedi_lake,
+)
+
+SAVED_QUERIES_SQL = os.path.join(
+    os.path.dirname(__file__), "..", "nbi_oedi_etl_v2_spark", "plans", "saved_queries.sql"
+)
+
+
+@pytest.fixture(scope="module")
+def lake(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("oedi"))
+    info = generate_oedi_lake(root)
+    info["output_root"] = os.path.join(root, "etl_output")
+    return info
+
+
+@pytest.fixture(scope="module")
+def etl_config(lake):
+    meta_root = os.path.join(
+        lake["bucket"], BASE_PARTITION, YEAR, RELEASE, "metadata_and_annual_results"
+    )
+    return ETLConfig(
+        src_bucket=lake["bucket"],
+        base_partition=BASE_PARTITION,
+        data_partition_in_release=DATA_PARTITION,
+        output_dir=lake["output_root"],
+        job_specific=[
+            JobConfig(
+                release_name=RELEASE,
+                release_year=YEAR,
+                state="AK",
+                upgrades=["0", "1"],
+                metadata_root_dir=meta_root,
+                relative_metadata_prefix_type="1",
+            )
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def etl_run(spark, etl_config, lake):
+    summary = run_etl(spark, etl_config, output_root=lake["output_root"], db="nbi_analytics")
+    return summary
+
+
+def test_summary_counts(etl_run):
+    job = etl_run.jobs[0]
+    # 4 files × 2 upgrades listed; metadata: 2 v1 files (upgrade 0, 1)
+    assert job.data_files_listed == 8
+    assert job.data_files_written > 0
+    assert job.metadata_files_listed == 2
+    assert job.metadata_files_uploaded == 2
+    ref_json = etl_run.to_reference_json()
+    assert '"total_metadata_files_listed": 2' in ref_json
+    assert '"total_time_seconds"' in ref_json
+
+
+def test_output_layout(etl_run, lake):
+    job = etl_run.jobs[0]
+    # S6 layout: {output}/{run_ts}/{job_name}/data/upgrade=*/state=AK
+    assert "/data" in job.data_path
+    assert os.path.isdir(os.path.join(job.data_path, "upgrade=0", "state=AK"))
+    assert os.path.isdir(os.path.join(job.data_path, "upgrade=1", "state=AK"))
+
+
+def test_downsample_schema_quirk(spark, etl_run):
+    df = spark.read.parquet(etl_run.jobs[0].data_path)
+    cols = set(df.columns)
+    # SURVEY §1.2: aggregate columns named {col}_{fn}; keys retained
+    assert {"timestamp_min", "bldg_id_min", "timestamp", "bldg_id"} <= cols
+    assert "out.electricity.total.energy_consumption_mean" in cols
+    assert "units_represented_min" in cols
+    # 15-min → hourly = 4× row reduction (README.md:164)
+    n_in = 560 * 192 * 2
+    assert df.count() == n_in // 4
+
+
+def _substitutions(job_name: str, db: str) -> dict[str, str]:
+    return {
+        "db": db,
+        "metadata_table_prefix": f"metadata_{job_name}".lower(),
+        "data_table_prefix": f"data_{job_name}".lower(),
+        "state": "ak",
+        "state_value": "AK",
+        "county_value": KETCHIKAN,
+        "building_type": "Hospital",
+        "building_type_group": "Healthcare",
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle_con(etl_run):
+    job = etl_run.jobs[0]
+    con = duckdb.connect()
+    con.execute("CREATE SCHEMA oracle_db")
+    prefix_meta = f"metadata_{job.job_name}".lower()
+    prefix_data = f"data_{job.job_name}".lower()
+    meta_files = ", ".join(f"'{p}'" for p in job.metadata_files)
+    con.execute(
+        f"CREATE VIEW oracle_db.{prefix_meta}_parquet AS "
+        f"SELECT * FROM read_parquet([{meta_files}])"
+    )
+    con.execute(
+        f"CREATE VIEW oracle_db.{prefix_data} AS SELECT * FROM "
+        f"read_parquet('{job.data_path}/*/*/*.parquet', hive_partitioning=true)"
+    )
+    con.execute(
+        f"CREATE VIEW oracle_db.{prefix_data}_state_ak AS "
+        f"SELECT * FROM oracle_db.{prefix_data} WHERE state = 'AK'"
+    )
+    yield con, job
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "total_number_of_individual_building_models",
+        "number_of_buildings_by_building_type_group",
+        "isolated_individual_building_models",
+    ],
+)
+def test_saved_query_matches_oracle(spark, etl_run, oracle_con, qname):
+    con, job = oracle_con
+    registry = load_registry(SAVED_QUERIES_SQL)
+    nq = registry[qname]
+
+    spark_pdf = nq.run(spark, _substitutions(job.job_name, "nbi_analytics")).toPandas()
+    oracle_pdf = con.execute(nq.render(_substitutions(job.job_name, "oracle_db"))).df()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{qname}:\n" + "\n".join(problems)
+
+
+def test_saved_query3_truncates(spark, etl_run):
+    registry = load_registry(SAVED_QUERIES_SQL)
+    nq = registry["isolated_individual_building_models"]
+    df = nq.run(spark, _substitutions(etl_run.jobs[0].job_name, "nbi_analytics"))
+    n = df.count()
+    # 520 Healthcare buildings joined to 192 data rows each → only the
+    # buildings whose row blocks intersect rank 1..500 survive (the
+    # reference query's actual semantics — window before DISTINCT).
+    assert 0 < n <= 500
+    assert n < 520  # truncation really bit
+
+
+def test_county_discovery(lake):
+    # fixed S3 wildcard discovery (reference's is documented buggy)
+    meta_root = os.path.join(
+        lake["bucket"], BASE_PARTITION, YEAR, RELEASE, "metadata_and_annual_results"
+    )
+    assert discover_counties(meta_root, "AK") == sorted(COUNTY_CODES["AK"])
+
+
+def test_partition_pruned_scan(spark, etl_config):
+    from nbi_oedi_etl_v2_spark.sources.reader import read_timeseries
+
+    df = read_timeseries(spark, etl_config, etl_config.job_specific[0])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst must prune to state=AK (P1 → partition pruning)
+    assert "state" in plan
+    # no CA rows read
+    assert df.filter("state = 'CA'").count() == 0
+    assert df.count() == 560 * 192 * 2
