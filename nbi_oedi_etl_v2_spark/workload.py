@@ -378,14 +378,23 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_extensions()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items() if spec.headline}
+
+
+def _ensure_extensions() -> None:
+    """Late-import the extension workload (it imports ``query`` from
+    this module, so a top-level import would be circular)."""
+    from . import workload_ext  # noqa: F401

@@ -1,0 +1,299 @@
+"""North-star extension queries (dedup / similarity / text analysis /
+multimodal) registered into the main workload REGISTRY.
+
+Oracle rules of engagement: wherever the computation is expressible as
+engine-portable arithmetic (sequential folds, regexes, exact joins) the
+DuckDB SQL mirrors the Spark expression tree operation-for-operation —
+that's what makes bit-exact hash matching possible. Sketch-based
+variants (MinHash, SimHash, hyperplane LSH) depend on xxhash64, which
+DuckDB doesn't implement → rows-only driver check, with recall-vs-exact
+assertions in the pytest suite instead (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .tables import load_table
+from .workload import query
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT text, min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+    doc="Exact dedup: stable (min-id) representative per distinct text.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id")
+
+
+_NGRAM_SHINGLES_SQL = """
+      SELECT doc_id AS doc,
+             CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
+                  ELSE list_distinct(list_transform(
+                       generate_series(1, length(lower(text)) - 4),
+                       i -> substr(lower(text), i, 5))) END AS shingles
+      FROM documents
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_NGRAM_SHINGLES_SQL}),
+    ex AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+    p AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+             min(a.n) AS n_a, min(b.n) AS n_b, count(*) AS overlap
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT id_a, id_b,
+           round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) AS jaccard
+    FROM p
+    WHERE round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) >= 0.8
+    """,
+    headline=True,
+    doc="Exact char-5-gram Jaccard near-dup pairs at t=0.8 — the "
+        "ground-truth twin of the MinHash sketch path.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 sketch — recall vs exact asserted in pytest
+    headline=True,
+    doc="MinHash(64) + 16-band LSH near-dup pairs, exact-Jaccard "
+        "verified on candidates only; the 100 TB dedup path.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signature
+    doc="64-bit SimHash near-dup pairs (hamming ≤ 3) via pigeonhole "
+        "block join.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_DOT_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _duck_norms() -> str:
+    dot_self = _DOT_FOLD.format(a="vec", b="vec")
+    return f"""
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+    n AS (SELECT vec_id, vec, sqrt({dot_self}) AS norm FROM v)
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_duck_norms()},
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DOT_FOLD.format(a='a.vec', b='b.vec')} / (a.norm * b.norm), 7) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs oracle twin "
+        "of the hyperplane-LSH path).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH {_duck_norms()},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT_FOLD.format(a='q.vec', b='c.vec')} / (q.norm * c.norm) AS cosine
+      FROM n c JOIN n q ON q.vec_id < 20 AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 7) AS cosine,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    headline=True,
+    doc="Brute-force cosine top-5 for 20 query vectors: broadcast "
+        "queries, one codegen'd corpus scan, per-query window top-k.",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=None,  # xxhash64-derived hyperplanes; recall asserted in pytest
+    doc="Hyperplane-LSH bucketed approximate top-5 — the scale path; "
+        "recall vs brute force checked in tests.",
+)
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace, BPE-ish regex, word tokens.",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "doc_id", "text")
+
+
+def _duck_quality_sql() -> str:
+    tokens = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    n_chars = "length(text)"
+    n_tokens = f"len({tokens})"
+    punct = r"len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))"
+    stop_hits = f"len(list_filter({tokens}, t -> list_contains([{en}], t)))"
+    punct_ratio = f"CASE WHEN {n_chars} = 0 THEN CAST(0 AS DOUBLE) ELSE CAST({punct} AS DOUBLE) / {n_chars} END"
+    stop_ratio = f"CASE WHEN {n_tokens} = 0 THEN CAST(0 AS DOUBLE) ELSE CAST({stop_hits} AS DOUBLE) / {n_tokens} END"
+    mean_word_len = (
+        f"CASE WHEN {n_tokens} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"CAST(list_reduce(list_prepend(0, list_transform({tokens}, t -> length(t))), "
+        f"(acc, t) -> acc + t) AS DOUBLE) / {n_tokens} END"
+    )
+    length_score = f"least(CAST({n_chars} AS DOUBLE) / CAST(500 AS DOUBLE), CAST(1 AS DOUBLE))"
+    quality = (
+        f"round(CAST(0.4 AS DOUBLE) * ({length_score}) "
+        f"+ CAST(0.3 AS DOUBLE) * least(({stop_ratio}) * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) "
+        f"+ CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) - least(({punct_ratio}) * CAST(10 AS DOUBLE), CAST(1 AS DOUBLE))), 7)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({n_chars} AS BIGINT) AS n_chars_actual,
+           CAST({n_tokens} AS BIGINT) AS n_tokens,
+           round({punct_ratio}, 7) AS punct_ratio,
+           round({stop_ratio}, 7) AS stopword_ratio,
+           round({mean_word_len}, 7) AS mean_word_len,
+           {quality} AS quality_score
+    FROM documents
+    """
+
+
+@query(
+    "text_quality_scores",
+    oracle=_duck_quality_sql(),
+    headline=True,
+    doc="Per-document quality features + blended score; map-only scan.",
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_scores(docs, "doc_id", "text")
+
+
+def _duck_langid_sql() -> str:
+    tokens = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    hits = {}
+    for lang in text.LANG_PRIORITY:
+        words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+        hits[lang] = f"len(list_filter({tokens}, t -> list_contains([{words}], t)))"
+    best = f"greatest({', '.join(hits[lang] for lang in text.LANG_PRIORITY)})"
+    pick = "CASE "
+    for lang in text.LANG_PRIORITY:
+        pick += f"WHEN ({best}) > 0 AND {hits[lang]} = ({best}) THEN '{lang}' "
+    pick += "ELSE 'unknown' END"
+    hit_cols = ", ".join(
+        f"CAST({hits[lang]} AS BIGINT) AS hits_{lang}" for lang in text.LANG_PRIORITY
+    )
+    return f"SELECT doc_id, {pick} AS lang_pred, {hit_cols} FROM documents"
+
+
+@query(
+    "text_language_id",
+    oracle=_duck_langid_sql(),
+    doc="Stopword-hit language ID with deterministic tie-break.",
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs, "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+           ELSE list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(text)),
+                              i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+             (acc, c) -> (acc * {text.FINGERPRINT_MULT} + c) % {text.FINGERPRINT_MOD})
+           END AS fingerprint
+    FROM documents
+    """,
+    doc="Polynomial rolling-hash document fingerprint (mod 1e9+7), "
+        "portable across engines.",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side plumbing real)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_decode",
+    oracle=None,  # mapInPandas operator — rows-only driver check
+    doc="Binary media column → Arrow-batched mapInPandas decode "
+        "(deterministic stub codec) → typed feature rows.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    return multimodal.decode_media(media)

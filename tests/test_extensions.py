@@ -1,0 +1,107 @@
+"""Properties of the sketch-based extension operators that have no SQL
+oracle: recall against their exact twins, signature invariants, and
+multimodal plumbing shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark.operators import dedup, multimodal, similarity
+from nbi_oedi_etl_v2_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall(docs):
+    exact = _pair_set(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.8))
+    sketch = _pair_set(dedup.minhash_lsh_pairs(docs, "doc_id", "text", 5, threshold=0.8))
+    assert exact, "fixture should contain planted near-dups"
+    # candidates are verified with exact Jaccard → no false positives…
+    assert sketch <= exact
+    # …and banding at b=16/r=4 should catch essentially all j≥0.8 pairs
+    recall = len(sketch & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_minhash_signature_shape(docs):
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", 5, 64).first()
+    assert len(sig["sig"]) == 64
+
+
+def test_simhash_identical_docs_collide(spark, docs):
+    # duplicate every doc under a shifted id; each (id, id+100000) pair
+    # has hamming 0 and must be reported
+    shifted = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(shifted)
+    pairs = dedup.simhash_near_pairs(both, "doc_id", "text", max_hamming=3)
+    found = _pair_set(pairs.where(F.col("hamming") == 0))
+    n_docs = docs.count()
+    planted = {(i, i + 100000) for (i,) in docs.select("doc_id").collect()}
+    assert planted <= found
+    assert pairs.where(F.col("hamming") > 3).count() == 0
+    assert n_docs > 0
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_cosine_topk(emb, queries, k=5).collect()
+    }
+    # this synthetic corpus has no truly-close neighbors (max cosine
+    # ≈0.5 → angle ≈60°), the regime where hyperplane LSH is weakest;
+    # with (planes=4, tables=8) analytic recall is ~0.5-0.7 there.
+    # near-dup embeddings (cos ≥ 0.9) would collide w.p. ~0.98.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH top-k recall {recall:.2f}"
+    # every reported neighbor must share the query's bucket → rank ≤ k and sane sims
+    assert all(q != n for q, n in approx)
+
+
+def test_multimodal_decode_shapes(docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    decoded = multimodal.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["n_bytes"] > 0
+        assert 16 <= r["width"] <= 16 + 63 * 16
+        assert 16 <= r["height"] <= 16 + 63 * 16
+        assert 0.0 <= r["checksum_feature"] <= 1.0
+    # determinism: same payload → same features
+    again = {r["media_id"]: r["checksum_feature"] for r in decoded.collect()}
+    assert {r["media_id"]: r["checksum_feature"] for r in rows} == again
+
+
+def test_multimodal_metadata_only_scan_prunes_payload(docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    meta_only = media.select("media_id", "media_type")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # column pruning keeps bytes unread
+
+
+def test_frame_sample_plan(spark, docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text", media_type="video")
+    plan_df = multimodal.frame_sample_plan(media, every_n=10)
+    first = plan_df.where(F.col("media_id") == plan_df.select(F.min("media_id")).first()[0])
+    idxs = sorted(r["frame_index"] for r in first.collect())
+    assert idxs == list(range(0, 101, 10))

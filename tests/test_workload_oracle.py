@@ -8,6 +8,7 @@ import pytest
 from nbi_oedi_etl_v2_spark import workload
 from nbi_oedi_etl_v2_spark.testing import check_query
 
+workload.queries()  # trigger extension registration
 ORACLE_SPECS = [s for s in workload.REGISTRY.values() if s.oracle is not None]
 ROWS_ONLY_SPECS = [s for s in workload.REGISTRY.values() if s.oracle is None]
 
