@@ -37,13 +37,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, ["text"], "doc_id")
 
 
+# word-3-gram shingle sets; <3 tokens → the whole doc is its single
+# shingle (list_slice truncates) — mirrors dedup.shingle_occurrences
 _NGRAM_SHINGLES_SQL = """
       SELECT doc_id AS doc,
-             CASE WHEN length(lower(text)) < 5 THEN [lower(text)]
-                  ELSE list_distinct(list_transform(
-                       generate_series(1, length(lower(text)) - 4),
-                       i -> substr(lower(text), i, 5))) END AS shingles
-      FROM documents
+             list_distinct(list_transform(
+                  generate_series(1, greatest(len(toks) - 2, 1)),
+                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents)
 """
 
 
@@ -64,12 +66,13 @@ _NGRAM_SHINGLES_SQL = """
     WHERE round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) >= 0.8
     """,
     headline=True,
-    doc="Exact char-5-gram Jaccard near-dup pairs at t=0.8 — the "
-        "ground-truth twin of the MinHash sketch path.",
+    doc="Exact word-3-gram Jaccard near-dup pairs at t=0.8 via "
+        "lossless AllPairs prefix filtering — the ground-truth twin "
+        "of the MinHash sketch path.",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
 @query(
@@ -81,7 +84,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
 
 
 @query(

@@ -26,8 +26,8 @@ def _pair_set(df):
 
 
 def test_minhash_lsh_recall(docs):
-    exact = _pair_set(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.8))
-    sketch = _pair_set(dedup.minhash_lsh_pairs(docs, "doc_id", "text", 5, threshold=0.8))
+    exact = _pair_set(dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8))
+    sketch = _pair_set(dedup.minhash_lsh_pairs(docs, "doc_id", "text", 3, threshold=0.8))
     assert exact, "fixture should contain planted near-dups"
     # candidates are verified with exact Jaccard → no false positives…
     assert sketch <= exact
@@ -37,7 +37,7 @@ def test_minhash_lsh_recall(docs):
 
 
 def test_minhash_signature_shape(docs):
-    sig = dedup.minhash_signatures(docs, "doc_id", "text", 5, 64).first()
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", 3, 64).first()
     assert len(sig["sig"]) == 64
 
 
