@@ -80,8 +80,25 @@ def downsample(
     if entity_col is not None and entity_col in df.columns:
         keys.append(entity_col)
 
-    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    aggs, ordered = classify_aggregates(df, keys, extra, decimal_places)
+    out = floored.groupBy(*[F.col(f"`{k}`") for k in keys + extra]).agg(*aggs)
+    return out.select(*ordered)
 
+
+def classify_aggregates(
+    df: DataFrame,
+    keys: list[str],
+    extra: list[str],
+    decimal_places: int = DECIMAL_PLACES,
+) -> tuple[list[F.Column], list[str]]:
+    """The worker.py:104-126 type-dispatched aggregate list and the
+    pyarrow-parity output column order (aggregates first, then keys).
+
+    Shared between the batch downsample and its Structured-Streaming
+    twin, which substitutes a time window for the floored group key
+    but keeps the exact ``{col}_{fn}`` schema.
+    """
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for name in df.columns:  # preserves input column order (worker.py:112)
         if name in extra:
@@ -101,10 +118,9 @@ def downsample(
             # worker.py:119-122 — everything else → min.
             aggs.append(F.min(quoted).alias(f"{name}_min"))
 
-    out = floored.groupBy(*[F.col(f"`{k}`") for k in keys + extra]).agg(*aggs)
     # pyarrow group_by output order: aggregate columns first, then keys.
     ordered = [f"`{name}_min`" if name in keys or not _is_floating(dtypes[name])
                else f"`{name}_mean`"
                for name in df.columns if name not in extra]
     ordered += [f"`{k}`" for k in keys + extra]
-    return out.select(*ordered)
+    return aggs, ordered

@@ -53,9 +53,7 @@ def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
 # (worker.py:60-137), exercised on the `events` time-series table.
 # ---------------------------------------------------------------------------
 
-@query(
-    "etl_hourly_downsample",
-    oracle=f"""
+HOURLY_DOWNSAMPLE_ORACLE = f"""
     WITH floored AS (
       SELECT event_id, date_trunc('hour', ts) AS ts, user_id, event_type,
              value, props
@@ -71,7 +69,12 @@ def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
       ts, user_id
     FROM floored
     GROUP BY ts, user_id
-    """,
+    """
+
+
+@query(
+    "etl_hourly_downsample",
+    oracle=HOURLY_DOWNSAMPLE_ORACLE,
     headline=True,
     doc="15-min→hourly downsample with the {col}_{fn} naming quirk "
         "(worker.py:60-137, SURVEY §1.2/§2.4 A1+A2).",

@@ -15,9 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import streaming
 from .operators import dedup, multimodal, similarity, text
 from .tables import load_table
-from .workload import query
+from .workload import HOURLY_DOWNSAMPLE_ORACLE, query
 
 # ---------------------------------------------------------------------------
 # Deduplication family
@@ -284,6 +285,52 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming twins (SURVEY §2.9): each drains the bounded
+# events backlog with trigger(availableNow) and must equal its batch
+# twin — the hourly downsample is held to the SAME DuckDB oracle as
+# the batch ETL transform.
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_hourly_downsample",
+    oracle=HOURLY_DOWNSAMPLE_ORACLE,
+    doc="Watermarked window-agg streaming twin of the hourly ETL "
+        "downsample; availableNow replay, oracle-identical to batch.",
+)
+def q_streaming_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    out = streaming.hourly_downsample_stream(ev, "ts", "user_id")
+    return streaming.run_to_memory(out, mode="complete")
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    doc="dropDuplicatesWithinWatermark replay-dedup; event_id is "
+        "unique in the fixture so the exactly-once projection is the "
+        "stream itself.",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    return streaming.run_to_memory(
+        streaming.dedup_stream(ev, ["event_id"]), mode="append"
+    )
+
+
+@query(
+    "streaming_sessionize",
+    oracle=None,  # session_window gap-merge; equals the batch
+    # session_window in tests (the lag-gap batch formulation differs
+    # only in its half-open boundary convention)
+    doc="session_window stateful sessionization with watermark "
+        "eviction; checked against batch session_window in pytest.",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    return streaming.run_to_memory(streaming.sessionize_stream(ev), mode="complete")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""Streaming twins must equal their batch formulations on a bounded
+replay (trigger(availableNow) → memory sink)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark import streaming
+from nbi_oedi_etl_v2_spark.operators.downsample import downsample
+from nbi_oedi_etl_v2_spark.tables import load_table
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_hourly_downsample_equals_batch(spark, sf_dir):
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    res = streaming.run_to_memory(
+        streaming.hourly_downsample_stream(ev, "ts", "user_id"), mode="complete"
+    )
+    batch = downsample(
+        load_table(spark, sf_dir, "events"), timestamp_col="ts", entity_col="user_id"
+    )
+    assert res.columns == batch.columns
+    assert _rows(res) == _rows(batch)
+
+
+def test_stream_sessionize_equals_batch_session_window(spark, sf_dir):
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    res = streaming.run_to_memory(streaming.sessionize_stream(ev), mode="complete")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    assert _rows(res) == _rows(batch)
+
+
+def test_stream_dedup_drops_replays(spark, sf_dir):
+    # replay the whole stream twice via union of two staged reads —
+    # dedup must collapse it back to the distinct event set
+    ev1 = streaming.read_table_stream(spark, sf_dir, "events")
+    ev2 = streaming.read_table_stream(spark, sf_dir, "events")
+    replayed = ev1.unionByName(ev2)
+    res = streaming.run_to_memory(
+        streaming.dedup_stream(replayed, ["event_id"]), mode="append"
+    )
+    n = load_table(spark, sf_dir, "events").count()
+    assert res.count() == n
+
+
+def test_stream_stateless_operator_composes(spark, sf_dir):
+    # map-only operators run unchanged on a streaming DataFrame
+    from nbi_oedi_etl_v2_spark.operators import text
+
+    docs = streaming.read_table_stream(spark, sf_dir, "documents")
+    scored = text.quality_scores(docs, "doc_id", "text")
+    assert scored.isStreaming
+    res = streaming.run_to_memory(scored, mode="append")
+    batch = text.quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    assert _rows(res) == _rows(batch)
