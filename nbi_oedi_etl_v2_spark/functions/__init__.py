@@ -30,13 +30,22 @@ def davg(expr: Column) -> Column:
     return F.sum(expr.cast(SUM_DECIMAL)).cast("double") / F.count(expr)
 
 
+# DuckDB's direct DECIMAL→DOUBLE cast divides the int128 payload by
+# 10^scale in floating point and is NOT always correctly rounded
+# (e.g. 3758439620.06 arrives as …0.0600004), while Spark's
+# (BigDecimal.doubleValue) is. Routing through VARCHAR forces DuckDB's
+# correctly-rounded string→double parser, so both engines emit the
+# nearest double to the same exact decimal.
+
+
 def davg_sql(expr: str) -> str:
     """DuckDB SQL mirroring :func:`davg` exactly."""
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS DOUBLE) / COUNT({expr})"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"
+        f" / COUNT({expr})"
     )
 
 
 def dsum_sql(expr: str) -> str:
     """DuckDB SQL mirroring :func:`dsum` exactly."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"

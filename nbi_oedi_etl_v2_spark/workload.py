@@ -380,6 +380,272 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Standard warehouse surface beyond the reference's three saved
+# queries: semi/anti joins, set ops, rollup, pivot, global top-k,
+# exact percentiles, as-of join, range-frame windows. A reference
+# user migrating real workloads expects these; each is oracle-checked.
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left anti join (NOT EXISTS): broadcast the order-key set "
+        "when it fits, shuffled hash anti join otherwise (AQE picks).",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+@query(
+    "customers_with_open_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    doc="Left semi join (EXISTS) with the filter pushed into the "
+        "probe side before the join.",
+)
+def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "custkeys_1995_not_1996",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="EXCEPT (distinct set difference) — planned as left anti join.",
+)
+def q_custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiset
+    # remainders: a key ordering 3× in '95 and 1× in '96 would survive)
+    return y95.subtract(y96)
+
+
+@query(
+    "custkeys_1995_and_1996",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    doc="INTERSECT (distinct) — planned as left semi join.",
+)
+def q_custkeys_1995_and_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "orders_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS num_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy (status → priority → grand total) in one "
+        "pass; Spark expands grouping sets inside a single aggregate.",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "orders_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT on a low-cardinality column with explicit values (an "
+        "implicit-values pivot would need a driver-side distinct).",
+)
+def q_orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"status_{s.lower()}")
+            for s in ("O", "F", "P")
+        ],
+    )
+
+
+@query(
+    "top10_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject "
+        "(per-partition heaps, no global sort); orderkey tie-break "
+        "keeps it deterministic.",
+)
+def q_top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "price_percentiles_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 7) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 7) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 7) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles (sort-based, deterministic — "
+        "no summation-order issues). approx_percentile is the sketch "
+        "alternative at 100 TB when exactness isn't contractual.",
+)
+def q_price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 7).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 7).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 7).alias("p99"),
+    )
+
+
+@query(
+    "asof_last_order_per_event",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.okey AS last_order_key, o.o_orderdate AS last_order_date
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="As-of join (latest order at-or-before each event) via the "
+        "union + running-last-value formulation: one shuffle on the "
+        "key, one sort — no per-row probe, no range explosion; "
+        "oracled against DuckDB's native ASOF JOIN. Orders are "
+        "pre-aggregated per (custkey, date) so the matched payload "
+        "is deterministic.",
+)
+def q_asof_last_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    tagged_e = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(1).alias("is_event"),
+    )
+    tagged_o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "okey",
+        F.lit(0).alias("is_event"),
+    )
+    # orders sort before events at equal t (is_event asc) → ties count
+    # as "at or before", matching ASOF's >= semantics
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_e.unionByName(tagged_o).select(
+        "k",
+        "t",
+        "event_id",
+        "is_event",
+        F.last("okey", ignorenulls=True).over(w).alias("last_order_key"),
+        F.last(F.when(F.col("is_event") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("last_order_date"),
+    )
+    return merged.where(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "last_order_key",
+        "last_order_date",
+    )
+
+
+@query(
+    "events_in_prior_hour",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING
+           ) AS BIGINT) AS prior_hour_events
+    FROM events
+    """,
+    doc="Value-range window frame (events of the same user in the "
+        "preceding hour, exclusive): rangeBetween on integer "
+        "microseconds — a self range join without the range join.",
+)
+def q_events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("prior_hour_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
