@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the optimizations the 100 TB design
+depends on must actually appear in the executed plan — predicate
+pushdown, column pruning, broadcast joins for dims, map-side partial
+aggregation, top-k without a global sort, and no accidental cartesian
+products. A regression here is a scale bug even when row counts stay
+correct at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from nbi_oedi_etl_v2_spark import workload
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = workload.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_and_columns_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # shipdate predicate reaches the scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # ...and the 16-column table is pruned to the 7 referenced columns
+    # (check the FileScan output list; ReadSchema renders truncated)
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "l_shipdate#" in scan
+    assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "nation_customer_rollup")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_saved_query_join_broadcasts_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "segment_active_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top10_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_distinct_dedups_map_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "distinct_flags")
+    # partial HashAggregate below the exchange, final above it
+    assert plan.count("HashAggregate") == 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_anti_and_semi_joins_planned_as_joins(spark, sf_dir):
+    anti = plan_of(spark, sf_dir, "customers_without_orders")
+    semi = plan_of(spark, sf_dir, "customers_with_open_orders")
+    assert "LeftAnti" in anti and "CartesianProduct" not in anti
+    assert "LeftSemi" in semi and "CartesianProduct" not in semi
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash"],
+)
+def test_dedup_joins_are_equi_joins(spark, sf_dir, name):
+    # the entire point of LSH banding / prefix filtering: candidate
+    # generation must be hash equi-joins, never a cross product
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_corpus_scan_not_shuffled(spark, sf_dir):
+    # brute-force top-k: queries broadcast; the only corpus-side
+    # exchange is the final per-query window partitioning
+    plan = plan_of(spark, sf_dir, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # != join on broadcast queries
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_operators_are_map_only(spark, sf_dir):
+    for name in ("text_quality_scores", "text_language_id", "text_fingerprint",
+                 "text_token_stats"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} should not shuffle"
