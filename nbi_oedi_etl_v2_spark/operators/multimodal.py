@@ -110,6 +110,43 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Arrow-batched resize: payload → payload' plus recorded target
+    dims (MEDIA_SCHEMA in, MEDIA_SCHEMA + width/height out).
+
+    The pixel resample is stubbed at the same codec seam as decode —
+    the fake emits a deterministic fixed-length digest of the input
+    bytes sized ``target_w × target_h // 64`` so downstream operators
+    see realistic payload-size reduction. The Spark plumbing (binary
+    in/out through Arrow, bounded batches, no shuffle) is the real
+    contract.
+    """
+    out_schema = T.StructType(
+        [*MEDIA_SCHEMA.fields,
+         T.StructField("width", T.IntegerType(), True),
+         T.StructField("height", T.IntegerType(), True)]
+    )
+    out_len = max(16, target_w * target_h // 64)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resample(p):
+            if p is None:
+                return None
+            b = bytes(p)
+            # deterministic stretch/shrink of the byte stream to the
+            # target length — the seam a real resampler replaces
+            return bytes(b[i * len(b) // out_len] for i in range(out_len)) if b else b
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [fake_resample(p) for p in pdf["payload"]]
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out
+
+    return df.mapInPandas(resize_batches, schema=out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling *plan* for video payloads: emits (media_id,
     frame_index) rows without decoding — the downstream decode then

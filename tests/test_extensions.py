@@ -92,6 +92,22 @@ def test_multimodal_decode_shapes(docs):
     assert {r["media_id"]: r["checksum_feature"] for r in rows} == again
 
 
+def test_multimodal_resize_shapes(docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    resized = multimodal.resize_media(media, 224, 224)
+    rows = resized.limit(20).collect()
+    assert rows and resized.columns == [
+        "media_id", "payload", "media_type", "source_uri", "width", "height"
+    ]
+    expect_len = 224 * 224 // 64
+    for r in rows:
+        assert r["width"] == 224 and r["height"] == 224
+        assert len(r["payload"]) == expect_len
+    # determinism
+    again = {r["media_id"]: bytes(r["payload"]) for r in resized.limit(20).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+
+
 def test_multimodal_metadata_only_scan_prunes_payload(docs):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     meta_only = media.select("media_id", "media_type")
