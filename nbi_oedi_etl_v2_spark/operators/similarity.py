@@ -155,6 +155,129 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_alias: str,
+    vec_alias: str = "vec",
+    norm_alias: str = "norm",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by
+    cosine: broadcast the (small) centroid table, k dot products per
+    vector, per-vector top-nprobe via window. Returns
+    (id_alias, vec, norm, cid, probe_rank)."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "c_sim", F.expr(_dot(vec_alias, "c_vec")) / (F.col(norm_alias) * F.col("c_norm"))
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.col("c_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select(id_alias, vec_alias, norm_alias, "cid", "probe_rank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iterations: int = 1,
+) -> DataFrame:
+    """Deterministic IVF centroid table (cid, c_vec, c_norm).
+
+    Seeds = the ``nlist`` corpus vectors with smallest xxhash64(id) (a
+    deterministic pseudo-random sample — no Math.random, reproducible
+    across runs/engines), refined by ``iterations`` Lloyd steps
+    computed as DataFrame aggregations: members → explode dimensions →
+    per-(cid, dim) mean → re-assembled centroid arrays. Everything
+    stays distributed; only the nlist × dim centroid table is ever
+    broadcast.
+    """
+    v = with_norm(corpus, vec_col).select(
+        F.col(f"`{id_col}`").alias("vid"), "vec", "norm"
+    )
+    seeds = (
+        v.orderBy(F.xxhash64(F.col("vid")), F.col("vid"))
+        .limit(nlist)
+        .select(
+            (F.row_number().over(Window.orderBy(F.xxhash64(F.col("vid")), F.col("vid"))) - 1).alias("cid"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    cents = seeds
+    for _ in range(iterations):
+        members = ivf_assign(v, cents, "vid", nprobe=1)
+        dims = members.select(
+            "cid", F.posexplode("vec").alias("pos", "x")
+        )
+        per_dim = dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+        rebuilt = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_vec")
+            )
+            .withColumn("c_norm", F.expr(f"sqrt({_dot('c_vec', 'c_vec')})"))
+        )
+        cents = rebuilt.select("cid", "c_vec", "c_norm")
+    return cents
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iterations: int = 1,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into ``nlist``
+    Voronoi cells, probe each query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside them.
+
+    The scale shape: cell assignment is one broadcast pass; the search
+    join is an equi-join on cid touching ~``nprobe/nlist`` of the
+    corpus per query instead of all of it. Complements hyperplane LSH:
+    IVF adapts to the data distribution (cells follow density), LSH is
+    oblivious but needs no training pass.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, nlist, iterations)
+    c = with_norm(corpus, vec_col).select(
+        F.col(f"`{id_col}`").alias("neighbor_id"), "vec", "norm"
+    )
+    c_assign = ivf_assign(c, cents, "neighbor_id", nprobe=1).select(
+        "neighbor_id", F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm"), "cid"
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(f"`{id_col}`").alias("query_id"), "vec", "norm"
+    )
+    q_assign = ivf_assign(q, cents, "query_id", nprobe=nprobe).select(
+        "query_id", F.col("vec").alias("q_vec"), F.col("norm").alias("q_norm"), "cid"
+    )
+    sim = F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    candidates = (
+        c_assign.join(F.broadcast(q_assign), "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 7).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -164,6 +164,19 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similarity_topk_ivf",
+    oracle=None,  # trained Voronoi cells; recall asserted in pytest
+    doc="IVF-flat approximate top-5 (deterministic hash-sampled "
+        "seeds + one Lloyd step, nprobe-cell probe, exact re-rank); "
+        "density-adaptive complement to the hyperplane-LSH path.",
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return similarity.ivf_cosine_topk(emb, queries_df, "vec_id", "embedding", k=5)
+
+
+@query(
     "similarity_topk_lsh",
     oracle=None,  # xxhash64-derived hyperplanes; recall asserted in pytest
     doc="Hyperplane-LSH bucketed approximate top-5 — the scale path; "

@@ -77,6 +77,32 @@ def test_lsh_topk_recall(emb):
     assert all(q != n for q, n in approx)
 
 
+def test_ivf_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_cosine_topk(emb, queries, k=5).collect()
+    }
+    # same uniform-corpus caveat as the LSH test: nprobe/nlist = 1/4 of
+    # the corpus scanned → analytic recall ~0.5-0.7 with no true
+    # near-neighbors; clustered real embeddings fare far better
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF top-k recall {recall:.2f}"
+    assert all(q != n for q, n in approx)
+
+
+def test_ivf_centroids_deterministic(emb):
+    a = similarity.ivf_centroids(emb, nlist=8, iterations=1).collect()
+    b = similarity.ivf_centroids(emb, nlist=8, iterations=1).collect()
+    assert {r["cid"]: (tuple(r["c_vec"]), r["c_norm"]) for r in a} == {
+        r["cid"]: (tuple(r["c_vec"]), r["c_norm"]) for r in b
+    }
+
+
 def test_multimodal_decode_shapes(docs):
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     decoded = multimodal.decode_media(media)
