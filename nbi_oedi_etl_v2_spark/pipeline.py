@@ -28,7 +28,8 @@ import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .config import ETLConfig, JobConfig
 from .operators.downsample import downsample
@@ -51,6 +52,12 @@ class JobResult:
     data_files_written: int
     metadata_files_listed: int
     metadata_files_uploaded: int
+    # O5 row-level accounting via df.observe(): collected as a side
+    # effect of the write itself (no extra pass over the data), the
+    # Spark-native replacement for the reference tracker's per-file
+    # fetched/transformed event counts (tracker.py:103-144)
+    rows_read: int = 0
+    rows_written: int = 0
 
 
 @dataclass
@@ -107,6 +114,8 @@ def run_job(
     # S1/P1 — one partitioned read, Catalyst prunes to the configured
     # (upgrade, state) directories.
     ts_df = read_timeseries(spark, config, job)
+    obs_in = Observation(f"{job.job_name}_in")
+    ts_df = ts_df.observe(obs_in, F.count(F.lit(1)).alias("rows_read"))
 
     # A1/A2/F1/F2 — the hourly transform. Partition columns pass
     # through as group-key-independent `min` aggregates would mangle
@@ -115,6 +124,8 @@ def run_job(
     extra_keys = [c for c in ("upgrade", "state") if c in ts_df.columns]
     hourly = downsample(ts_df, timestamp_col="timestamp", entity_col="bldg_id",
                         extra_group_cols=extra_keys)
+    obs_out = Observation(f"{job.job_name}_out")
+    hourly = hourly.observe(obs_out, F.count(F.lit(1)).alias("rows_written"))
 
     data_path = sinks.write_hourly_data(hourly, output_root, run_ts, job)
 
@@ -134,6 +145,8 @@ def run_job(
         data_files_written=written,
         metadata_files_listed=len(meta_srcs),
         metadata_files_uploaded=len(copied),
+        rows_read=int(obs_in.get["rows_read"]),
+        rows_written=int(obs_out.get["rows_written"]),
     )
 
 

@@ -79,6 +79,10 @@ def test_summary_counts(etl_run):
     ref_json = etl_run.to_reference_json()
     assert '"total_metadata_files_listed": 2' in ref_json
     assert '"total_time_seconds"' in ref_json
+    # O5 observe() accounting: rows flowed and the 15-min → hourly
+    # downsample reduced them (~4×)
+    assert job.rows_read > 0
+    assert 0 < job.rows_written < job.rows_read
 
 
 def test_output_layout(etl_run, lake):
