@@ -145,6 +145,95 @@ def dedup_stream(
     )
 
 
+EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, ts timestamp, value double, ewma double, is_alert boolean"
+)
+_EWMA_STATE_SCHEMA = "ewma double, n bigint"
+
+
+def _ewma_fold(pdf, alpha: float, k: float, state_ewma, state_n):
+    """Sequential EWMA over one key's rows (sorted by event time),
+    continuing from carried state. Returns (out_pdf, ewma, n).
+    Shared by the streaming stateful operator and its batch twin."""
+    import pandas as pd  # noqa: F811 — local for executor pickling
+
+    pdf = pdf.sort_values(["ts", "value"]).reset_index(drop=True)
+    ewma, n = state_ewma, state_n
+    out_ewma, out_alert = [], []
+    for v in pdf["value"]:
+        ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+        n += 1
+        out_ewma.append(ewma)
+        out_alert.append(abs(v - ewma) > k * abs(ewma) if n > 1 else False)
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"],
+            "ts": pdf["ts"],
+            "value": pdf["value"],
+            "ewma": out_ewma,
+            "is_alert": out_alert,
+        }
+    )
+    return out, ewma, n
+
+
+def ewma_stream(
+    df: DataFrame,
+    alpha: float = 0.3,
+    k: float = 0.8,
+    watermark: str = "2 hours",
+    timestamp_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user exponentially-weighted moving average with deviation
+    alerts.
+
+    EWMA is order-dependent and recursive — not expressible with
+    built-in streaming aggregates — so per-key state (current ewma +
+    count) is carried across micro-batches in a GroupState and each
+    batch's rows are folded in event-time order. State is one row per
+    active user; eviction policy is the caller's watermark horizon.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ewma, n = state.get if state.exists else (None, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out, ewma, n = _ewma_fold(batch, alpha, k, ewma, n)
+        state.update((float(ewma), int(n)))
+        yield out
+
+    wm = df.withWatermark(timestamp_col, watermark)
+    return (
+        wm.select("user_id", timestamp_col, "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_batch(df: DataFrame, alpha: float = 0.3, k: float = 0.8) -> DataFrame:
+    """Batch twin of :func:`ewma_stream` (applyInPandas, fresh state
+    per key) — the equality oracle for the stateful streaming path."""
+
+    def fold(pdf):
+        out, _, _ = _ewma_fold(pdf, alpha, k, None, 0)
+        return out
+
+    return (
+        df.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema=EWMA_OUTPUT_SCHEMA)
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, mode: str = "append", name: str | None = None
 ) -> DataFrame:

@@ -346,6 +346,57 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(streaming.sessionize_stream(ev), mode="complete")
 
 
+# Recursive per-user EWMA (alpha=0.3) with deviation alerts: the
+# applyInPandas(+WithState) surface. The oracle folds value prefixes
+# with list_reduce — O(n²) per user, fine at oracle scale — using the
+# same IEEE double ops in the same order as the pandas fold, so the
+# hash match is exact.
+_EWMA_ORACLE = """
+    WITH per_user AS (
+      SELECT user_id,
+             list(ts ORDER BY ts, value) AS tss,
+             list(value ORDER BY ts, value) AS vs
+      FROM events GROUP BY user_id
+    ), idx AS (
+      SELECT user_id, unnest(generate_series(1, len(vs))) AS i, tss, vs
+      FROM per_user
+    ), folded AS (
+      SELECT user_id, tss[i] AS ts, vs[i] AS value, i,
+             list_reduce(list_slice(vs, 1, i),
+                         (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+      FROM idx
+    )
+    SELECT user_id, ts, value, ewma,
+           CASE WHEN i > 1 THEN abs(value - ewma) > 0.8 * abs(ewma)
+                ELSE FALSE END AS is_alert
+    FROM folded
+"""
+
+
+@query(
+    "ewma_alerts_batch",
+    oracle=_EWMA_ORACLE,
+    doc="Per-user recursive EWMA + deviation alerts via applyInPandas "
+        "(order-dependent fold — the Arrow-grouped custom-aggregate "
+        "surface); oracle folds prefixes with list_reduce.",
+)
+def q_ewma_alerts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return streaming.ewma_batch(ev)
+
+
+@query(
+    "streaming_ewma_alerts",
+    oracle=_EWMA_ORACLE,
+    doc="Same EWMA as a custom stateful streaming operator "
+        "(applyInPandasWithState, per-key GroupState carried across "
+        "micro-batches); held to the identical oracle.",
+)
+def q_streaming_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    return streaming.run_to_memory(streaming.ewma_stream(ev), mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed; Spark-side plumbing real)
 # ---------------------------------------------------------------------------

@@ -56,6 +56,16 @@ def test_stream_dedup_drops_replays(spark, sf_dir):
     assert res.count() == n
 
 
+def test_stream_ewma_equals_batch(spark, sf_dir):
+    # applyInPandasWithState (per-key GroupState) must reproduce the
+    # batch applyInPandas fold exactly, alerts included
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    res = streaming.run_to_memory(streaming.ewma_stream(ev), mode="append")
+    batch = streaming.ewma_batch(load_table(spark, sf_dir, "events"))
+    assert _rows(res) == _rows(batch)
+    assert res.where("is_alert").count() > 0  # fixture triggers alerts
+
+
 def test_stream_stateless_operator_composes(spark, sf_dir):
     # map-only operators run unchanged on a streaming DataFrame
     from nbi_oedi_etl_v2_spark.operators import text
