@@ -156,17 +156,40 @@ def run_etl(
     output_root: str | None = None,
     register_catalog: bool = True,
     db: str = "nbi_analytics",
+    max_concurrent_jobs: int = 1,
 ) -> RunSummary:
     """EP1 end-to-end: all jobs, then catalog registration (O7 —
     the reference's on-success crawler trigger becomes sequential
-    driver code)."""
+    driver code).
+
+    ``max_concurrent_jobs > 1`` submits jobs from a thread pool — the
+    reference's worker-pool knob (O2) reduced to letting Spark's FIFO
+    scheduler interleave independent write pipelines; output paths are
+    disjoint per job, so no coordination is needed. Catalog updates
+    stay serialized on the driver either way.
+    """
     t0 = time.perf_counter()
     run_ts = run_timestamp()
     output_root = output_root or config.output_dir
     summary = RunSummary()
 
-    for job in config.job_specific:
-        result = run_job(spark, config, job, output_root, run_ts)
+    if max_concurrent_jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_jobs) as pool:
+            results = list(
+                pool.map(
+                    lambda job: run_job(spark, config, job, output_root, run_ts),
+                    config.job_specific,
+                )
+            )
+    else:
+        results = [
+            run_job(spark, config, job, output_root, run_ts)
+            for job in config.job_specific
+        ]
+
+    for job, result in zip(config.job_specific, results):
         summary.jobs.append(result)
         if register_catalog:
             register_etl_output(

@@ -191,3 +191,28 @@ def test_partition_pruned_scan(spark, etl_config):
     # no CA rows read
     assert df.filter("state = 'CA'").count() == 0
     assert df.count() == 560 * 192 * 2
+
+
+def test_concurrent_jobs_match_sequential(spark, etl_config, lake, tmp_path):
+    # one job per state run from a thread pool; job_name derives from
+    # release/state, so states give the jobs disjoint output paths
+    from dataclasses import replace
+
+    two_jobs = replace(
+        etl_config,
+        job_specific=[
+            etl_config.job_specific[0],
+            replace(etl_config.job_specific[0], state="CA"),
+        ],
+    )
+    out = str(tmp_path / "concurrent")
+    summary = run_etl(
+        spark, two_jobs, output_root=out, register_catalog=False,
+        max_concurrent_jobs=2,
+    )
+    assert len(summary.jobs) == 2
+    assert {j.job_name for j in summary.jobs} == {
+        j.job_name for j in two_jobs.job_specific
+    }
+    assert all(j.data_files_written > 0 for j in summary.jobs)
+    assert all(0 < j.rows_written < j.rows_read for j in summary.jobs)
