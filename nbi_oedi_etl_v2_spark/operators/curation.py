@@ -1,0 +1,201 @@
+"""Corpus-curation operators (north-star extension, SURVEY §2.11 Ext):
+the steps a training-data pipeline runs *after* near-duplicate pair
+generation, plus deterministic dataset splitting and sharding.
+
+Near-dup pair lists (``dedup.ngram_jaccard_pairs`` /
+``minhash_lsh_pairs``) are not the end product — curation needs one
+representative per duplicate *cluster*. That is connected components
+over the pair graph, then an anti-join dropping non-representatives.
+
+Scale design (100 TB corpus):
+- connected components is iterative min-label propagation with a
+  ``localCheckpoint`` per round: near-dup clusters are near-cliques
+  (every member pairs with most others), so the graph diameter is tiny
+  and propagation converges in 2-3 rounds — no need for the
+  O(log n)-round large-star/small-star contraction until clusters
+  become chain-shaped, which near-dup thresholds ≥0.8 do not produce.
+  Each round is one join + one aggregate, both hash-partitioned on the
+  node id; the checkpoint truncates lineage so round N does not replay
+  rounds 1..N-1.
+- hash_split is embarrassingly parallel: one md5 per row, no shuffle,
+  and deterministic across engines/runs/cluster sizes (the property
+  that matters for reproducible train/val/test membership — Spark's
+  ``randomSplit`` re-deals on every recomputation).
+- global_row_number is the scale-correct total order: a global window
+  (``Window.orderBy`` with no partitionBy) pulls the corpus onto ONE
+  task; instead range-partition on the order key, number rows within
+  each partition, and add broadcast per-partition offsets (≤ one long
+  per partition on the driver — #partitions, never #rows).
+- balanced_shards orders docs by weight descending and deals them
+  round-robin — the classic longest-processing-time heuristic, one
+  range shuffle + map-side modulo, then write with
+  ``partitionBy("shard")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the pair graph, where
+    ``component`` is the minimum node id reachable from ``node``
+    (including itself) — a stable, engine-portable cluster label.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels; converged when no label
+    changes. Rounds are data-parallel (join + hash aggregate); the
+    eager ``localCheckpoint`` bounds lineage and makes the
+    convergence-check job reuse round N's result instead of replaying
+    the whole chain.
+    """
+    edges = pairs.select(
+        F.col(f"`{src}`").alias("u"), F.col(f"`{dst}`").alias("v")
+    ).union(pairs.select(F.col(f"`{dst}`").alias("u"), F.col(f"`{src}`").alias("v")))
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(edges["u"].alias("node"), F.col("component"))
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_near_duplicates(
+    docs: DataFrame, id_col: str, pairs: DataFrame,
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """The curated corpus: drop every doc that belongs to a near-dup
+    cluster but is not its (min-id) representative.
+
+    One anti-join against the non-representative node set — docs with
+    no near-dup pair pass through untouched, so the join's build side
+    is only the duplicate clusters, which broadcast at any realistic
+    dup rate.
+    """
+    components = connected_components(pairs, src, dst)
+    losers = components.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from ``md5(id)``.
+
+    The first byte of the hex digest (uniform over 0..255) is compared
+    against fraction boundaries rounded to 1/256 granularity; the
+    comparison is on the two lowercase hex chars, which every engine
+    renders identically — membership is a pure function of the id, so
+    it survives recomputation, engine swaps, and corpus growth
+    (existing ids never change split). No shuffle: one hash + two
+    string compares per row, map-only.
+    """
+    t1 = round(256 * train)
+    t2 = round(256 * (train + val))
+    byte0 = F.substring(F.md5(F.col(f"`{id_col}`").cast("string")), 1, 2)
+    split = (
+        F.when(byte0 < F.lit(f"{t1:02x}"), "train")
+        .when(byte0 < F.lit(f"{t2:02x}"), "val")
+        .otherwise("test")
+    )
+    return df.withColumn(split_col, split)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based global row number under a total order, without the
+    single-task global window.
+
+    Two passes over a range-partitioned materialization: (1) count
+    rows per range partition (≤ #partitions longs to the driver), (2)
+    window ``row_number`` *within* each partition plus the partition's
+    broadcast offset. ``repartitionByRange`` puts partition i wholly
+    before partition i+1 in the order, so local-rank + offset is the
+    exact global rank. ``order_cols`` must be a total order (include a
+    unique tiebreaker) or ranks are nondeterministic.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # materialize once so the count pass and the rank pass see the
+    # same partitioning (range boundaries come from sampling)
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    offsets: list[int] = []
+    acc = 0
+    for row in counts:
+        offsets.append(acc)
+        acc += row["count"]
+    omap = F.create_map(
+        *[F.lit(x) for row, off in zip(counts, offsets) for x in (row["_pid"], off)]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn(rn_col, F.row_number().over(w) + omap[F.col("_pid")])
+        .drop("_pid")
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    tiebreak_col: str,
+    num_shards: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deal rows into ``num_shards`` shards balanced on ``weight_col``
+    (e.g. token count): order by weight descending and assign
+    round-robin — the longest-processing-time heuristic, within
+    max(weight) of optimal per shard.
+
+    Deterministic given the (weight, tiebreak) total order, so the
+    same corpus always produces the same shards; downstream write is
+    ``partitionBy(shard_col)``.
+    """
+    ranked = global_row_number(
+        df, [F.col(f"`{weight_col}`").desc(), F.col(f"`{tiebreak_col}`")]
+    )
+    return ranked.withColumn(
+        shard_col, ((F.col("rn") - 1) % num_shards).cast("long")
+    ).drop("rn")

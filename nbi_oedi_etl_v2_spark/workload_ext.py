@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import streaming
-from .operators import dedup, multimodal, similarity, text
+from .operators import curation, dedup, multimodal, similarity, text
 from .tables import load_table
 from .workload import HOURLY_DOWNSAMPLE_ORACLE, query
 
@@ -50,22 +50,29 @@ _NGRAM_SHINGLES_SQL = """
 """
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS ({_NGRAM_SHINGLES_SQL}),
+# shared CTE chain ending in `pairs` (id_a, id_b, jaccard ≥ 0.8) —
+# reused by the cluster-resolution oracles below
+_NGRAM_PAIRS_CTES = f"""
+    sh AS ({_NGRAM_SHINGLES_SQL}),
     ex AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
     p AS (
       SELECT a.doc AS id_a, b.doc AS id_b,
              min(a.n) AS n_a, min(b.n) AS n_b, count(*) AS overlap
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
       GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) AS jaccard
+      FROM p
+      WHERE round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) >= 0.8
     )
-    SELECT id_a, id_b,
-           round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) AS jaccard
-    FROM p
-    WHERE round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) >= 0.8
-    """,
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
     headline=True,
     doc="Exact word-3-gram Jaccard near-dup pairs at t=0.8 via "
         "lossless AllPairs prefix filtering — the ground-truth twin "
@@ -411,3 +418,106 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: the pipeline steps after pair generation (cluster
+# resolution), plus deterministic splitting/sharding. The DuckDB twin
+# of iterative min-label propagation is a recursive transitive-closure
+# CTE — O(cluster_size²) rows, fine at oracle scale, identical labels.
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_CTES = f"""
+    {_NGRAM_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    )
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=f"WITH RECURSIVE {_COMPONENTS_CTES} SELECT node, component FROM comp",
+    doc="Near-dup cluster labels: connected components over the exact "
+        "Jaccard pair graph via iterative min-label propagation "
+        "(localCheckpoint per round); oracle is a recursive "
+        "transitive-closure CTE.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return curation.connected_components(pairs)
+
+
+@query(
+    "corpus_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_CTES}
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+    doc="The curated corpus: drop every near-dup cluster member except "
+        "the min-id representative (anti-join against the component "
+        "losers) — the step that turns pair lists into a dataset.",
+)
+def q_corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.8)
+    return curation.resolve_near_duplicates(docs, "doc_id", pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "corpus_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test membership from "
+        "md5(doc_id) — engine-portable, shuffle-free, stable under "
+        "recomputation and corpus growth (unlike randomSplit).",
+)
+def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@query(
+    "corpus_balanced_shards",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM r GROUP BY 1
+    """,
+    doc="8 training shards balanced on document size: scalable global "
+        "row_number (range partition + per-partition rank + broadcast "
+        "offsets — no single-task window) dealt round-robin.",
+)
+def q_corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = curation.balanced_shards(docs, "n_chars", "doc_id", 8)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -1,0 +1,90 @@
+"""Unit tests for corpus-curation operators: cluster resolution,
+deterministic splits, scalable global ranking, balanced sharding."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark.operators import curation
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in curation.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_resolve_keeps_representatives_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (5, 6)])
+    kept = sorted(
+        r["doc_id"]
+        for r in curation.resolve_near_duplicates(docs, "doc_id", pairs).collect()
+    )
+    # clusters {1,2,3}→keep 1 and {5,6}→keep 5; 0,4,7 untouched
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_hash_split_deterministic_and_sized(spark, sf_dir):
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = curation.hash_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # 1/256-granular boundaries: expect within a few points of 80/10/10
+    assert 0.70 < counts["train"] / total < 0.90
+    assert 0.05 < counts["val"] / total < 0.15
+    assert 0.05 < counts["test"] / total < 0.15
+    # pure function of the id: recomputation yields identical membership
+    again = curation.hash_split(docs, "doc_id")
+    assert split.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")
+    ).count() == 0
+
+
+def test_global_row_number_matches_single_task_window(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("w")
+    )
+    got = curation.global_row_number(df, [F.col("w").desc(), F.col("id")])
+    ref = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("w").desc(), F.col("id")))
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_balanced_shards_are_balanced(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_chars")
+    )
+    sharded = curation.balanced_shards(df, "n_chars", "doc_id", 8)
+    stats = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("w")
+    ).collect()
+    assert len(stats) == 8
+    counts = [r["n"] for r in stats]
+    weights = [r["w"] for r in stats]
+    assert max(counts) - min(counts) <= 1
+    # LPT round-robin: per-shard weight within one max-item of even
+    assert max(weights) - min(weights) <= 97
