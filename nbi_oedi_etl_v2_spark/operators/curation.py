@@ -199,3 +199,115 @@ def balanced_shards(
     return ranked.withColumn(
         shard_col, ((F.col("rn") - 1) % num_shards).cast("long")
     ).drop("rn")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first
+    byte of ``md5(stratum || ':' || id)`` falls under the stratum's
+    fraction (1/256 granularity).
+
+    The per-source/per-language downsampling step of corpus mixing —
+    ``sampleBy`` redraws on every action, this is a pure row-local
+    predicate: reproducible, engine-portable, no shuffle, and a row's
+    fate is independent of every other row (safe under corpus growth).
+    Salting the digest with the stratum decorrelates a row's fate
+    across different stratifications of the same corpus.
+    """
+    byte0 = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col(f"`{stratum_col}`"), F.col(f"`{id_col}`").cast("string")
+            )
+        ),
+        1,
+        2,
+    )
+    keep = F.lit(f"{round(256 * default_fraction):02x}")
+    for stratum, frac in sorted(fractions.items()):
+        keep = F.when(
+            F.col(f"`{stratum_col}`") == stratum, F.lit(f"{round(256 * frac):02x}")
+        ).otherwise(keep)
+    return df.where(byte0 < keep)
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_id: str,
+    bench_text: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing at
+    least one word ``n``-gram with any benchmark document →
+    (doc_id, n_hits = #distinct contaminating benchmark docs,
+    first_hit = min benchmark id, shared = #distinct shared n-grams).
+
+    13-gram overlap is the standard decontamination test. The join is
+    an equi-join on the shingle string; the benchmark side (eval sets,
+    ~1e5 docs) is tiny next to a 100 TB corpus, so Spark broadcasts it
+    and the corpus side never shuffles — decontamination costs one
+    scan. Truncated docs (< n words) hash their full text as the lone
+    shingle, so short benchmark items still match verbatim copies.
+    """
+    from . import dedup
+
+    c = dedup.shingle_occurrences(corpus, corpus_id, corpus_text, n).select(
+        F.col("doc").alias("doc_id"), "shingle"
+    ).distinct()
+    b = dedup.shingle_occurrences(benchmark, bench_id, bench_text, n).select(
+        F.col("doc").alias("bench_id"), "shingle"
+    ).distinct()
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_hits"),
+            F.min("bench_id").alias("first_hit"),
+            F.countDistinct("shingle").alias("shared"),
+        )
+    )
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """The end-to-end curation pipeline: quality gate → exact dedup
+    (min-id representative) → near-dup cluster resolution → hash
+    split. Returns (id, split) for the surviving corpus.
+
+    Every stage is individually oracled; the composition is oracled
+    too (workload ``corpus_curate``) — which is the point: a curation
+    pipeline is only trustworthy end-to-end if each transform is
+    deterministic. Stage order matters at scale: the cheap map-only
+    quality gate runs first to shrink every downstream shuffle; exact
+    dedup (one aggregate) precedes the near-dup join so identical
+    copies never reach the quadratic candidate stage.
+    """
+    from . import dedup, text
+
+    scored = text.quality_scores(docs, id_col, text_col)
+    keep_ids = scored.where(F.col("quality_score") >= min_quality).select("doc_id")
+    gated = docs.join(keep_ids, docs[id_col] == keep_ids["doc_id"], "left_semi")
+    reps = dedup.exact_dedup(gated, [text_col], id_col).select(id_col)
+    deduped = gated.join(reps, id_col, "left_semi")
+    pairs = dedup.ngram_jaccard_pairs(
+        deduped, id_col, text_col, k=3, threshold=jaccard_threshold
+    )
+    resolved = resolve_near_duplicates(deduped, id_col, pairs)
+    return hash_split(resolved, id_col, train=train, val=val).select(
+        F.col(f"`{id_col}`"), "split"
+    )

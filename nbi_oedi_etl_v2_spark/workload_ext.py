@@ -38,22 +38,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs, ["text"], "doc_id")
 
 
-# word-3-gram shingle sets; <3 tokens → the whole doc is its single
+# word-k-gram shingle sets; <k tokens → the whole doc is its single
 # shingle (list_slice truncates) — mirrors dedup.shingle_occurrences
-_NGRAM_SHINGLES_SQL = """
+def _ngram_shingles_sql(source: str = "documents", k: int = 3) -> str:
+    return f"""
       SELECT doc_id AS doc,
              list_distinct(list_transform(
-                  generate_series(1, greatest(len(toks) - 2, 1)),
-                  i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+                  generate_series(1, greatest(len(toks) - {k - 1}, 1)),
+                  i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' '))) AS shingles
       FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-            FROM documents)
+            FROM {source})
 """
 
 
-# shared CTE chain ending in `pairs` (id_a, id_b, jaccard ≥ 0.8) —
-# reused by the cluster-resolution oracles below
-_NGRAM_PAIRS_CTES = f"""
-    sh AS ({_NGRAM_SHINGLES_SQL}),
+_NGRAM_SHINGLES_SQL = _ngram_shingles_sql()
+
+
+# shared CTE chain ending in `pairs` (id_a, id_b, jaccard ≥ 0.8) over a
+# given doc source — reused by the cluster-resolution oracles below
+def _ngram_pairs_ctes(source: str = "documents") -> str:
+    return f"""
+    sh AS ({_ngram_shingles_sql(source)}),
     ex AS (SELECT doc, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
     p AS (
       SELECT a.doc AS id_a, b.doc AS id_b,
@@ -68,6 +73,9 @@ _NGRAM_PAIRS_CTES = f"""
       WHERE round(CAST(overlap AS DOUBLE) / CAST(n_a + n_b - overlap AS DOUBLE), 7) >= 0.8
     )
 """
+
+
+_NGRAM_PAIRS_CTES = _ngram_pairs_ctes()
 
 
 @query(
@@ -521,3 +529,93 @@ def q_corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25}
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '80' WHEN 'zh' THEN '40' ELSE '20' END
+    """,
+    doc="Deterministic per-language downsampling (50% en, 25% zh, "
+        "12.5% rest) from a stratum-salted md5 — the corpus-mixing "
+        "step; row-local predicate, no shuffle, reproducible.",
+)
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.stratified_hash_sample(
+        docs, "doc_id", "lang", _SAMPLE_FRACTIONS, default_fraction=0.125
+    ).select("doc_id", "lang")
+
+
+@query(
+    "corpus_contamination",
+    oracle=f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    csh AS ({_ngram_shingles_sql("documents", 13)}),
+    bsh AS ({_ngram_shingles_sql("bench", 13)}),
+    cex AS (SELECT doc AS doc_id, unnest(shingles) AS shingle FROM csh),
+    bex AS (SELECT doc AS bench_id, unnest(shingles) AS shingle FROM bsh)
+    SELECT c.doc_id,
+           CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_hits,
+           min(b.bench_id) AS first_hit,
+           CAST(count(DISTINCT c.shingle) AS BIGINT) AS shared
+    FROM cex c JOIN bex b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing a word-13-gram "
+        "with the (stand-in) benchmark set; broadcast benchmark "
+        "shingles → the corpus side never shuffles.",
+)
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return curation.ngram_contamination(
+        docs, bench, "doc_id", "text", "doc_id", "text", n=13
+    )
+
+
+@query(
+    "corpus_curate",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (
+      SELECT doc_id FROM ({_duck_quality_sql()}) WHERE quality_score >= 0.5
+    ),
+    gated AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+    reps AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+    src AS (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
+    {_ngram_pairs_ctes("src")},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM src
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+    doc="End-to-end curation pipeline: quality gate → exact dedup → "
+        "near-dup cluster resolution → deterministic hash split — "
+        "each stage individually oracled, and the composition held to "
+        "one end-to-end oracle.",
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.curate(docs, "doc_id", "text")

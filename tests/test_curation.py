@@ -88,3 +88,38 @@ def test_balanced_shards_are_balanced(spark):
     assert max(counts) - min(counts) <= 1
     # LPT round-robin: per-shard weight within one max-item of even
     assert max(weights) - min(weights) <= 97
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = curation.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 0.25}, default_fraction=0.125
+    )
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binomial at these sizes: generous windows, just catch rate bugs
+    assert 0.3 < got["en"] / base["en"] < 0.7
+    assert got.get("zh", 0) / base["zh"] < 0.5
+    # a stratum never exceeds its ceiling deterministically
+    again = curation.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 0.25}, default_fraction=0.125
+    )
+    assert sampled.exceptAll(again).count() == 0
+
+
+def test_contamination_detects_planted_copy(spark):
+    words = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, words), (2, "totally different text " * 5), (3, words + " tail")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, words)], ["bench_id", "btext"])
+    hits = curation.ngram_contamination(
+        corpus, bench, "doc_id", "text", "bench_id", "btext", n=13
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
+    assert set(got) == {1, 3} and got[1] == 1 and got[3] == 1
