@@ -90,3 +90,26 @@ def test_text_operators_are_map_only(spark, sf_dir):
                  "text_token_stats"):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} should not shuffle"
+
+
+def test_hash_split_and_stratified_sample_map_only(spark, sf_dir):
+    # membership is a row-local md5 predicate — any Exchange here
+    # would mean the split re-deals data across the cluster
+    for name in ("corpus_hash_split", "corpus_stratified_sample"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} should not shuffle"
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    # benchmark shingles broadcast → the 100 TB corpus side joins
+    # without shuffling; only the per-doc count aggregate exchanges
+    plan = plan_of(spark, sf_dir, "corpus_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_balanced_shards_no_single_partition_exchange(spark, sf_dir):
+    # the global rank must come from range partitioning + offsets,
+    # never a plan-level gather onto one task
+    plan = plan_of(spark, sf_dir, "corpus_balanced_shards")
+    assert "Exchange SinglePartition" not in plan
