@@ -350,11 +350,34 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sessionize",
-    oracle=None,  # session_window gap-merge; equals the batch
-    # session_window in tests (the lag-gap batch formulation differs
-    # only in its half-open boundary convention)
+    # lag-gap twin of session_window's half-open convention: a gap of
+    # EXACTLY 30 min starts a new session ([ts, ts+gap) windows don't
+    # overlap), and session_end = last event + gap
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
     doc="session_window stateful sessionization with watermark "
-        "eviction; checked against batch session_window in pytest.",
+        "eviction; oracled against the lag-gap batch formulation "
+        "with session_window's half-open boundary convention.",
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.read_table_stream(spark, sf_dir, "events")
