@@ -259,9 +259,13 @@ def ngram_contamination(
     """
     from . import dedup
 
+    # corpus side stays UN-deduplicated: a distinct here would shuffle
+    # the full corpus shingle set, and the final countDistinct
+    # aggregates are duplicate-proof anyway — so the only corpus-wide
+    # shuffle is the per-doc aggregate at the end
     c = dedup.shingle_occurrences(corpus, corpus_id, corpus_text, n).select(
         F.col("doc").alias("doc_id"), "shingle"
-    ).distinct()
+    )
     b = dedup.shingle_occurrences(benchmark, bench_id, bench_text, n).select(
         F.col("doc").alias("bench_id"), "shingle"
     ).distinct()

@@ -512,6 +512,7 @@ def q_corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_hash_split",
+    headline=True,
     oracle="""
     SELECT doc_id,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
@@ -578,6 +579,7 @@ def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_contamination",
+    headline=True,
     oracle=f"""
     WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
     csh AS ({_ngram_shingles_sql("documents", 13)}),
