@@ -79,6 +79,8 @@ def write_query_result(
     writer = df.coalesce(1).write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", "true").csv(out)
+    elif fmt == "json":
+        writer.json(out)
     else:
         writer.parquet(out)
     return out

@@ -216,3 +216,36 @@ def test_concurrent_jobs_match_sequential(spark, etl_config, lake, tmp_path):
     }
     assert all(j.data_files_written > 0 for j in summary.jobs)
     assert all(0 < j.rows_written < j.rows_read for j in summary.jobs)
+
+
+def test_read_any_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    from nbi_oedi_etl_v2_spark.sources.reader import read_any
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    # csv: escaped newlines keep files splittable; read back with the
+    # written escape conventions and the ORIGINAL schema (no inference)
+    csv_path = str(tmp_path / "docs_csv")
+    docs.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(csv_path)
+    got_csv = read_any(
+        spark, csv_path, fmt="csv", schema=docs.schema, escape='"', multiLine="true"
+    )
+    assert got_csv.exceptAll(docs).count() == 0
+    assert docs.exceptAll(got_csv).count() == 0
+
+    # json-lines roundtrip
+    json_path = str(tmp_path / "docs_json")
+    docs.write.mode("overwrite").json(json_path)
+    got_json = read_any(spark, json_path, fmt="json", schema=docs.schema)
+    assert got_json.exceptAll(docs).count() == 0
+    assert docs.exceptAll(got_json).count() == 0
+
+    # schema-less csv/json at scale is an error, not a silent infer
+    import pytest
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_any(spark, csv_path, fmt="csv")
