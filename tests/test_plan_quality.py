@@ -113,3 +113,13 @@ def test_balanced_shards_no_single_partition_exchange(spark, sf_dir):
     # never a plan-level gather onto one task
     plan = plan_of(spark, sf_dir, "corpus_balanced_shards")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q3_join_topk_plan(spark, sf_dir):
+    # fact×fact equi-join + broadcast dim; date filters reach the
+    # scans; top-10 never global-sorts
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(l_shipdate" in plan  # pushdown on the fact scan
