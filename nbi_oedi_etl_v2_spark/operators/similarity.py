@@ -299,3 +299,46 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def normalize_embeddings_arrow(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize embeddings with an Arrow-vectorized ``pandas_udf``
+    — the demonstration of the scalar-pandas-UDF surface for numeric
+    array work that numpy does better than SQL expressions.
+
+    Engine-portability detail: the squared norm is computed with
+    ``np.add.accumulate`` (strict left-to-right IEEE adds), NOT
+    ``np.sum`` (pairwise summation) — so the result is bit-identical
+    to a sequential SQL fold over the same doubles, and the oracle
+    hash-match needs no tolerance. Zero vectors normalize to zeros.
+
+    Scale: Arrow batches keep transfer columnar;
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak
+    memory; no shuffle — the UDF is a map.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: postponed-annotation strings defeat Spark's hint
+    # inference; the decorator's returnType carries the contract
+    @pandas_udf("array<double>")
+    def l2_normalize(vectors):
+        def norm_one(v):
+            if v is None:
+                return None
+            x = np.asarray(v, dtype=np.float64)
+            sq = np.add.accumulate(x * x)
+            n = np.sqrt(sq[-1]) if len(x) else 0.0
+            if n == 0.0:
+                return [0.0] * len(x)
+            return (x / n).tolist()
+
+        return vectors.map(norm_one)
+
+    return df.select(
+        F.col(f"`{id_col}`"),
+        l2_normalize(F.col(f"`{vec_col}`").cast("array<double>")).alias("unit"),
+    )

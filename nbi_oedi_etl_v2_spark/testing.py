@@ -43,6 +43,8 @@ def _normalize_cell(v: Any) -> Any:
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_normalize_cell(x) for x in v)
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):  # numpy array
+        return tuple(_normalize_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _normalize_cell(v.item())
     return v

@@ -710,3 +710,52 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "orders_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS num_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): all four grouping sets in one "
+        "aggregate pass — Spark expands the sets map-side, so the "
+        "shuffle carries one partial per set, not four scans.",
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("num_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS num_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS (per-status and per-priority margins "
+        "only, no cross or grand total) via Spark SQL — the general "
+        "form behind rollup/cube.",
+)
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS num_orders,
+               CAST(SUM(CAST(o_totalprice AS decimal(25,10))) AS DOUBLE)
+                 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )

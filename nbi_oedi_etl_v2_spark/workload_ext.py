@@ -644,3 +644,40 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.curate(docs, "doc_id", "text")
+
+
+@query(
+    "embedding_normalize",
+    # scalar (vec_id, pos, val) rows — array-valued result columns are
+    # comparator-hostile; posexplode keeps the check exact per element
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(vec, x -> x / sqrt({_DOT_FOLD.format(a='vec', b='vec')})) AS unit
+          FROM v)
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, unit[i] AS val
+    FROM u, unnest(generate_series(1, len(unit))) AS t(i)
+    """,
+    doc="Arrow-vectorized pandas_udf L2 normalization; np.add.accumulate "
+        "makes the norm bit-identical to the oracle's sequential fold, "
+        "so every element hash-matches with no tolerance.",
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = similarity.normalize_embeddings_arrow(emb, "vec_id", "embedding")
+    return unit.select("vec_id", F.posexplode("unit").alias("pos", "val"))
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # HLL sketch — relative-error bound asserted in pytest
+    doc="approx_count_distinct (HyperLogLog++) users per event type — "
+        "the sketch aggregate for 100 TB cardinalities where exact "
+        "distinct would shuffle every key; rsd=0.01.",
+)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )

@@ -147,3 +147,25 @@ def test_frame_sample_plan(spark, docs):
     first = plan_df.where(F.col("media_id") == plan_df.select(F.min("media_id")).first()[0])
     idxs = sorted(r["frame_index"] for r in first.collect())
     assert idxs == list(range(0, 101, 10))
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    from nbi_oedi_etl_v2_spark import workload
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in workload.REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        # rsd=0.01 → generous 5-sigma acceptance; catches a broken
+        # sketch, not estimator noise
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, k
