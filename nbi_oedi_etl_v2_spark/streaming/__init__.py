@@ -294,3 +294,53 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def attribution_join_stream(
+    events: DataFrame,
+    timestamp_col: str = "ts",
+    user_col: str = "user_id",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback`` window.
+
+    The canonical attribution query, and the surface that exercises
+    Spark's symmetric-hash stream-stream join: BOTH sides carry a
+    watermark, and the join predicate bounds click_ts to
+    [purchase_ts - lookback, purchase_ts) — together they let the
+    engine evict buffered rows once the watermark passes the interval,
+    so join state is O(events in lookback + watermark), not O(stream).
+    Inner join in append mode emits matches immediately (no
+    watermark-withholding, unlike outer stream joins).
+    """
+    ts = f"`{timestamp_col}`"
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col(f"`{user_col}`").alias("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col(ts).alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col(f"`{user_col}`").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col(ts).alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
+    )

@@ -681,3 +681,27 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+@query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id,    c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <  p.ts
+    """,
+    doc="Stream-stream interval join (symmetric hash, watermark-bounded "
+        "state): purchases attributed to same-user clicks in the prior "
+        "hour; held to the batch-join oracle.",
+)
+def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    return streaming.run_to_memory(
+        streaming.attribution_join_stream(ev), mode="append"
+    )
