@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .fs import copy_file
 from ..config import JobConfig
@@ -84,3 +85,59 @@ def write_query_result(
     else:
         writer.parquet(out)
     return out
+
+
+def upsert_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Partition-level upsert: overwrite ONLY the partitions present in
+    ``df``, leaving every other partition untouched — the re-run story
+    (one state's job failed; rewrite that state without clobbering the
+    lake).
+
+    Uses dynamic partition overwrite (scoped to this write via the
+    writer option, not a session-level conf flip): Spark deletes and
+    rewrites exactly the partition directories the incoming data maps
+    to. No read-modify-write of the whole table, no global lock —
+    partitions are the transaction unit, which is the only transaction
+    unit that scales to a 100 TB lake without a table format's log.
+    Row-level merge semantics need Delta/Iceberg; this is deliberately
+    the format-free subset.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_partitions(
+    spark, path: str, partition_cols: list[str], target_records_per_file: int
+) -> int:
+    """Small-file compaction: rewrite each partition's many small files
+    into files of ~``target_records_per_file`` rows. Returns the number
+    of rows compacted.
+
+    Small files are the classic lake degradation (per-file open cost,
+    tiny row groups, listing pressure). The rewrite shuffles once,
+    hash-partitioned on the partition columns so each output partition
+    is written by tasks that hold only that partition's rows, and
+    ``maxRecordsPerFile`` caps file size. Executed as a staged swap via
+    dynamic partition overwrite of the same partitions, so a crash
+    mid-compaction loses the compaction, not the data it was reading
+    (the read is materialized before the overwrite via localCheckpoint
+    — at a real deployment compact into a new run_ts directory instead
+    and swap catalog pointers).
+    """
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    n_rows = df.count()
+    (
+        df.repartition(*[F.col(f"`{c}`") for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return n_rows

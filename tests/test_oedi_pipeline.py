@@ -10,6 +10,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from nbi_oedi_etl_v2_spark.config import ETLConfig, JobConfig
 from nbi_oedi_etl_v2_spark.pipeline import run_etl
@@ -249,3 +250,46 @@ def test_read_any_csv_json_roundtrip(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="explicit schema"):
         read_any(spark, csv_path, fmt="csv")
+
+
+def test_upsert_overwrites_only_incoming_partitions(spark, tmp_path):
+    from nbi_oedi_etl_v2_spark.sources.sinks import upsert_partitions
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("AK", 1, 10.0), ("AK", 2, 20.0), ("CA", 1, 30.0), ("CA", 2, 40.0)],
+        ["state", "bldg", "v"],
+    )
+    upsert_partitions(base, path, ["state"])
+    # re-run only AK with corrected values
+    fixed_ak = spark.createDataFrame(
+        [("AK", 1, 11.0), ("AK", 2, 21.0), ("AK", 3, 31.0)], ["state", "bldg", "v"]
+    )
+    upsert_partitions(fixed_ak, path, ["state"])
+    got = spark.read.parquet(path)
+    assert got.count() == 5  # 3 new AK rows + 2 untouched CA rows
+    assert got.filter("state = 'AK'").agg(F.sum("v")).first()[0] == 63.0
+    assert got.filter("state = 'CA'").agg(F.sum("v")).first()[0] == 70.0
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from nbi_oedi_etl_v2_spark.sources.sinks import compact_partitions
+    import glob
+
+    path = str(tmp_path / "smallfiles")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 2).cast("string").alias("state"),
+        F.col("id"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    # fragment: 32 tasks × 2 partitions → many small files
+    df.repartition(32).write.partitionBy("state").parquet(path)
+    before = len(glob.glob(f"{path}/state=*/*.parquet"))
+    assert before >= 32
+    n = compact_partitions(spark, path, ["state"], target_records_per_file=10_000)
+    assert n == 10_000
+    after = len(glob.glob(f"{path}/state=*/*.parquet"))
+    assert after <= 4  # ~1 file per partition
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 0.5 for i in range(10_000))
