@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for algebraic invariants that
+example-based tests can't sweep: arbitrary id sets, duplicate
+structures, and pair graphs. Kept to few examples per property —
+each example is a Spark job; the value is input diversity, not count.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark.operators import curation, dedup
+
+FEW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ids = st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40)
+
+
+@FEW
+@given(ids=ids)
+def test_hash_split_partitions_and_is_subset_stable(spark, ids):
+    df = spark.createDataFrame([(i,) for i in set(ids)], ["doc_id"])
+    split = curation.hash_split(df, "doc_id")
+    # total partition: every row gets exactly one split label
+    assert split.where(F.col("split").isin("train", "val", "test")).count() == df.count()
+    # subset stability: splitting a subset never reassigns a row —
+    # the property randomSplit lacks and the reason hash_split exists
+    subset = df.limit(max(1, df.count() // 2))
+    sub_split = curation.hash_split(subset, "doc_id")
+    joined = sub_split.alias("s").join(
+        split.alias("f"), "doc_id"
+    ).where(F.col("s.split") != F.col("f.split"))
+    assert joined.count() == 0
+
+
+@FEW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=30
+    )
+)
+def test_exact_dedup_partitions_rows(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = dedup.exact_dedup(df, ["text"], "doc_id").collect()
+    # dup counts partition the corpus; representative is the min id
+    assert sum(r["dup_count"] for r in out) == len(texts)
+    for r in out:
+        members = [i for i, t in enumerate(texts) if t == r["text"]]
+        assert r["doc_id"] == min(members)
+        assert r["dup_count"] == len(members)
+
+
+@FEW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_is_a_fixpoint(spark, edges):
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comp = {r["node"]: r["component"] for r in
+            curation.connected_components(pairs).collect()}
+    # every endpoint labeled; label ≤ node; edge endpoints share labels
+    for a, b in edges:
+        assert comp[a] == comp[b]
+        assert comp[a] <= min(a, b)  # label is ≤ every member it covers
+    # fixpoint: components of the (node→component) star graph are the
+    # same labels — resolving twice changes nothing
+    star = [(n, c) for n, c in comp.items() if n != c]
+    if star:
+        again_pairs = spark.createDataFrame(star, ["id_a", "id_b"])
+        again = {r["node"]: r["component"] for r in
+                 curation.connected_components(again_pairs).collect()}
+        for n, c in again.items():
+            assert comp[n] == c or n not in comp
