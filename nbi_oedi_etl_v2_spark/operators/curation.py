@@ -95,14 +95,17 @@ def resolve_near_duplicates(
 
     One anti-join against the non-representative node set — docs with
     no near-dup pair pass through untouched, so the join's build side
-    is only the duplicate clusters, which broadcast at any realistic
-    dup rate.
+    is only the duplicate clusters. No forced broadcast: at a typical
+    dup rate AQE converts the anti-join to broadcast on its own, and
+    at an adversarial dup rate (loser set ~ corpus-sized) a forced
+    broadcast would OOM the driver where a shuffled anti-join still
+    works.
     """
     components = connected_components(pairs, src, dst)
     losers = components.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def hash_split(
