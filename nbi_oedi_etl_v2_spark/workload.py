@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import davg, davg_sql, dsum, dsum_sql
+from .functions import SUM_DECIMAL, davg, davg_sql, dsum, dsum_sql
 from .operators.downsample import downsample
 from .tables import load_table, register_views
 
@@ -709,6 +709,106 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           round({dsum_sql('l_extendedprice * (1 - l_discount)')}, 7) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5 shape: six-way join — lineitem ⋈ orders ⋈ customer "
+        "⋈ supplier are all SF-proportional, so none is force-"
+        "broadcast (AQE converts the small sides at low SF; at 100 TB "
+        "they shuffle on their keys). Only the constant-size nation/"
+        "region dims are forced broadcasts. The same-nation customer⋈"
+        "supplier condition rides the supplier join as a residual; the "
+        "region/date filters prune before any shuffle.",
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 7
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round({dsum_sql('l_quantity')}, 7) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(25,10))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    headline=True,
+    doc="TPC-H Q18 shape: HAVING-filtered self-aggregation of the "
+        "fact feeding a left-semi join. The big-order keyset is a "
+        "small but SF-proportional fraction of orders (~0.3% here), "
+        "so the semi-join strategy is left to AQE — broadcast at "
+        "bench SF, shuffle at 100 TB where the keyset is itself "
+        "huge. The lineitem pre-aggregation is map-side partial "
+        "before its one shuffle on l_orderkey.",
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(SUM_DECIMAL)).alias("_sq"))
+        .where(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(dsum(F.col("l_quantity")), 7).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
     )
 
 

@@ -123,3 +123,25 @@ def test_q3_join_topk_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "GreaterThan(l_shipdate" in plan  # pushdown on the fact scan
+
+
+def test_q5_pushdown_and_no_cartesian(spark, sf_dir):
+    # six-way join: date+region filters reach the scans; the
+    # same-nation residual must ride an equi-join, never a cartesian;
+    # constant dims (nation/region) broadcast
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed date filter
+    assert "EqualTo(r_name,ASIA)" in plan  # pushed region filter
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side combine on revenue
+
+
+def test_q18_semi_join_and_topk(spark, sf_dir):
+    # HAVING pre-agg feeds a left-semi join; top-100 must use per-
+    # partition heaps, not a global sort; quantity pre-agg is partial
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_sum" in plan
