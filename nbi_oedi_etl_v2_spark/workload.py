@@ -686,8 +686,10 @@ def _ensure_extensions() -> None:
     LIMIT 10
     """,
     doc="TPC-H Q3 shape: large×large fact join (lineitem ⋈ orders, "
-        "shuffle on orderkey) with the customer dim broadcast, "
-        "predicate pushdown on both date filters, exact-decimal "
+        "shuffle on orderkey); the segment-filtered customer side is "
+        "SF-proportional (~20% of customers), so its join strategy "
+        "is AQE's call — broadcast at bench SF, shuffle at 100 TB. "
+        "Predicate pushdown on both date filters, exact-decimal "
         "revenue sum, top-10 via per-partition heaps.",
 )
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,7 +701,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
