@@ -38,6 +38,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _md5_byte0(col: Column) -> Column:
+    """First byte of ``md5(col)`` as an integer 0..255 — the uniform
+    deterministic coin every split/sample below compares against.
+    Numeric (not lexicographic-hex) comparison: a threshold of 256
+    (fraction 1.0) then means "keep everything", where the two-char
+    hex compare would silently invert against a three-char '100'."""
+    return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -118,19 +127,21 @@ def hash_split(
     """Deterministic train/val/test assignment from ``md5(id)``.
 
     The first byte of the hex digest (uniform over 0..255) is compared
-    against fraction boundaries rounded to 1/256 granularity; the
-    comparison is on the two lowercase hex chars, which every engine
-    renders identically — membership is a pure function of the id, so
-    it survives recomputation, engine swaps, and corpus growth
-    (existing ids never change split). No shuffle: one hash + two
-    string compares per row, map-only.
+    against **floored** fraction boundaries ``int(256 * f)`` — floor,
+    not round, so the boundary byte matches a plain SQL oracle like
+    ``substr(md5(id),1,2) < 'cc'`` (0.8 → 204 = 0xcc) rather than
+    off-by-one at the boundary byte. Membership is a pure function of
+    the id, so it survives recomputation, engine swaps, and corpus
+    growth (existing ids never change split). No shuffle: one hash +
+    two integer compares per row, map-only. Fractions summing to 1.0
+    are safe: a threshold of 256 keeps every byte.
     """
-    t1 = round(256 * train)
-    t2 = round(256 * (train + val))
-    byte0 = F.substring(F.md5(F.col(f"`{id_col}`").cast("string")), 1, 2)
+    t1 = int(256 * train)
+    t2 = int(256 * (train + val))
+    byte0 = _md5_byte0(F.col(f"`{id_col}`").cast("string"))
     split = (
-        F.when(byte0 < F.lit(f"{t1:02x}"), "train")
-        .when(byte0 < F.lit(f"{t2:02x}"), "val")
+        F.when(byte0 < F.lit(t1), "train")
+        .when(byte0 < F.lit(t2), "val")
         .otherwise("test")
     )
     return df.withColumn(split_col, split)
@@ -213,7 +224,8 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Deterministic per-stratum sampling: keep a row iff the first
     byte of ``md5(stratum || ':' || id)`` falls under the stratum's
-    fraction (1/256 granularity).
+    **floored** threshold ``int(256 * fraction)`` (1/256 granularity;
+    fraction 1.0 → threshold 256 keeps the whole stratum).
 
     The per-source/per-language downsampling step of corpus mixing —
     ``sampleBy`` redraws on every action, this is a pure row-local
@@ -222,19 +234,15 @@ def stratified_hash_sample(
     Salting the digest with the stratum decorrelates a row's fate
     across different stratifications of the same corpus.
     """
-    byte0 = F.substring(
-        F.md5(
-            F.concat_ws(
-                ":", F.col(f"`{stratum_col}`"), F.col(f"`{id_col}`").cast("string")
-            )
-        ),
-        1,
-        2,
+    byte0 = _md5_byte0(
+        F.concat_ws(
+            ":", F.col(f"`{stratum_col}`"), F.col(f"`{id_col}`").cast("string")
+        )
     )
-    keep = F.lit(f"{round(256 * default_fraction):02x}")
+    keep = F.lit(int(256 * default_fraction))
     for stratum, frac in sorted(fractions.items()):
         keep = F.when(
-            F.col(f"`{stratum_col}`") == stratum, F.lit(f"{round(256 * frac):02x}")
+            F.col(f"`{stratum_col}`") == stratum, F.lit(int(256 * frac))
         ).otherwise(keep)
     return df.where(byte0 < keep)
 

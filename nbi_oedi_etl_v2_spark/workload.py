@@ -35,14 +35,29 @@ class QuerySpec:
     oracle: str | None  # None → non-SQL-expressible, rows-only check
     headline: bool = False  # included in bench.py
     doc: str = ""
+    driver: bool = True  # exported to __spark_entry__ (cap below)
 
+
+# The verification driver records correctness rows for at most this
+# many queries (round 1: 53 registered → exactly the first 50 got
+# rows). Everything past the cap would be silently unverified, so the
+# registry exports exactly the cap to the driver; the overflow
+# (driver=False) queries keep full oracle coverage in pytest
+# (tests/test_workload_oracle.py runs ALL specs).
+DRIVER_QUERY_CAP = 50
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    doc: str = "",
+    driver: bool = True,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, doc)
+        REGISTRY[name] = QuerySpec(name, fn, oracle, headline, doc, driver)
         return fn
 
     return deco
@@ -281,6 +296,9 @@ def q_nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY date_trunc('month', o_orderdate)
     """,
     doc="Count-distinct keyed by a derived time column.",
+    # A4-family coverage already carried by customers_per_segment;
+    # pytest-only so the driver's 50 rows go to distinct operators.
+    driver=False,
 )
 def q_monthly_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -450,6 +468,9 @@ def q_custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
     doc="INTERSECT (distinct) — planned as left semi join.",
+    # left-semi planning carried by customers_with_open_orders and the
+    # EXCEPT twin above; pytest-only to stay under the driver cap.
+    driver=False,
 )
 def q_custkeys_1995_and_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -648,14 +669,30 @@ def q_events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_extensions()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    exported = {
+        name: spec.fn for name, spec in REGISTRY.items() if spec.driver
+    }
+    assert len(exported) <= DRIVER_QUERY_CAP, (
+        f"{len(exported)} driver queries exceed the driver's "
+        f"{DRIVER_QUERY_CAP}-row correctness cap; demote one "
+        "(driver=False) or it will be silently unverified"
+    )
+    return exported
 
 
 def oracle_sql() -> dict[str, str]:
     _ensure_extensions()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None and spec.driver
     }
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Every registered spec, including pytest-only (driver=False) ones."""
+    _ensure_extensions()
+    return dict(REGISTRY)
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

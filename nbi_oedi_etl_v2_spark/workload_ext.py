@@ -417,6 +417,10 @@ _EWMA_ORACLE = """
     doc="Per-user recursive EWMA + deviation alerts via applyInPandas "
         "(order-dependent fold — the Arrow-grouped custom-aggregate "
         "surface); oracle folds prefixes with list_reduce.",
+    # oracle twin of streaming_ewma_alerts (identical SQL) — pytest
+    # keeps the batch path hash-checked; driver slot goes to an
+    # operator without a green row yet.
+    driver=False,
 )
 def q_ewma_alerts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

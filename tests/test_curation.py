@@ -63,6 +63,39 @@ def test_hash_split_deterministic_and_sized(spark, sf_dir):
     ).count() == 0
 
 
+def test_hash_split_boundary_bytes_match_floor_oracle(spark):
+    # md5('549')/'755' start with 0xcc (the 0.8 boundary byte) and
+    # md5('572') with 0xe6 (the 0.9 boundary): under floored
+    # thresholds (int(256*f), the oracle's `< 'cc'` / `< 'e6'`
+    # convention) the boundary byte belongs to the NEXT bucket.
+    df = spark.createDataFrame([(549,), (755,), (572,), (0,)], ["doc_id"])
+    got = {r["doc_id"]: r["split"]
+           for r in curation.hash_split(df, "doc_id").collect()}
+    assert got[549] == "val" and got[755] == "val"
+    assert got[572] == "test"
+
+    import hashlib
+    for doc_id, split in got.items():
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16)
+        expect = "train" if b < 204 else ("val" if b < 230 else "test")
+        assert split == expect, (doc_id, b)
+
+
+def test_hash_split_and_sample_full_fractions(spark):
+    # fractions at 1.0 must keep everything — the lexicographic-hex
+    # compare regression ('100' three-char literal) kept only ~6%
+    df = spark.createDataFrame([(i,) for i in range(300)], ["doc_id"])
+    all_train = curation.hash_split(df, "doc_id", train=1.0, val=0.0)
+    assert all_train.where(F.col("split") != "train").count() == 0
+    # train=0.9, val=0.1: nothing may land in test
+    tv = curation.hash_split(df, "doc_id", train=0.9, val=0.1)
+    assert tv.where(F.col("split") == "test").count() == 0
+
+    df2 = spark.createDataFrame([(i, "en") for i in range(300)], ["doc_id", "lang"])
+    kept = curation.stratified_hash_sample(df2, "doc_id", "lang", {"en": 1.0})
+    assert kept.count() == 300
+
+
 def test_global_row_number_matches_single_task_window(spark):
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") * 37 % 101).alias("w")

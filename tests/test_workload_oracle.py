@@ -8,9 +8,9 @@ import pytest
 from nbi_oedi_etl_v2_spark import workload
 from nbi_oedi_etl_v2_spark.testing import check_query
 
-workload.queries()  # trigger extension registration
-ORACLE_SPECS = [s for s in workload.REGISTRY.values() if s.oracle is not None]
-ROWS_ONLY_SPECS = [s for s in workload.REGISTRY.values() if s.oracle is None]
+ALL_SPECS = workload.all_specs()  # includes pytest-only (driver=False)
+ORACLE_SPECS = [s for s in ALL_SPECS.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in ALL_SPECS.values() if s.oracle is None]
 
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
@@ -34,3 +34,18 @@ def test_entry_contract(spark):
     assert set(o) <= set(q)
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_export_fills_cap_exactly():
+    """The driver records rows for at most DRIVER_QUERY_CAP queries
+    (round 1: 53 registered, exactly the first 50 got rows). Exporting
+    exactly the cap means no registered query is silently unverified;
+    the round-1 orphans must be inside the export."""
+    q = workload.queries()
+    assert len(q) == workload.DRIVER_QUERY_CAP
+    for orphan in (
+        "embedding_normalize",
+        "approx_distinct_users",
+        "streaming_attribution_join",
+    ):
+        assert orphan in q
