@@ -150,6 +150,25 @@ EWMA_OUTPUT_SCHEMA = (
 )
 _EWMA_STATE_SCHEMA = "ewma double, n bigint"
 
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(duration: str) -> int:
+    """Parse a Spark-style duration string ('2 hours', '30 minutes')
+    into milliseconds — used to turn the watermark horizon into an
+    event-time timeout for per-key state eviction."""
+    amount, unit = duration.strip().split()
+    unit = unit.rstrip("s")
+    if unit not in _DURATION_UNITS_MS:
+        raise ValueError(f"unsupported duration unit in {duration!r}")
+    return int(amount) * _DURATION_UNITS_MS[unit]
+
 
 def _ewma_fold(pdf, alpha: float, k: float, state_ewma, state_n):
     """Sequential EWMA over one key's rows (sorted by event time),
@@ -191,18 +210,42 @@ def ewma_stream(
     EWMA is order-dependent and recursive — not expressible with
     built-in streaming aggregates — so per-key state (current ewma +
     count) is carried across micro-batches in a GroupState and each
-    batch's rows are folded in event-time order. State is one row per
-    active user; eviction policy is the caller's watermark horizon.
+    batch's rows are folded in event-time order.
+
+    State is one row per active user AND watermark-evicted
+    (EventTimeTimeout): each update arms a timeout at the key's last
+    event time + the watermark horizon; once the watermark passes it
+    the key's state is removed. On an unbounded stream, state is
+    O(users active within the horizon) — not O(every user ever seen).
+    A user returning after eviction restarts its EWMA cold, which is
+    the meaningful semantics for a horizon-scoped deviation alert.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = _duration_ms(watermark)
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # watermark passed last_event + horizon: evict
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [], "ts": [], "value": [], "ewma": [], "is_alert": []}
+            )
+            return
         ewma, n = state.get if state.exists else (None, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         out, ewma, n = _ewma_fold(batch, alpha, k, ewma, n)
         state.update((float(ewma), int(n)))
+        # event-time timeout: fires when watermark > last event + ttl.
+        # must be set strictly above the current watermark or Spark
+        # rejects it — a key whose deadline already passed times out
+        # on the next micro-batch.
+        last_ms = int(batch["ts"].max().value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield out
 
     wm = df.withWatermark(timestamp_col, watermark)
@@ -214,7 +257,7 @@ def ewma_stream(
             outputStructType=EWMA_OUTPUT_SCHEMA,
             stateStructType=_EWMA_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

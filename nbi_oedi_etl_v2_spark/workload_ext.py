@@ -443,11 +443,44 @@ def q_streaming_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing (decode stubbed; Spark-side plumbing real)
 # ---------------------------------------------------------------------------
 
+# byte i of a DuckDB blob, via hex() + hex-digit lookup (DuckDB has no
+# direct byte indexing); hx is the uppercase hex string of the payload
+def _blob_byte(i: str) -> str:
+    return (
+        f"(strpos('0123456789ABCDEF', substr(hx, 2*({i})-1, 1))-1)*16"
+        f" + (strpos('0123456789ABCDEF', substr(hx, 2*({i}), 1))-1)"
+    )
+
+
 @query(
     "multimodal_decode",
-    oracle=None,  # mapInPandas operator — rows-only driver check
+    # the stub codec (multimodal._decode_payload) is pure byte
+    # arithmetic — first/last byte → dims, sum of first 256 bytes →
+    # checksum — so the oracle expresses it over DuckDB blobs and the
+    # codec seam stays honestly hash-checked until a real codec lands
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+    ), h AS (
+      SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n FROM m
+    ), b AS (
+      SELECT media_id, n,
+        list_transform(generate_series(1, least(n, 256)),
+                       i -> {_blob_byte('i')}) AS bytes_,
+        {_blob_byte('1')} AS b0,
+        {_blob_byte('n')} AS blast
+      FROM h
+    )
+    SELECT media_id, 'image' AS media_type, CAST(n AS BIGINT) AS n_bytes,
+           CAST(16 + (b0 % 64) * 16 AS INTEGER) AS width,
+           CAST(16 + (blast % 64) * 16 AS INTEGER) AS height,
+           CAST(list_reduce(list_prepend(0, bytes_), (a, x) -> a + x) % 9973
+                AS DOUBLE) / 9973.0 AS checksum_feature
+    FROM b
+    """,
     doc="Binary media column → Arrow-batched mapInPandas decode "
-        "(deterministic stub codec) → typed feature rows.",
+        "(deterministic stub codec) → typed feature rows; the stub's "
+        "byte arithmetic is oracled over DuckDB blobs.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
