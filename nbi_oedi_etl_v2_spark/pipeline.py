@@ -52,6 +52,11 @@ class JobResult:
     data_files_written: int
     metadata_files_listed: int
     metadata_files_uploaded: int
+    # corrupt-file parity (reference README.md:465-466,
+    # tracker.py:194-289): inputs listed but skipped by the scan
+    # (ignoreCorruptFiles) are reported, not fatal
+    data_files_read: int = 0
+    missing_data_files: list[str] = field(default_factory=list)
     # O5 row-level accounting via df.observe(): collected as a side
     # effect of the write itself (no extra pass over the data), the
     # Spark-native replacement for the reference tracker's per-file
@@ -76,6 +81,16 @@ class RunSummary:
             for j in self.jobs
             if j.metadata_files_listed != j.metadata_files_uploaded
         }
+        # a listed-but-unreadable input was "fetched" but never
+        # transformed/uploaded — the reference's corrupt-file case
+        # (README.md:465-466 narrative; discrepancy calc
+        # tracker.py:194-289)
+        missing_data = {
+            j.job_name: j.missing_data_files
+            for j in self.jobs
+            if j.missing_data_files
+        }
+        missing_data_count = sum(len(v) for v in missing_data.values())
         return json.dumps(
             {
                 "time_stat": {"total_time_seconds": round(self.total_time_seconds, 2)},
@@ -83,11 +98,11 @@ class RunSummary:
                     "total_data_files_listed": data_listed,
                     "total_data_files_uploaded": data_written,
                     "missing_data_fetches_count": 0,
-                    "missing_data_transforms_count": 0,
-                    "missing_data_uploads_count": 0,
+                    "missing_data_transforms_count": missing_data_count,
+                    "missing_data_uploads_count": missing_data_count,
                     "missing_data_fetches_files": {},
-                    "missing_data_transforms_files": {},
-                    "missing_data_uploads_files": {},
+                    "missing_data_transforms_files": missing_data,
+                    "missing_data_uploads_files": missing_data,
                 },
                 "metadata_files_stats": {
                     "total_metadata_files_listed": meta_listed,
@@ -133,18 +148,33 @@ def run_job(
     meta_srcs = [p for p in paths.resolve_metadata_paths(job) if fs.exists(p)]
     copied = sinks.bypass_metadata(meta_srcs, output_root, run_ts, job)
 
-    listed = sum(
-        len(fs.list_files_recursive(p)) for p in paths.data_partition_prefixes(config, job)
-    )
+    # O5 discrepancy accounting (tracker.py:194-289 restated): the
+    # full listing vs the files the scan could actually read. The
+    # read-side probe is a footer-only job — zero data columns, one
+    # file name per split — so it costs a listing, not a scan, even at
+    # lake scale; corrupt inputs (skipped via ignoreCorruptFiles) are
+    # exactly the difference.
+    listed_files = [
+        f
+        for p in paths.data_partition_prefixes(config, job)
+        for f in fs.list_files_recursive(p)
+    ]
+    read_files = {
+        fs.normalize_uri(r["f"])
+        for r in ts_df.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    missing = sorted(set(map(fs.normalize_uri, listed_files)) - read_files)
     written = len(fs.list_files_recursive(data_path))
     return JobResult(
         job_name=job.job_name,
         data_path=data_path,
         metadata_files=copied,
-        data_files_listed=listed,
+        data_files_listed=len(listed_files),
         data_files_written=written,
         metadata_files_listed=len(meta_srcs),
         metadata_files_uploaded=len(copied),
+        data_files_read=len(read_files),
+        missing_data_files=missing,
         rows_read=int(obs_in.get["rows_read"]),
         rows_written=int(obs_out.get["rows_written"]),
     )

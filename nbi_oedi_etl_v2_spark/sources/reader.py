@@ -19,7 +19,10 @@ from ..config import ETLConfig, JobConfig
 
 
 def read_timeseries(
-    spark: SparkSession, config: ETLConfig, job: JobConfig
+    spark: SparkSession,
+    config: ETLConfig,
+    job: JobConfig,
+    ignore_corrupt: bool = True,
 ) -> DataFrame:
     """The S1 scan + P1 partition predicate for one job.
 
@@ -27,8 +30,26 @@ def read_timeseries(
     below compiles to partition pruning (verify: ``.explain`` shows
     the pruned ``PartitionFilters``, no data files outside the
     selected partitions are ever opened).
+
+    ``ignore_corrupt`` reproduces the reference's corrupt-file story
+    (README.md:465-466: one corrupt input is *reported* in the run
+    summary, the job completes): unreadable files are skipped by the
+    scan and surface via the pipeline's listed-vs-read accounting
+    instead of failing the job. Scoped as a reader option, not a
+    session conf, so analytical queries still fail loudly on rot.
     """
-    df = spark.read.parquet(release_root(config, job))
+    reader = spark.read
+    if ignore_corrupt:
+        # mergeSchema makes schema inference read every footer (as a
+        # parallel job) instead of just the first file — necessary so
+        # a corrupt FIRST file doesn't kill inference before
+        # ignoreCorruptFiles can skip it. The release schema is
+        # uniform, so merging is semantics-neutral; the cost is one
+        # distributed footer pass, same order as the accounting probe.
+        reader = reader.option("ignoreCorruptFiles", "true").option(
+            "mergeSchema", "true"
+        )
+    df = reader.parquet(release_root(config, job))
     pred = F.col("state") == job.state
     # partition values parse as strings or ints depending on layout;
     # compare as strings for both (Catalyst still prunes on the cast).

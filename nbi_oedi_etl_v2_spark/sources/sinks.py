@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .fs import copy_file
+from .fs import copy_file, normalize_uri
 from ..config import JobConfig
 
 
@@ -63,7 +63,9 @@ def bypass_metadata(
     dest_root = metadata_output_path(output_root, run_ts, job)
     copied = []
     for src in src_paths:
-        rel = src.lstrip("/").replace(":", "_")
+        # scheme-normalize so file:-URI sources keep the same
+        # source-relative key layout as plain local paths
+        rel = normalize_uri(src).lstrip("/").replace(":", "_")
         dest = os.path.join(dest_root, rel)
         copy_file(src, dest)
         copied.append(dest)
@@ -123,21 +125,32 @@ def compact_partitions(
     tiny row groups, listing pressure). The rewrite shuffles once,
     hash-partitioned on the partition columns so each output partition
     is written by tasks that hold only that partition's rows, and
-    ``maxRecordsPerFile`` caps file size. Executed as a staged swap via
-    dynamic partition overwrite of the same partitions, so a crash
-    mid-compaction loses the compaction, not the data it was reading
-    (the read is materialized before the overwrite via localCheckpoint
-    — at a real deployment compact into a new run_ts directory instead
-    and swap catalog pointers).
+    ``maxRecordsPerFile`` caps file size.
+
+    Executed as a **staged swap**: compact into a sibling staging
+    directory while the source stays untouched, then
+    source → backup, staging → source, drop backup. A crash at any
+    point leaves at least one complete copy on disk — unlike an
+    in-place dynamic overwrite, where losing an executor (and its
+    localCheckpoint blocks) mid-write after partition dirs were
+    cleared would lose data, not just the compaction.
     """
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    from . import fs
+
+    staging = path.rstrip("/") + ".compact-staging"
+    backup = path.rstrip("/") + ".compact-old"
+    fs.delete(staging)
+    df = spark.read.parquet(path)
     n_rows = df.count()
     (
         df.repartition(*[F.col(f"`{c}`") for c in partition_cols])
         .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", target_records_per_file)
         .partitionBy(*partition_cols)
-        .parquet(path)
+        .parquet(staging)
     )
+    fs.delete(backup)
+    fs.rename(path, backup)
+    fs.rename(staging, path)
+    fs.delete(backup)
     return n_rows

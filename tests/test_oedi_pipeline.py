@@ -219,6 +219,84 @@ def test_concurrent_jobs_match_sequential(spark, etl_config, lake, tmp_path):
     assert all(0 < j.rows_written < j.rows_read for j in summary.jobs)
 
 
+def _make_config(lake_root: str, scheme: str = "") -> ETLConfig:
+    bucket = scheme + os.path.join(lake_root, "oedi-data-lake")
+    meta_root = os.path.join(bucket, BASE_PARTITION, YEAR, RELEASE,
+                             "metadata_and_annual_results")
+    return ETLConfig(
+        src_bucket=bucket,
+        base_partition=BASE_PARTITION,
+        data_partition_in_release=DATA_PARTITION,
+        output_dir=os.path.join(lake_root, "etl_output"),
+        job_specific=[
+            JobConfig(
+                release_name=RELEASE,
+                release_year=YEAR,
+                state="AK",
+                upgrades=["0", "1"],
+                metadata_root_dir=meta_root,
+                relative_metadata_prefix_type="1",
+            )
+        ],
+    )
+
+
+def test_corrupt_file_reported_not_fatal(spark, tmp_path):
+    # reference parity (README.md:465-466, tracker.py:194-289): one
+    # corrupt input is reported in the summary, the job completes
+    import glob
+    import json
+
+    info = generate_oedi_lake(str(tmp_path))
+    config = _make_config(str(tmp_path))
+    files = sorted(
+        glob.glob(
+            os.path.join(
+                info["bucket"], BASE_PARTITION, YEAR, RELEASE, DATA_PARTITION,
+                "upgrade=0", "state=AK", "*.parquet",
+            )
+        )
+    )
+    victim = files[0]
+    blob = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(blob[: len(blob) // 3])  # destroys the footer
+
+    summary = run_etl(spark, config, register_catalog=False)
+    job = summary.jobs[0]
+    assert job.data_files_listed == 8
+    assert job.data_files_read == 7
+    assert len(job.missing_data_files) == 1
+    assert job.missing_data_files[0].endswith(os.path.basename(victim))
+    assert job.rows_written > 0  # the other 7 files flowed through
+    stats = json.loads(summary.to_reference_json())["data_files_stats"]
+    assert stats["missing_data_transforms_count"] == 1
+    assert stats["missing_data_uploads_count"] == 1
+    assert list(stats["missing_data_transforms_files"]) == [job.job_name]
+
+
+def test_pipeline_end_to_end_with_file_uris(spark, tmp_path):
+    # the Hadoop-FS seam (fs.py): discovery, bypass copy and run
+    # accounting must work when every configured path is a file: URI,
+    # proving the same code path an s3a:// deployment takes
+    generate_oedi_lake(str(tmp_path))
+    config = _make_config(str(tmp_path), scheme="file:")
+    assert config.src_bucket.startswith("file:/")
+
+    summary = run_etl(spark, config, register_catalog=False)
+    job = summary.jobs[0]
+    assert job.data_files_listed == 8
+    assert job.data_files_read == 8
+    assert job.data_files_written > 0
+    assert job.metadata_files_listed == 2
+    assert job.metadata_files_uploaded == 2
+    assert 0 < job.rows_written < job.rows_read
+
+    # county discovery through the Hadoop listing, file: scheme
+    meta_root = config.job_specific[0].metadata_root_dir
+    assert discover_counties(meta_root, "AK") == sorted(COUNTY_CODES["AK"])
+
+
 def test_read_any_csv_json_roundtrip(spark, sf_dir, tmp_path):
     from nbi_oedi_etl_v2_spark.sources.reader import read_any
     from nbi_oedi_etl_v2_spark.tables import load_table
