@@ -5,9 +5,13 @@
     {"metric": "...", "value": <total-sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + fetch-count); the
-session is created once and reused (BASELINE.md notes per-query JVM
-startup is the main local-mode risk).
+Each query is timed end-to-end (plan + execute + fetch-count) and
+reported as the MEDIAN of ``$SPARK_GRAFT_REPS`` (default 3) in-process
+repeats: at this scale first-execution codegen dominates and run-to-run
+noise is 15-23 s across the suite, so medians are what make
+round-over-round deltas meaningful. The session is created once and
+reused (BASELINE.md notes per-query JVM startup is the main local-mode
+risk).
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -27,6 +32,19 @@ from nbi_oedi_etl_v2_spark.session import get_spark  # noqa: E402
 from nbi_oedi_etl_v2_spark.tables import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+
+
+def _median_time(run, label: str) -> float:
+    samples = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    med = round(statistics.median(samples), 4)
+    spread = ", ".join(f"{s:.3f}" for s in samples)
+    print(f"# {label}: median {med:.3f}s of [{spread}]", file=sys.stderr)
+    return med
 
 
 def main() -> None:
@@ -41,24 +59,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in workload.headline_queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        timings[name] = _median_time(lambda: fn(spark, SF_DIR).count(), name)
 
     # the reference's headline number IS an ETL run (BASELINE.md:
     # 564.64 s for 1,128 files ≈ 2 files/s): time the equivalent
     # read → hourly downsample → snappy parquet write end-to-end.
     out = tempfile.mkdtemp(prefix="bench_etl_")
-    try:
-        t0 = time.perf_counter()
+
+    def etl_run() -> None:
         hourly = downsample(
-            load_table(spark, SF_DIR, "events"), timestamp_col="ts", entity_col="user_id"
+            load_table(spark, SF_DIR, "events"),
+            timestamp_col="ts",
+            entity_col="user_id",
         )
-        hourly.write.mode("overwrite").parquet(out)
-        timings["etl_write_pipeline"] = round(time.perf_counter() - t0, 4)
-        print(f"# etl_write_pipeline: {timings['etl_write_pipeline']:.3f}s", file=sys.stderr)
+        hourly.write.mode("overwrite").parquet(os.path.join(out, "run"))
+
+    try:
+        timings["etl_write_pipeline"] = _median_time(etl_run, "etl_write_pipeline")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -66,7 +83,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query wall time, warm session",
+                "metric": (
+                    f"headline query wall time, warm session, "
+                    f"median of {REPS}"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

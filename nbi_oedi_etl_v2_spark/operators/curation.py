@@ -57,12 +57,20 @@ def connected_components(
     ``component`` is the minimum node id reachable from ``node``
     (including itself) — a stable, engine-portable cluster label.
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels; converged when no label
-    changes. Rounds are data-parallel (join + hash aggregate); the
-    eager ``localCheckpoint`` bounds lineage and makes the
-    convergence-check job reuse round N's result instead of replaying
-    the whole chain.
+    Min-label propagation **with pointer jumping**: each round every
+    node takes the min of its own label and its neighbors' labels,
+    then follows its label to THAT node's label (path compression).
+    The jump makes label distances halve-and-propagate, so even
+    chain-shaped graphs (diameter d) converge in O(log d) rounds —
+    near-clique dup clusters still converge in 2-3 — the reason a
+    large-star/small-star contraction isn't needed. Each round is two
+    hash-partitioned joins + one aggregate; the eager
+    ``localCheckpoint`` bounds lineage so round N doesn't replay
+    rounds 1..N-1.
+
+    Raises if ``max_iterations`` rounds don't reach the fixpoint:
+    unconverged labels silently flowing into a curated corpus would
+    keep wrong representatives with no signal.
     """
     edges = pairs.select(
         F.col(f"`{src}`").alias("u"), F.col(f"`{dst}`").alias("v")
@@ -76,10 +84,26 @@ def connected_components(
         neighbor_labels = edges.join(
             labels, edges["v"] == labels["node"]
         ).select(edges["u"].alias("node"), F.col("component"))
-        new_labels = (
+        cand = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component ids are themselves node ids, so remap
+        # each node's label through the label node's own label
+        # (coalesce: a label already at its cluster minimum maps to
+        # itself even if the self-row joins empty mid-aggregation)
+        lab2 = cand.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            cand.join(lab2, cand["component"] == lab2["c_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -92,6 +116,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (labels would be silently wrong)"
+        )
     return labels
 
 

@@ -168,6 +168,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
@@ -180,6 +181,16 @@ def ngram_jaccard_pairs(
     the naive all-occurrence join at a fraction of the joined rows
     (~30× on the synthetic corpus; more on natural text where rare
     shingles are rarer).
+
+    ``max_doc_freq`` stop-shingles the candidate join: shingles whose
+    document frequency exceeds it never generate candidates (one extra
+    predicate on the already-computed df — no extra pass). This bounds
+    the worst key's join fan-out to max_doc_freq² for boilerplate the
+    prefix filter can't save (e.g. license headers shared by half the
+    corpus). Exactness caveat: a true pair found ONLY through hotter-
+    than-threshold prefix shingles would be missed, so results are
+    guaranteed unchanged when ``max_doc_freq`` ≥ the highest df among
+    prefix shingles; verification always uses full shingle sets.
     """
     ex = shingle_rows(df, id_col, text_col, k)
     # global document frequency per shingle; small relative to the
@@ -187,9 +198,11 @@ def ngram_jaccard_pairs(
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rank_w = Window.partitionBy("doc").orderBy("df", "shingle")
     prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ranked = ex.join(dfreq, "shingle")
+    if max_doc_freq is not None:
+        ranked = ranked.where(F.col("df") <= max_doc_freq)
     prefix = (
-        ex.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(rank_w))
+        ranked.withColumn("pos", F.row_number().over(rank_w))
         .where(F.col("pos") <= prefix_len)
         .select("doc", "n_shingles", "shingle")
     )

@@ -83,7 +83,18 @@ def salted_join(
     """Equi-join with the dim side replicated ×``salt_buckets`` and the
     fact side salted deterministically, so a hot key spreads over
     ``salt_buckets`` reducers. Output columns = fact ∪ dim minus the
-    duplicate key, as with a plain ``join(..., on=key)``."""
+    duplicate key, as with a plain ``join(..., on=key)``.
+
+    Only ``inner`` and ``left`` (fact-preserving) joins are supported:
+    the dim side is replicated, so a right/full outer join would emit
+    every unmatched dim row ``salt_buckets`` times — silently wrong.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated dim side duplicates unmatched rows under "
+            "right/full outer semantics"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     dim_rep = dim.withColumn("__salt", salts)
     fact_s = fact.withColumn(

@@ -584,6 +584,7 @@ def q_price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFra
     FROM events e
     ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
+    headline=True,
     doc="As-of join (latest order at-or-before each event) via the "
         "union + running-last-value formulation: one shuffle on the "
         "key, one sort — no per-row probe, no range explosion; "

@@ -325,6 +325,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_hourly_downsample",
     oracle=HOURLY_DOWNSAMPLE_ORACLE,
+    headline=True,
     doc="Watermarked window-agg streaming twin of the hourly ETL "
         "downsample; availableNow replay, oracle-identical to batch.",
 )

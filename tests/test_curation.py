@@ -31,6 +31,34 @@ def test_connected_components_chain_triangle_pair(spark):
     }
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    # a 100-edge path graph has diameter 100: plain min-propagation
+    # needs 100 rounds, pointer jumping O(log d) — 12 must suffice
+    pairs = _pairs(spark, [(i, i + 1) for i in range(100)])
+    got = curation.connected_components(pairs, max_iterations=12).collect()
+    assert {r["component"] for r in got} == {0}
+    assert {r["node"] for r in got} == set(range(101))
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(40)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        curation.connected_components(pairs, max_iterations=2)
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from nbi_oedi_etl_v2_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "x"])
+    dim = spark.createDataFrame([(1, "d")], ["k2", "y"])
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(fact, dim, "k", "k2", how="full")
+
+
 def test_resolve_keeps_representatives_and_singletons(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
