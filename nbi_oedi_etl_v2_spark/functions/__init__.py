@@ -14,10 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 15 integer digits / 10 fractional — fits sums of ~1e5-magnitude
-# measures over billions of rows without overflow at sf0.1; on a real
-# 100 TB run widen to DECIMAL(38,10).
-SUM_DECIMAL = "decimal(25,10)"
+# 28 integer digits / 10 fractional — fits sums of ~1e5-magnitude
+# measures over ~1e23 rows; headroom for any 100 TB run. Spark backs
+# precision >18 with BigDecimal either way, so the width is free.
+SUM_DECIMAL = "decimal(38,10)"
 
 
 def dsum(expr: Column) -> Column:
@@ -41,11 +41,11 @@ def davg(expr: Column) -> Column:
 def davg_sql(expr: str) -> str:
     """DuckDB SQL mirroring :func:`davg` exactly."""
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
         f" / COUNT({expr})"
     )
 
 
 def dsum_sql(expr: str) -> str:
     """DuckDB SQL mirroring :func:`dsum` exactly."""
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS VARCHAR) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"

@@ -112,7 +112,7 @@ def classify_aggregates(
             # Mean runs on an exact DECIMAL accumulator so the result is
             # independent of partial-aggregation order (SURVEY §7 risk 1);
             # cast back to double before the round.
-            mean = F.sum(quoted.cast("decimal(25,10)")).cast("double") / F.count(quoted)
+            mean = F.sum(quoted.cast("decimal(38,10)")).cast("double") / F.count(quoted)
             aggs.append(F.round(mean, decimal_places).alias(f"{name}_mean"))
         else:
             # worker.py:119-122 — everything else → min.

@@ -159,11 +159,14 @@ def run_job(
         for p in paths.data_partition_prefixes(config, job)
         for f in fs.list_files_recursive(p)
     ]
-    read_files = {
-        fs.normalize_uri(r["f"])
-        for r in ts_df.select(F.input_file_name().alias("f")).distinct().collect()
-    }
-    missing = sorted(set(map(fs.normalize_uri, listed_files)) - read_files)
+    distinct_read = ts_df.select(F.input_file_name().alias("f")).distinct()
+    n_read = distinct_read.count()
+    if n_read == len(listed_files):
+        # happy path: counts agree, no file names cross the driver
+        missing: list[str] = []
+    else:
+        read_files = {fs.normalize_uri(r["f"]) for r in distinct_read.collect()}
+        missing = sorted(set(map(fs.normalize_uri, listed_files)) - read_files)
     written = len(fs.list_files_recursive(data_path))
     return JobResult(
         job_name=job.job_name,
@@ -173,7 +176,7 @@ def run_job(
         data_files_written=written,
         metadata_files_listed=len(meta_srcs),
         metadata_files_uploaded=len(copied),
-        data_files_read=len(read_files),
+        data_files_read=n_read,
         missing_data_files=missing,
         rows_read=int(obs_in.get["rows_read"]),
         rows_written=int(obs_out.get["rows_written"]),

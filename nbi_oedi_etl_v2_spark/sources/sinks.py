@@ -73,13 +73,19 @@ def bypass_metadata(
 
 
 def write_query_result(
-    df: DataFrame, results_root: str, label: str, fmt: str = "parquet"
+    df: DataFrame, results_root: str, label: str, fmt: str = "parquet",
+    single_file: bool = True,
 ) -> str:
     """S9 — Athena workgroup result-sink analogue
     (lib/nbi-open-data-analytics-stack.ts:403-414): results for a
-    named query land under ``query-results/{label}/``."""
+    named query land under ``query-results/{label}/``.
+
+    ``single_file`` mirrors Athena's one-result-object convention and
+    is right for human-sized result sets; pass False for large
+    extracts so the write keeps its parallelism instead of funneling
+    through one task."""
     out = f"{results_root.rstrip('/')}/query-results/{label}"
-    writer = df.coalesce(1).write.mode("overwrite")
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", "true").csv(out)
     elif fmt == "json":

@@ -320,7 +320,7 @@ def q_monthly_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_running_value",
     oracle="""
     SELECT event_id, user_id, ts, value,
-      round(CAST(SUM(CAST(value AS DECIMAL(25,10))) OVER (
+      round(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 7)
         AS running_value
@@ -336,7 +336,7 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col("value").cast("decimal(25,10)")).over(w).cast("double")
+    running = F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double")
     return e.select(
         "event_id", "user_id", "ts", "value", F.round(running, 7).alias("running_value")
     )
@@ -816,7 +816,7 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(25,10))) > 300
+        HAVING SUM(CAST(l_quantity AS DECIMAL(38,10))) > 300
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
@@ -893,7 +893,7 @@ def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS num_orders,
-               CAST(SUM(CAST(o_totalprice AS decimal(25,10))) AS DOUBLE)
+               CAST(SUM(CAST(o_totalprice AS decimal(38,10))) AS DOUBLE)
                  AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))

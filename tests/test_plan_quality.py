@@ -115,6 +115,32 @@ def test_balanced_shards_no_single_partition_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_multimodal_decode_map_only(spark, sf_dir):
+    # Arrow-batched mapInPandas over the media rows — payloads must
+    # never shuffle; any Exchange here moves the (multi-MB) binary
+    # column across the cluster for no reason
+    plan = plan_of(spark, sf_dir, "multimodal_decode")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_embedding_normalize_map_only_arrow(spark, sf_dir):
+    # pandas_udf L2 normalize: one Arrow eval, no shuffle of vectors
+    plan = plan_of(spark, sf_dir, "embedding_normalize")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_asof_join_no_range_explosion(spark, sf_dir):
+    # the union + running-last-value as-of formulation: one hash
+    # shuffle on the key and a sort within partitions — never a
+    # per-row range probe (nested loop) or cartesian
+    plan = plan_of(spark, sf_dir, "asof_last_order_per_event")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" in plan
+
+
 def test_q3_join_topk_plan(spark, sf_dir):
     # fact×fact equi-join + broadcast dim; date filters reach the
     # scans; top-10 never global-sorts
