@@ -102,6 +102,119 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(*cols)
 
 
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition features — the standard
+    quality gate against boilerplate/spam docs that slip length and
+    stopword filters:
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats
+      of an earlier line;
+    - ``dup_bigram_frac``: fraction of word bigrams that are repeats;
+    - ``max_token_run``: longest run of one token repeated
+      consecutively (e.g. "buy buy buy ...").
+
+    All higher-order-function column expressions over the token/line
+    arrays — map-only, zero shuffle, one scan at 100 TB.
+    """
+    text = f"`{text_col}`"
+    lines = f"filter(transform(split({text}, '\\n'), l -> trim(l)), l -> l != '')"
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"CASE WHEN size({arr}) = 0 THEN 0D ELSE "
+            f"1D - CAST(size(array_distinct({arr})) AS DOUBLE) / size({arr}) END"
+        )
+
+    # Intermediate arrays are materialized as columns (one select per
+    # stage) so no HOF lambda re-derives them per element — everything
+    # stays one map-only scan, and each array is built once per row.
+    # max_token_run via run boundaries, scalar lambdas only: `_starts`
+    # holds the 1-based positions where a new run begins; consecutive
+    # start differences (with an n+1 sentinel) are the run lengths.
+    # (A struct-accumulator fold is NOT portable: DuckDB 1.0 evaluates
+    # struct fields sequentially against the mutating accumulator.)
+    staged = df.select(
+        F.col(f"`{id_col}`").alias("doc_id"),
+        F.expr(lines).alias("_lines"),
+        F.expr(_tokens(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        "_lines",
+        "_toks",
+        # CASE guard: Spark's sequence(1, 0) runs DESCENDING (same
+        # trap as fingerprint), so short token lists short-circuit
+        F.expr(
+            "CASE WHEN size(_toks) < 2 THEN array() ELSE "
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) END"
+        ).alias("_bigrams"),
+        F.expr(
+            "CASE WHEN size(_toks) = 0 THEN array() ELSE "
+            "filter(sequence(1, size(_toks)), i -> IF(i = 1, true, "
+            "element_at(_toks, i) != element_at(_toks, i - 1))) END"
+        ).alias("_starts"),
+    ).select(
+        "doc_id",
+        "_lines",
+        "_bigrams",
+        "_starts",
+        F.expr("concat(_starts, array(size(_toks) + 1))").alias("_ext"),
+    )
+    max_run = (
+        "CASE WHEN size(_starts) = 0 THEN 0L ELSE "
+        "aggregate(sequence(1, size(_starts)), 0L, "
+        "(acc, j) -> greatest(acc, element_at(_ext, j + 1) - element_at(_ext, j))) END"
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        F.round(F.expr(dup_frac("_lines")), 7).alias("dup_line_frac"),
+        F.size("_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(F.expr(dup_frac("_bigrams")), 7).alias("dup_bigram_frac"),
+        F.expr(max_run).cast("bigint").alias("max_token_run"),
+    )
+
+
+# deliberately simple patterns drawn from the RE2 ∩ Java-regex subset,
+# so the Spark expression and any SQL oracle compile them identically
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing: replace emails / phone-number shapes / SSN shapes
+    with ``<TYPE>`` placeholders and count the replacements per type.
+
+    Order matters (SSN before phone: an SSN also matches the loose
+    phone shape) and is fixed; each count is taken on the text AFTER
+    the previous replacements, so the counts are exactly the number of
+    placeholders inserted — auditable redaction, not raw-match tallies.
+    Pure ``regexp_replace`` chain — map-only at any scale.
+    """
+    # Column-literal patterns (not expr-embedded SQL strings) so the
+    # backslashes reach the regex engine unmangled by the SQL parser
+    redacted = F.col(f"`{text_col}`")
+    counts = {}
+    for name in ("email", "ssn", "phone"):  # fixed order, SSN first
+        pat = PII_PATTERNS[name]
+        counts[name] = (
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(f"`{id_col}`").alias("doc_id"),
+        redacted.alias("text_redacted"),
+        counts["email"],
+        counts["phone"],
+        counts["ssn"],
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Polynomial rolling hash of the raw text, mod 1e9+7 with
     multiplier 31 — small enough that the fold never overflows int64

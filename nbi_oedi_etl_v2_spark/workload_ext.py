@@ -315,6 +315,94 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs, "doc_id", "text")
 
 
+_DUCK_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_DUCK_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
+    "l -> l != '')"
+)
+def _duck_dup_frac(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"CAST(1 AS DOUBLE) - CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr}) END"
+    )
+
+
+# run boundaries, scalar lambdas only (a struct-accumulator fold is
+# not portable: DuckDB 1.0 evaluates struct fields sequentially
+# against the mutating accumulator). toks[0] is NULL in DuckDB, so
+# the i=1 OR short-circuits identically to the Spark IF guard.
+@query(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_LINES} AS lines_, {_DUCK_TOKS} AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lines_, toks,
+             CASE WHEN len(toks) < 2 THEN [] ELSE
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams,
+             list_filter(generate_series(1, len(toks)),
+                         i -> i = 1 OR toks[i] != toks[i - 1]) AS starts
+      FROM t
+    ), e AS (
+      SELECT doc_id, lines_, bigrams, starts,
+             list_concat(starts, [len(toks) + 1]) AS ext
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(lines_) AS BIGINT) AS n_lines,
+           round({_duck_dup_frac('lines_')}, 7) AS dup_line_frac,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           round({_duck_dup_frac('bigrams')}, 7) AS dup_bigram_frac,
+           CAST(CASE WHEN len(starts) = 0 THEN 0 ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(starts)),
+                              j -> CAST(ext[j + 1] - ext[j] AS BIGINT))),
+               (acc, x) -> greatest(acc, x)) END AS BIGINT) AS max_token_run
+    FROM e
+    """,
+    # driver cap is full — oracle-checked by pytest instead
+    driver=False,
+    doc="Gopher-style within-doc repetition features (duplicate-line "
+        "fraction, duplicate-bigram fraction, longest token run) — "
+        "map-only HOF expressions, the standard boilerplate/spam gate.",
+)
+def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(docs, "doc_id", "text")
+
+
+@query(
+    "text_pii_redaction",
+    # counts are taken on the progressively redacted text (t0/t1/t2
+    # CTE stages), matching the Spark operator: each count is exactly
+    # the number of placeholders that replacement inserted
+    oracle=f"""
+    WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+    s1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g') AS t1
+           FROM s0),
+    s2 AS (SELECT doc_id, t0, t1,
+                  regexp_replace(t1, '{text.PII_PATTERNS["ssn"]}', '<SSN>', 'g') AS t2
+           FROM s1)
+    SELECT doc_id,
+           regexp_replace(t2, '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(t0, '{text.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t2, '{text.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t1, '{text.PII_PATTERNS["ssn"]}')) AS BIGINT) AS n_ssn
+    FROM s2
+    """,
+    driver=False,
+    doc="PII scrubbing: email/phone/SSN shapes replaced with typed "
+        "placeholders + per-type match counts; RE2∩Java-regex patterns "
+        "so both engines compile them identically; map-only.",
+)
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming twins (SURVEY §2.9): each drains the bounded
 # events backlog with trigger(availableNow) and must equal its batch

@@ -68,6 +68,44 @@ def test_ngram_stop_shingle_prunes_boilerplate_but_keeps_pairs(spark):
     assert (0, 100) in _pair_set(pairs)
 
 
+def test_repetition_scores_on_planted_repeats(spark):
+    from nbi_oedi_etl_v2_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "line one\nline one\nline two"),       # 1 dup line of 3
+            (2, "buy buy buy now"),                     # token run of 3
+            (3, "alpha beta alpha beta alpha beta"),    # repeated bigrams
+            (4, ""),                                    # empty: all zeros
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           text_ops.repetition_scores(df, "doc_id", "text").collect()}
+    assert got[1]["n_lines"] == 3
+    assert abs(got[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert got[2]["max_token_run"] == 3
+    # 5 bigrams, 2 distinct ("alpha beta" ×3, "beta alpha" ×2) → 3/5 dup
+    assert abs(got[3]["dup_bigram_frac"] - 0.6) < 1e-6
+    assert got[4]["n_lines"] == 0 and got[4]["max_token_run"] == 0
+
+
+def test_pii_redaction_on_planted_pii(spark):
+    from nbi_oedi_etl_v2_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com or 123-45-6789 or +1 (555) 123-4567 now"),
+         (2, "clean text, nothing to scrub")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in
+           text_ops.redact_pii(df, "doc_id", "text").collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> or <SSN> or <PHONE> now"
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ssn"]) == (1, 1, 1)
+    assert got[2]["text_redacted"] == "clean text, nothing to scrub"
+    assert got[2]["n_email"] == 0
+
+
 def test_minhash_signature_shape(docs):
     sig = dedup.minhash_signatures(docs, "doc_id", "text", 3, 64).first()
     assert len(sig["sig"]) == 64
