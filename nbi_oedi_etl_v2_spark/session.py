@@ -45,6 +45,11 @@ def get_spark(
         # (PARQUET_TYPE_ILLEGAL); tables.load_table converts the raw
         # nanos back to microsecond timestamps losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive (isAdjustedToUTC=false) parquet timestamps must land as
+        # TIMESTAMP (LTZ, session TZ pinned UTC above), not TIMESTAMP_NTZ:
+        # streaming watermarks reject NTZ event-time columns, and the
+        # DuckDB oracle reads the same values as plain timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Arrow for the few pandas-UDF operators (multimodal, ANN fallback).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -68,4 +73,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
