@@ -146,6 +146,43 @@ def resolve_near_duplicates(
     return docs.join(losers, id_col, "left_anti")
 
 
+def incremental_near_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Continuous-ingest dedup: admit only the rows of a new ``batch``
+    that are near-duplicates of neither the existing ``corpus`` nor an
+    earlier-admitted batch row.
+
+    Two stages, in the order that matters for semantics: (1) drop
+    batch docs with a ≥ ``threshold`` Jaccard match in the corpus
+    (bipartite prefix-filtered join — the corpus is *never* self-
+    joined, so the recurring cost scales with |batch| × shared
+    shingles, not |corpus|²); (2) resolve near-dup clusters *within*
+    the survivors (min-id representative). A batch doc whose only
+    near-dup was itself dropped in stage 1 survives — membership is
+    decided against the corpus as it existed at ingest time, the
+    standard contract for append-only dedup. Ids must be unique
+    across corpus + batch.
+    """
+    from . import dedup  # local import: dedup does not import curation
+
+    cross = dedup.cross_jaccard_pairs(
+        batch, corpus, id_col, text_col, k, threshold, max_doc_freq
+    )
+    contaminated = cross.select(F.col("id_a").alias(id_col)).distinct()
+    survivors = batch.join(contaminated, id_col, "left_anti")
+    within = dedup.ngram_jaccard_pairs(
+        survivors, id_col, text_col, k, threshold, max_doc_freq
+    )
+    return resolve_near_duplicates(survivors, id_col, within)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

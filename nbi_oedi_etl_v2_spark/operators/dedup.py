@@ -228,6 +228,64 @@ def ngram_jaccard_pairs(
     return exact_jaccard_for_pairs(df, candidates, id_col, text_col, k, threshold)
 
 
+def cross_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Bipartite exact Jaccard pairs: (id_a ∈ left, id_b ∈ right) with
+    jaccard ≥ t — the new-batch-vs-existing-corpus shape of
+    ``ngram_jaccard_pairs``. Ids must be unique across BOTH inputs
+    (they share a hash space).
+
+    Same lossless AllPairs prefix filter, with document frequencies
+    (the prefix ranking) computed over the union so both sides of a
+    pair rank shingles identically — the property the lossless
+    guarantee needs. Sides are split back out of the shared prefix by
+    semi-joins on their id sets; candidate generation and the exact
+    verification tail are unchanged.
+    """
+    l_cols = left.select(F.col(f"`{id_col}`"), F.col(f"`{text_col}`"))
+    r_cols = right.select(F.col(f"`{id_col}`"), F.col(f"`{text_col}`"))
+    union = l_cols.unionByName(r_cols)
+    ex = shingle_rows(union, id_col, text_col, k)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ranked = ex.join(dfreq, "shingle")
+    if max_doc_freq is not None:
+        ranked = ranked.where(F.col("df") <= max_doc_freq)
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(rank_w))
+        .where(F.col("pos") <= prefix_len)
+        .select("doc", "n_shingles", "shingle")
+    )
+    n_parts = _pinned_partitions(left)
+    prefix = prefix.repartition(n_parts, "shingle")
+    ids_l = l_cols.select(F.col(f"`{id_col}`").alias("doc")).distinct()
+    ids_r = r_cols.select(F.col(f"`{id_col}`").alias("doc")).distinct()
+    a = (
+        prefix.join(ids_l, "doc", "left_semi")
+        .select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
+    )
+    b = (
+        prefix.join(ids_r, "doc", "left_semi")
+        .select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
+    )
+    t = F.lit(threshold)
+    candidates = (
+        a.join(b, "shingle")
+        .where((t * F.col("n_a") <= F.col("n_b")) & (t * F.col("n_b") <= F.col("n_a")))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return exact_jaccard_for_pairs(union, candidates, id_col, text_col, k, threshold)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 64
 ) -> DataFrame:

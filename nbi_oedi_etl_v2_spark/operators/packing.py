@@ -1,0 +1,265 @@
+"""Training-corpus assembly operators: sequence packing, source
+mixing, and deterministic corpus shuffling.
+
+These are the steps between a curated corpus (operators.curation) and
+a training run: pack documents into fixed token-budget context
+windows, resample sources to a target mixture, and put the corpus in
+a reproducible pseudorandom order. None exist in the reference (its
+ETL stops at parquet layout — ``etl/oedi_etl/worker.py:150-186``);
+they extend the same corpus surface the curation operators serve.
+
+Scale notes (100 TB posture):
+- ``pack_chunks`` needs a *global* prefix sum — the naive window
+  (``Window.orderBy`` with no partition) collapses to one task. The
+  two-pass range-partition formulation here (per-partition totals to
+  the driver — #partitions longs, not data — then local window +
+  broadcast offset) keeps every stage parallel, the same shape as
+  ``curation.global_row_number``.
+- ``pack_next_fit`` is inherently sequential *within* a shard, so it
+  is Arrow-batched ``applyInPandas`` per shard: parallelism = #shards,
+  state = one running counter per shard. Shard first (e.g.
+  ``curation.balanced_shards`` or a hash), then pack.
+- ``mixture_sample`` never collects data: per-source counts (an
+  aggregate of #sources rows) are joined back broadcast, and the keep
+  decision is the same row-local md5-byte predicate as
+  ``curation.stratified_hash_sample`` — reproducible, engine-portable,
+  independent of every other row.
+- ``shuffle_rank`` is ``global_row_number`` under an md5 key: a
+  deterministic permutation with no single-task stage, unlike
+  ``orderBy(rand())`` which is neither reproducible nor restartable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .curation import _md5_byte0, global_row_number
+
+__all__ = [
+    "global_running_total",
+    "pack_chunks",
+    "pack_next_fit",
+    "mixture_sample",
+    "shuffle_rank",
+]
+
+
+def _as_cols(order_cols: Iterable[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def global_running_total(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``value_col`` under a total
+    order: each row gets the sum of all strictly-preceding rows.
+
+    Same two-pass shape as ``curation.global_row_number``: range
+    partition on the order, sum each partition (≤ #partitions longs to
+    the driver), then a *within-partition* running window plus the
+    broadcast partition offset. No ``Exchange SinglePartition``
+    anywhere. ``order_cols`` must be a total order (include a unique
+    tiebreaker) or offsets are nondeterministic.
+    """
+    cols = _as_cols(order_cols)
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        ranged.groupBy("_pid")
+        .agg(F.sum(F.col(f"`{value_col}`")).alias("_t"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets: list[int] = []
+    acc = 0
+    for row in totals:
+        offsets.append(acc)
+        acc += int(row["_t"] or 0)
+    omap = F.create_map(
+        *[F.lit(x) for row, off in zip(totals, offsets) for x in (row["_pid"], off)]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inclusive = F.sum(F.col(f"`{value_col}`")).over(w)
+    return (
+        ranged.withColumn(
+            out_col,
+            (inclusive - F.col(f"`{value_col}`") + omap[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    order_cols: list[Column | str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: documents are laid end
+    to end in ``order_cols`` order and the token stream is cut into
+    fixed ``seq_len`` windows; each document reports the chunk range
+    it lands in (documents may span chunks — the standard LLM
+    pretraining packing, zero padding waste).
+
+    Output adds ``token_offset`` (exclusive prefix sum), ``first_chunk``,
+    ``last_chunk``, and ``n_chunks`` (all long). A zero-token document
+    occupies no tokens: its range is the single chunk at its offset.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    order = order_cols if order_cols is not None else [id_col]
+    out = global_running_total(
+        df, order, tokens_col, out_col="token_offset", num_partitions=num_partitions
+    )
+    tokens = F.col(f"`{tokens_col}`")
+    # integer DIV keeps the arithmetic exact on longs (double division
+    # would round past 2^53 token streams — real at 100 TB)
+    first = F.expr(f"token_offset DIV {seq_len}").cast("long")
+    last = F.when(
+        tokens > 0,
+        F.expr(f"(token_offset + `{tokens_col}` - 1) DIV {seq_len}"),
+    ).otherwise(F.expr(f"token_offset DIV {seq_len}")).cast("long")
+    return (
+        out.withColumn("first_chunk", first)
+        .withColumn("last_chunk", last)
+        .withColumn("n_chunks", (last - F.col("first_chunk") + 1).cast("long"))
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    shard_col: str,
+    order_cols: list[str] | None = None,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Next-fit bin packing *without* document splitting: within each
+    shard, documents are taken in ``order_cols`` order and appended to
+    the current bin until the next one would overflow ``seq_len``,
+    which starts a new bin (the SFT/finetuning packing, where examples
+    must stay whole).
+
+    Next-fit is sequential by nature, so this is the one packing that
+    runs as Arrow-batched ``applyInPandas`` grouped by ``shard_col``:
+    parallelism = #shards (shard first — ``curation.balanced_shards``
+    or a hash — then pack), state = one running counter. A document
+    larger than ``seq_len`` gets a bin of its own (callers should
+    filter or truncate oversize docs upstream if that is unacceptable).
+    Bin ids are local to the shard: the global bin key is
+    ``(shard, bin)``.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    order = order_cols if order_cols is not None else [id_col]
+    fields = df.select(shard_col, id_col, tokens_col).schema.fields
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{bin_col}` long"]
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        bins: list[int] = []
+        cur, used = 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if used > 0 and used + t > seq_len:
+                cur += 1
+                used = 0
+            bins.append(cur)
+            used += t
+        pdf[bin_col] = bins
+        return pdf[[shard_col, id_col, tokens_col, bin_col]]
+
+    return (
+        df.select(shard_col, id_col, tokens_col, *[c for c in order if c not in (shard_col, id_col, tokens_col)])
+        .groupBy(shard_col)
+        .applyInPandas(pack, out_schema)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Resample a multi-source corpus to target mixture ``weights``
+    (e.g. ``{"web": .6, "books": .3, "code": .1}``), keeping the
+    largest corpus that satisfies the mixture exactly: the binding
+    source (smallest ``count/weight``) is kept whole and every other
+    source is deterministically downsampled to match.
+
+    Per-source keep fractions derive from a #sources-row aggregate
+    joined back **broadcast** — the corpus itself is never shuffled and
+    no data reaches the driver. The keep decision is the same salted
+    md5-byte predicate as ``curation.stratified_hash_sample`` (row-
+    local, reproducible, stable under corpus growth of other rows),
+    compared against ``256 * fraction`` as a double so fractions of
+    1.0 keep a source whole. Sources absent from ``weights`` are
+    dropped.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative and non-empty: {weights}")
+    src = F.col(f"`{source_col}`")
+    wmap = F.create_map(*[F.lit(x) for k, v in sorted(weights.items()) for x in (k, float(v))])
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_wt", wmap[src])
+        .where(F.col("_wt").isNotNull() & (F.col("_wt") > 0))
+    )
+    scale = counts.agg(F.min(F.col("_cnt") / F.col("_wt")).alias("_nsc"))
+    fracs = counts.crossJoin(F.broadcast(scale)).select(
+        source_col,
+        (F.col("_wt") * F.col("_nsc") / F.col("_cnt")).alias("_frac"),
+    )
+    byte0 = _md5_byte0(
+        F.concat_ws(":", src, F.col(f"`{id_col}`").cast("string"))
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .where(byte0 < F.lit(256.0) * F.col("_frac"))
+        .drop("_frac")
+    )
+
+
+def shuffle_rank(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "42",
+    rank_col: str = "shuffle_pos",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudorandom permutation of the corpus: 1-based
+    position under ``md5(seed || ':' || id)`` order — the reproducible
+    replacement for ``orderBy(rand())`` when fixing a training data
+    order. Different seeds give independent permutations; the rank is
+    a pure function of (seed, corpus), so restarts and engine swaps
+    see the same order. Built on ``curation.global_row_number`` — no
+    single-task global sort.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(f"`{id_col}`").cast("string")))
+    ranked = global_row_number(
+        df, [key, F.col(f"`{id_col}`")], rn_col=rank_col, num_partitions=num_partitions
+    )
+    return ranked.withColumn(rank_col, F.col(rank_col).cast("long"))

@@ -414,6 +414,10 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Left anti join (NOT EXISTS): broadcast the order-key set "
         "when it fits, shuffled hash anti join otherwise (AQE picks).",
+    # pytest keeps the hash-check (test_workload_oracle runs every
+    # spec); driver slot ceded to a packing/mixing operator — the anti
+    # join shape stays driver-covered via corpus_near_dedup
+    driver=False,
 )
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -450,6 +454,9 @@ def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
     doc="EXCEPT (distinct set difference) — planned as left anti join.",
+    # pytest keeps the hash-check (test_workload_oracle runs every
+    # spec); driver slot ceded to a packing/mixing operator
+    driver=False,
 )
 def q_custkeys_1995_not_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -490,6 +497,10 @@ def q_custkeys_1995_and_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ROLLUP hierarchy (status → priority → grand total) in one "
         "pass; Spark expands grouping sets inside a single aggregate.",
+    # pytest keeps the hash-check; driver slot ceded to a packing
+    # operator — grouping-set coverage stays driver-checked via
+    # orders_cube and orders_grouping_sets
+    driver=False,
 )
 def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -539,6 +550,10 @@ def q_orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject "
         "(per-partition heaps, no global sort); orderkey tie-break "
         "keeps it deterministic.",
+    # pytest keeps the hash-check; driver slot ceded to a packing
+    # operator — top-k coverage stays driver-checked via q3 and
+    # topk_per_segment
+    driver=False,
 )
 def q_top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import streaming
-from .operators import curation, dedup, multimodal, similarity, text
+from .operators import curation, dedup, multimodal, packing, similarity, text
 from .tables import load_table
 from .workload import HOURLY_DOWNSAMPLE_ORACLE, query
 
@@ -831,3 +831,200 @@ def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.run_to_memory(
         streaming.attribution_join_stream(ev), mode="append"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus assembly (operators.packing): sequence packing,
+# source mixing, deterministic shuffle
+# ---------------------------------------------------------------------------
+
+# numeric first byte of md5(x) in DuckDB (no direct hex→int there);
+# mirrors curation._md5_byte0's conv(substr(md5, 1, 2), 16, 10)
+def _md5_byte0_sql(x: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(md5({x}), 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(md5({x}), 2, 1)) - 1))"
+    )
+
+
+@query(
+    "corpus_pack_chunks",
+    oracle="""
+    WITH o AS (
+      SELECT doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS token_offset
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_chars, token_offset,
+             token_offset // 4096 AS first_chunk,
+             CASE WHEN n_chars > 0 THEN (token_offset + n_chars - 1) // 4096
+                  ELSE token_offset // 4096 END AS last_chunk
+      FROM o
+    )
+    SELECT doc_id, n_chars, token_offset, first_chunk, last_chunk,
+           last_chunk - first_chunk + 1 AS n_chunks
+    FROM c
+    """,
+    doc="Concatenate-and-chunk sequence packing (pretraining style, "
+        "docs may span chunks): global exclusive prefix sum via the "
+        "two-pass range-partition formulation — no single-task window.",
+)
+def q_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return packing.pack_chunks(docs, "doc_id", "n_chars", seq_len=4096)
+
+
+@query(
+    "corpus_pack_next_fit",
+    # next-fit is a sequential fold per shard; the oracle folds each
+    # shard's token list with a struct accumulator (bin, used) via
+    # list_reduce — same state machine as the pandas loop, so the
+    # match is exact
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST({_md5_byte0_sql("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT) AS shard
+      FROM documents
+    ), g AS (
+      SELECT shard, list(doc_id ORDER BY doc_id) AS ids,
+             list(n_chars ORDER BY doc_id) AS ts
+      FROM s GROUP BY shard
+    ), idx AS (
+      SELECT shard, unnest(generate_series(1, len(ids))) AS i, ids, ts FROM g
+    )
+    SELECT shard, ids[i] AS doc_id, CAST(ts[i] AS BIGINT) AS n_chars,
+           CAST(list_reduce(
+                  list_transform(list_slice(ts, 1, i),
+                                 t -> {{'bin': 0, 'used': t}}),
+                  (acc, x) -> CASE WHEN acc.used + x.used > 4096
+                              THEN {{'bin': acc.bin + 1, 'used': x.used}}
+                              ELSE {{'bin': acc.bin,
+                                     'used': acc.used + x.used}} END
+                ).bin AS BIGINT) AS bin
+    FROM idx
+    """,
+    doc="Next-fit bin packing without splitting (SFT style, examples "
+        "stay whole): sequential within a hash shard via Arrow-batched "
+        "applyInPandas, parallel across shards; oracle replays the "
+        "fold with a struct-accumulator list_reduce.",
+)
+def q_corpus_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = docs.withColumn(
+        "shard",
+        (curation._md5_byte0(F.col("doc_id").cast("string")) % 8).cast("long"),
+    )
+    return packing.pack_next_fit(
+        sharded, "doc_id", "n_chars", seq_len=4096, shard_col="shard"
+    )
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@query(
+    "corpus_mixture_sample",
+    # identical double expression trees on both sides (cnt/wt → min →
+    # wt*nsc/cnt, IEEE ops in the same order) make the computed
+    # fraction compare bit-exact; weights are CAST to DOUBLE because
+    # DuckDB decimal literals would otherwise run DECIMAL arithmetic
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    w(source, wt) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                             ('src1', CAST(0.3 AS DOUBLE)),
+                             ('src2', CAST(0.2 AS DOUBLE))),
+    s AS (SELECT min(cnt / wt) AS nsc FROM c JOIN w USING (source) WHERE wt > 0),
+    f AS (SELECT c.source, w.wt * s.nsc / c.cnt AS frac
+          FROM c JOIN w USING (source) CROSS JOIN s WHERE w.wt > 0)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE {_md5_byte0_sql("d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+          < 256.0 * f.frac
+    """,
+    doc="Target-mixture resampling (50/30/20 over three sources, "
+        "binding source kept whole): per-source fractions from a "
+        "#sources-row aggregate joined back broadcast; keep decision "
+        "is the salted md5-byte row-local predicate — corpus never "
+        "shuffles, nothing collects.",
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.mixture_sample(
+        docs, "doc_id", "source", _MIXTURE_WEIGHTS
+    ).select("doc_id", "source")
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic pseudorandom corpus permutation: global rank "
+        "under md5(seed:id) via the range-partitioned two-pass row "
+        "number — reproducible orderBy(rand()) replacement, no "
+        "single-task sort.",
+)
+def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return packing.shuffle_rank(docs, "doc_id", seed="42")
+
+
+@query(
+    "corpus_incremental_dedup",
+    # pairs over ALL documents (batch ∪ corpus) give the same exact
+    # pair set the operator computes (Jaccard is pairwise — the
+    # candidate ranking differs, verification is exact either way);
+    # the oracle then replays the two stages: corpus-contaminated
+    # batch docs out first, then within-survivor cluster resolution
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    contaminated AS (
+      SELECT id_a AS doc_id FROM pairs WHERE id_a % 5 = 0 AND id_b % 5 <> 0
+      UNION
+      SELECT id_b FROM pairs WHERE id_b % 5 = 0 AND id_a % 5 <> 0
+    ),
+    surv AS (
+      SELECT doc_id FROM documents WHERE doc_id % 5 = 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    wpairs AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE id_a IN (SELECT doc_id FROM surv)
+        AND id_b IN (SELECT doc_id FROM surv)
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM wpairs
+      UNION
+      SELECT id_b, id_a FROM wpairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+    WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+    doc="Continuous-ingest dedup: a new batch (doc_id % 5 = 0) admitted "
+        "against the existing corpus — bipartite prefix-filtered cross "
+        "Jaccard (corpus never self-joins), then within-batch cluster "
+        "resolution; pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return curation.incremental_near_dedup(
+        corpus, batch, "doc_id", "text", k=3, threshold=0.8
+    ).select("doc_id", "lang", "source", "n_chars")

@@ -13,7 +13,9 @@ from nbi_oedi_etl_v2_spark import workload
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = workload.queries()[name](spark, sf_dir)
+    # all_specs, not queries(): plan pins must keep covering queries
+    # demoted below the driver's 50-row correctness cap
+    df = workload.all_specs()[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -171,3 +173,33 @@ def test_q18_semi_join_and_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "partial_sum" in plan
+
+
+def test_pack_chunks_no_single_partition_exchange(spark, sf_dir):
+    # the global prefix sum must ride range partitioning + broadcast
+    # offsets; a plan-level gather to one task is the scale bug this
+    # operator exists to avoid
+    plan = plan_of(spark, sf_dir, "corpus_pack_chunks")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_global_shuffle_no_single_partition_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_global_shuffle")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_sample_broadcasts_fractions(spark, sf_dir):
+    # per-source fractions (#sources rows) broadcast back onto the
+    # corpus: the corpus side must not shuffle for the join, and the
+    # keep predicate stays row-local
+    plan = plan_of(spark, sf_dir, "corpus_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_pack_next_fit_one_shuffle_then_pandas(spark, sf_dir):
+    # exactly the group-by-shard exchange feeding FlatMapGroupsInPandas
+    # — next-fit's sequential fold runs Arrow-batched per shard
+    plan = plan_of(spark, sf_dir, "corpus_pack_next_fit")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -47,5 +47,10 @@ def test_driver_export_fills_cap_exactly():
         "embedding_normalize",
         "approx_distinct_users",
         "streaming_attribution_join",
+        # round-2 packing/mixing family — must hold driver rows
+        "corpus_pack_chunks",
+        "corpus_pack_next_fit",
+        "corpus_mixture_sample",
+        "corpus_global_shuffle",
     ):
         assert orphan in q
