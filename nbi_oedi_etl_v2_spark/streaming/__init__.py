@@ -339,6 +339,33 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def dim_enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static dimension enrichment: every micro-batch left-joins
+    the (batch) ``dim`` DataFrame — the lookup-table pattern for
+    attaching slowly-changing attributes to a live stream.
+
+    The static side is re-evaluated per micro-batch (so an updated
+    dim table is picked up on the next trigger) and force-broadcast:
+    a stream-static join must never shuffle the unbounded side on a
+    dimension's account. Stateless — no watermark required, unmatched
+    stream rows pass through with nulls (left join), each input row
+    emits exactly once.
+    """
+    cols = dim_cols or [c for c in dim.columns if c != dim_key]
+    right = dim.select(dim_key, *cols)
+    return stream.join(
+        F.broadcast(right),
+        stream[stream_key] == right[dim_key],
+        "left",
+    ).drop(dim_key)
+
+
 def attribution_join_stream(
     events: DataFrame,
     timestamp_col: str = "ts",

@@ -683,6 +683,146 @@ def q_events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round({dsum_sql('volume')}, 7) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: bidirectional nation-pair filter rides two "
+        "broadcast dim joins (the OR predicate is dim-side, so it "
+        "prunes before the fact shuffle); per-year volume rollup. "
+        "pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 7
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           round({dsum_sql('l_extendedprice * (1 - l_discount)')}, 7) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-revenue per customer over a "
+        "quarter, top 20 — fact×fact shuffle join, broadcast nation "
+        "dim, heap top-k on the exact-decimal aggregate (ties broken "
+        "by custkey so the LIMIT is deterministic). pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-10-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 7
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(
+      100.0 * {dsum_sql("CASE WHEN p_type = 'PROMO' "
+                        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+      / {dsum_sql('l_extendedprice * (1 - l_discount)')}, 7) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share in a quarter — "
+        "conditional aggregate ratio over a part-dim join (broadcast "
+        "when the part table fits, AQE decides); both sums "
+        "exact-decimal so the ratio is engine-portable. "
+        "pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", volume).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(F.lit(100.0) * dsum(promo) / dsum(volume), 7).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_extensions()
     exported = {

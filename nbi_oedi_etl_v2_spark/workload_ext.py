@@ -1028,3 +1028,26 @@ def q_corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.incremental_near_dedup(
         corpus, batch, "doc_id", "text", k=3, threshold=0.8
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "streaming_dim_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_mktsegment, c.c_acctbal
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Stream-static dimension enrichment: events stream left-joins "
+        "the broadcast customer dim each micro-batch (stateless, no "
+        "watermark, exactly-once per input row); held to the plain "
+        "batch-join oracle. pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer")
+    enriched = streaming.dim_enrich_stream(
+        ev, dim, "user_id", "c_custkey", ["c_mktsegment", "c_acctbal"]
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment", "c_acctbal")
+    return streaming.run_to_memory(enriched, mode="append")

@@ -203,3 +203,22 @@ def test_pack_next_fit_one_shuffle_then_pandas(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_pack_next_fit")
     assert "FlatMapGroupsInPandas" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q7_dims_broadcast_no_cartesian(spark, sf_dir):
+    # the OR'd nation-pair predicate must stay dim-side (broadcast) —
+    # an OR across join inputs degrading to a nested loop would be
+    # the classic Q7 planning failure
+    plan = plan_of(spark, sf_dir, "q7_volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_q10_topk_heap_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "EqualTo(l_returnflag,R)" in plan  # flag filter pushed to scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
