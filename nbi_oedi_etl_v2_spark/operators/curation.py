@@ -392,3 +392,34 @@ def curate(
     return hash_split(resolved, id_col, train=train, val=val).select(
         F.col(f"`{id_col}`"), "split"
     )
+
+
+def source_stats(
+    df: DataFrame,
+    source_col: str,
+    size_col: str,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Per-source corpus report: doc count, total/mean/min/max size,
+    and optionally a distinct count (e.g. languages per source) — the
+    numbers a mixture plan (``packing.mixture_sample``) is drawn from.
+
+    One hash aggregate with map-side combine; the mean uses the
+    exact-decimal accumulator so it is engine-portable.
+    """
+    from ..functions import davg
+
+    src = F.col(f"`{source_col}`")
+    size = F.col(f"`{size_col}`")
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size).cast("long").alias(f"total_{size_col}"),
+        F.round(davg(size.cast("double")), 7).alias(f"avg_{size_col}"),
+        F.min(size).alias(f"min_{size_col}"),
+        F.max(size).alias(f"max_{size_col}"),
+    ]
+    if distinct_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(f"`{distinct_col}`")).alias(f"n_{distinct_col}")
+        )
+    return df.groupBy(src).agg(*aggs)

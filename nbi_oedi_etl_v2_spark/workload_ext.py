@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import streaming
+from .functions import davg_sql
 from .operators import curation, dedup, multimodal, packing, similarity, text
 from .tables import load_table
 from .workload import HOURLY_DOWNSAMPLE_ORACLE, query
@@ -1051,3 +1052,57 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, dim, "user_id", "c_custkey", ["c_mktsegment", "c_acctbal"]
     ).select("event_id", "user_id", "event_type", "value", "c_mktsegment", "c_acctbal")
     return streaming.run_to_memory(enriched, mode="append")
+
+
+@query(
+    "embedding_quantize",
+    # round-half-up via floor(x+0.5) on identical IEEE doubles — no
+    # round() tie-break ambiguity between engines; arrays posexploded
+    # to scalar rows for the comparator
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    s AS (SELECT vec_id, vec,
+                 list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id, scale,
+                 list_transform(vec, x -> CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(FLOOR(x / scale + 0.5) AS INTEGER) END) AS qvec
+          FROM s)
+    SELECT vec_id, scale, CAST(i - 1 AS INTEGER) AS pos, qvec[i] AS qval
+    FROM q, unnest(generate_series(1, len(qvec))) AS t(i)
+    """,
+    doc="Symmetric int8 scalar quantization of embeddings (4× index "
+        "shrink for the ANN path): per-vector scale + codes, all "
+        "JVM-side higher-order functions, map-only. pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return out.select("vec_id", "scale", F.posexplode("qvec").alias("pos", "qval"))
+
+
+@query(
+    "corpus_source_stats",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_n_chars,
+           round({davg_sql('CAST(n_chars AS DOUBLE)')}, 7) AS avg_n_chars,
+           min(n_chars) AS min_n_chars,
+           max(n_chars) AS max_n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source corpus report (counts, size totals/mean/extrema, "
+        "language cardinality) — the input to a mixture plan; one "
+        "hash aggregate, exact-decimal mean. pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.source_stats(docs, "source", "n_chars", distinct_col="lang")
