@@ -23,9 +23,10 @@ Scale design (100 TB corpus):
   ``randomSplit`` re-deals on every recomputation).
 - global_row_number is the scale-correct total order: a global window
   (``Window.orderBy`` with no partitionBy) pulls the corpus onto ONE
-  task; instead range-partition on the order key, number rows within
-  each partition, and add broadcast per-partition offsets (≤ one long
-  per partition on the driver — #partitions, never #rows).
+  task; instead deal rows into deterministic frozen-quantile range
+  buckets, number rows within each bucket, and add broadcast
+  per-bucket offsets (≤ one long per bucket on the driver — #buckets,
+  never #rows). One full shuffle, no checkpoint.
 - balanced_shards orders docs by weight descending and deals them
   round-robin — the classic longest-processing-time heuristic, one
   range shuffle + map-side modulo, then write with
@@ -213,34 +214,84 @@ def hash_split(
     return df.withColumn(split_col, split)
 
 
+def order_bucket(
+    df: DataFrame, bucket_key: Column, num_buckets: int
+) -> Column:
+    """Deterministic range-bucket id for a numeric, non-null,
+    order-monotone key expression: bucket = how many frozen quantile
+    boundaries the key is ≥.
+
+    One ``approxQuantile`` pass freezes the boundaries as literals, so
+    bucket assignment is a pure row-local function ever after — unlike
+    ``repartitionByRange``, whose sampled boundaries differ between
+    the actions of a multi-pass operator (the reason the previous
+    formulation needed a ``localCheckpoint``, and then paid a second
+    full shuffle because the checkpointed RDD loses its partitioning
+    info and the downstream window re-exchanges). Key ties share a
+    bucket (boundaries are deduped), so a heavily-tied key coarsens
+    parallelism but never breaks ordering.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    if not probs:
+        return F.lit(0)
+    bounds = df.select(bucket_key.cast("double").alias("_k")).approxQuantile(
+        "_k", probs, 0.01
+    )
+    uniq = sorted(set(bounds))
+    if not uniq:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in uniq])
+    key_d = bucket_key.cast("double")
+    return F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(key_d >= b, 1).otherwise(0)
+    )
+
+
+def _default_bucket_key(order_cols: list[Column | str]) -> Column:
+    first = order_cols[0]
+    if isinstance(first, str):
+        return F.col(f"`{first}`")
+    # a .desc()/.asc() sort-order Column is not a value expression and
+    # cannot seed the quantile pass; the caller knows the monotone
+    # numeric key (e.g. the negated column for desc) — demand it
+    rendered = str(first).rstrip("'>")
+    if rendered.endswith(("NULLS LAST", "NULLS FIRST")):
+        raise ValueError(
+            "first order column is a sort-order expression; pass an "
+            "explicit numeric bucket_key monotone along the order "
+            "(e.g. bucket_key=-col for a descending first key)"
+        )
+    return first
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column | str],
     rn_col: str = "rn",
     num_partitions: int | None = None,
+    bucket_key: Column | None = None,
 ) -> DataFrame:
     """1-based global row number under a total order, without the
     single-task global window.
 
-    Two passes over a range-partitioned materialization: (1) count
-    rows per range partition (≤ #partitions longs to the driver), (2)
-    window ``row_number`` *within* each partition plus the partition's
-    broadcast offset. ``repartitionByRange`` puts partition i wholly
-    before partition i+1 in the order, so local-rank + offset is the
-    exact global rank. ``order_cols`` must be a total order (include a
-    unique tiebreaker) or ranks are nondeterministic.
+    Rows are dealt into deterministic range buckets (``order_bucket``
+    over ``bucket_key``, default the first order column — pass an
+    explicit numeric monotone key when that column isn't one), bucket
+    row counts go to the driver (≤ #buckets longs, never data), and
+    the rank is the within-bucket ``row_number`` plus the bucket's
+    broadcast offset. Exactly ONE full shuffle of the data (the
+    per-bucket window sort) — the boundary-freezing bucket trick
+    removes both the ``repartitionByRange`` exchange and the
+    ``localCheckpoint`` the earlier formulation needed for
+    cross-action determinism. ``order_cols`` must be a total order
+    (include a unique tiebreaker) or ranks are nondeterministic.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # materialize once so the count pass and the rank pass see the
-    # same partitioning (range boundaries come from sampling)
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    key = bucket_key if bucket_key is not None else _default_bucket_key(order_cols)
+    bucketed = df.withColumn("_bucket", order_bucket(df, key, parts))
     counts = sorted(
-        ranged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+        bucketed.groupBy("_bucket").count().collect(), key=lambda r: r["_bucket"]
     )
     offsets: list[int] = []
     acc = 0
@@ -248,12 +299,15 @@ def global_row_number(
         offsets.append(acc)
         acc += row["count"]
     omap = F.create_map(
-        *[F.lit(x) for row, off in zip(counts, offsets) for x in (row["_pid"], off)]
+        *[F.lit(x) for row, off in zip(counts, offsets) for x in (row["_bucket"], off)]
     )
-    w = Window.partitionBy("_pid").orderBy(*cols)
+    w = Window.partitionBy("_bucket").orderBy(*cols)
     return (
-        ranged.withColumn(rn_col, F.row_number().over(w) + omap[F.col("_pid")])
-        .drop("_pid")
+        bucketed.withColumn(
+            rn_col,
+            F.row_number().over(w) + F.coalesce(omap[F.col("_bucket")], F.lit(0)),
+        )
+        .drop("_bucket")
     )
 
 
@@ -274,7 +328,12 @@ def balanced_shards(
     ``partitionBy(shard_col)``.
     """
     ranked = global_row_number(
-        df, [F.col(f"`{weight_col}`").desc(), F.col(f"`{tiebreak_col}`")]
+        df,
+        [F.col(f"`{weight_col}`").desc(), F.col(f"`{tiebreak_col}`")],
+        # negated weight: numeric and ascending-monotone along the
+        # descending weight order (a .desc() sort column is not a
+        # value expression, so it can't be the bucket key itself)
+        bucket_key=-F.col(f"`{weight_col}`"),
     )
     return ranked.withColumn(
         shard_col, ((F.col("rn") - 1) % num_shards).cast("long")

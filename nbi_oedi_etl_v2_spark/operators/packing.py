@@ -10,10 +10,12 @@ they extend the same corpus surface the curation operators serve.
 
 Scale notes (100 TB posture):
 - ``pack_chunks`` needs a *global* prefix sum — the naive window
-  (``Window.orderBy`` with no partition) collapses to one task. The
-  two-pass range-partition formulation here (per-partition totals to
-  the driver — #partitions longs, not data — then local window +
-  broadcast offset) keeps every stage parallel, the same shape as
+  (``Window.orderBy`` with no partition) collapses to one task. Rows
+  are dealt into deterministic frozen-boundary range buckets
+  (``curation.order_bucket``), per-bucket totals go to the driver
+  (#buckets longs, not data), and the offset is the within-bucket
+  running window plus the bucket's broadcast offset — ONE full
+  shuffle, every stage parallel, same shape as
   ``curation.global_row_number``.
 - ``pack_next_fit`` is inherently sequential *within* a shard, so it
   is Arrow-batched ``applyInPandas`` per shard: parallelism = #shards,
@@ -36,7 +38,7 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .curation import _md5_byte0, global_row_number
+from .curation import _default_bucket_key, _md5_byte0, global_row_number, order_bucket
 
 __all__ = [
     "global_running_total",
@@ -57,29 +59,30 @@ def global_running_total(
     value_col: str,
     out_col: str = "running_offset",
     num_partitions: int | None = None,
+    bucket_key: Column | None = None,
 ) -> DataFrame:
     """Exclusive global prefix sum of ``value_col`` under a total
     order: each row gets the sum of all strictly-preceding rows.
 
-    Same two-pass shape as ``curation.global_row_number``: range
-    partition on the order, sum each partition (≤ #partitions longs to
-    the driver), then a *within-partition* running window plus the
-    broadcast partition offset. No ``Exchange SinglePartition``
-    anywhere. ``order_cols`` must be a total order (include a unique
-    tiebreaker) or offsets are nondeterministic.
+    Same one-shuffle shape as ``curation.global_row_number``: rows go
+    to deterministic frozen-boundary range buckets
+    (``curation.order_bucket`` over ``bucket_key``, default the first
+    order column), per-bucket totals go to the driver (≤ #buckets
+    longs, never data), and the offset is the within-bucket running
+    window plus the bucket's broadcast offset. Exactly ONE full
+    shuffle of the data, no ``Exchange SinglePartition``, no
+    checkpoint. ``order_cols`` must be a total order (include a
+    unique tiebreaker) or offsets are nondeterministic.
     """
     cols = _as_cols(order_cols)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    key = bucket_key if bucket_key is not None else _default_bucket_key(order_cols)
+    bucketed = df.withColumn("_bucket", order_bucket(df, key, parts))
     totals = sorted(
-        ranged.groupBy("_pid")
+        bucketed.groupBy("_bucket")
         .agg(F.sum(F.col(f"`{value_col}`")).alias("_t"))
         .collect(),
-        key=lambda r: r["_pid"],
+        key=lambda r: r["_bucket"],
     )
     offsets: list[int] = []
     acc = 0
@@ -87,20 +90,24 @@ def global_running_total(
         offsets.append(acc)
         acc += int(row["_t"] or 0)
     omap = F.create_map(
-        *[F.lit(x) for row, off in zip(totals, offsets) for x in (row["_pid"], off)]
+        *[F.lit(x) for row, off in zip(totals, offsets) for x in (row["_bucket"], off)]
     )
     w = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_bucket")
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     inclusive = F.sum(F.col(f"`{value_col}`")).over(w)
     return (
-        ranged.withColumn(
+        bucketed.withColumn(
             out_col,
-            (inclusive - F.col(f"`{value_col}`") + omap[F.col("_pid")]).cast("long"),
+            (
+                inclusive
+                - F.col(f"`{value_col}`")
+                + F.coalesce(omap[F.col("_bucket")], F.lit(0))
+            ).cast("long"),
         )
-        .drop("_pid")
+        .drop("_bucket")
     )
 
 
@@ -111,6 +118,7 @@ def pack_chunks(
     seq_len: int,
     order_cols: list[Column | str] | None = None,
     num_partitions: int | None = None,
+    bucket_key: Column | None = None,
 ) -> DataFrame:
     """Concatenate-and-chunk sequence packing: documents are laid end
     to end in ``order_cols`` order and the token stream is cut into
@@ -126,7 +134,12 @@ def pack_chunks(
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     order = order_cols if order_cols is not None else [id_col]
     out = global_running_total(
-        df, order, tokens_col, out_col="token_offset", num_partitions=num_partitions
+        df,
+        order,
+        tokens_col,
+        out_col="token_offset",
+        num_partitions=num_partitions,
+        bucket_key=bucket_key,
     )
     tokens = F.col(f"`{tokens_col}`")
     # integer DIV keeps the arithmetic exact on longs (double division
@@ -259,7 +272,16 @@ def shuffle_rank(
     single-task global sort.
     """
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(f"`{id_col}`").cast("string")))
+    # bucket on the numeric value of the first 14 hex digits (56 bits,
+    # double-exact): lexicographic order of fixed-width lowercase hex
+    # equals numeric order of its prefix, so the bucket is monotone
+    # along the md5 sort; prefix ties just share a bucket
+    numeric_prefix = F.conv(F.substring(key, 1, 14), 16, 10).cast("double")
     ranked = global_row_number(
-        df, [key, F.col(f"`{id_col}`")], rn_col=rank_col, num_partitions=num_partitions
+        df,
+        [key, F.col(f"`{id_col}`")],
+        rn_col=rank_col,
+        num_partitions=num_partitions,
+        bucket_key=numeric_prefix,
     )
     return ranked.withColumn(rank_col, F.col(rank_col).cast("long"))

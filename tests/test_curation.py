@@ -128,7 +128,13 @@ def test_global_row_number_matches_single_task_window(spark):
     df = spark.range(0, 1000).select(
         F.col("id"), (F.col("id") * 37 % 101).alias("w")
     )
-    got = curation.global_row_number(df, [F.col("w").desc(), F.col("id")])
+    got = curation.global_row_number(
+        df,
+        [F.col("w").desc(), F.col("id")],
+        # descending first key → negated numeric bucket key (a plain
+        # .desc() sort column is rejected as the quantile seed)
+        bucket_key=-F.col("w"),
+    )
     ref = df.withColumn(
         "rn", F.row_number().over(Window.orderBy(F.col("w").desc(), F.col("id")))
     )

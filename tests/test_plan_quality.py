@@ -110,11 +110,19 @@ def test_contamination_broadcasts_benchmark(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_balanced_shards_no_single_partition_exchange(spark, sf_dir):
-    # the global rank must come from range partitioning + offsets,
-    # never a plan-level gather onto one task
+def test_balanced_shards_one_shuffle_no_gather(spark, sf_dir):
+    # the global rank must come from frozen-boundary buckets +
+    # broadcast offsets: exactly ONE data shuffle (the per-bucket
+    # window sort), never a plan-level gather onto one task and no
+    # residual range exchange or checkpointed RDD from the old
+    # two-shuffle formulation
     plan = plan_of(spark, sf_dir, "corpus_balanced_shards")
     assert "Exchange SinglePartition" not in plan
+    # two hash exchanges: the per-bucket window sort, plus the query's
+    # own per-shard summary aggregate (map-side combined — tiny)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange rangepartitioning" not in plan
+    assert "ExistingRDD" not in plan
 
 
 def test_multimodal_decode_map_only(spark, sf_dir):
@@ -175,17 +183,23 @@ def test_q18_semi_join_and_topk(spark, sf_dir):
     assert "partial_sum" in plan
 
 
-def test_pack_chunks_no_single_partition_exchange(spark, sf_dir):
-    # the global prefix sum must ride range partitioning + broadcast
-    # offsets; a plan-level gather to one task is the scale bug this
-    # operator exists to avoid
+def test_pack_chunks_exactly_one_shuffle(spark, sf_dir):
+    # the global prefix sum rides frozen-boundary buckets + broadcast
+    # offsets: one hash exchange for the per-bucket window, nothing
+    # else — a single-task gather OR a second (range) exchange is the
+    # scale bug this operator exists to avoid
     plan = plan_of(spark, sf_dir, "corpus_pack_chunks")
     assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "ExistingRDD" not in plan
 
 
-def test_global_shuffle_no_single_partition_exchange(spark, sf_dir):
+def test_global_shuffle_exactly_one_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_global_shuffle")
     assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_mixture_sample_broadcasts_fractions(spark, sf_dir):
