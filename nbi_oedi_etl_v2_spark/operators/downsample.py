@@ -124,3 +124,59 @@ def classify_aggregates(
                for name in df.columns if name not in extra]
     ordered += [f"`{k}`" for k in keys + extra]
     return aggs, ordered
+
+
+def gapfill_hourly(
+    df: DataFrame,
+    timestamp_col: str,
+    entity_col: str,
+    value_col: str,
+    decimal_places: int = DECIMAL_PLACES,
+) -> DataFrame:
+    """Dense hourly series per entity with forward fill: floor to the
+    hour and take the (exact-decimal, rounded) hourly mean, generate
+    every hour between each entity's first and last hour
+    (``sequence`` + ``explode`` — spine rows are born map-side from a
+    2-row-per-entity aggregate, never shuffled in), left-join the
+    observed hours, and carry the last observed value across gaps
+    (``last(ignorenulls=True)`` over an entity-ordered running frame).
+    ``is_gap`` marks synthesized rows.
+
+    The missing-hours repair step downstream consumers of the
+    reference's hourly ETL (worker.py:60-137) typically hand-roll;
+    kept separate from ``downsample`` so the parity surface stays
+    exact. Shuffle profile: one hash aggregate for the hourly means,
+    one for the per-entity bounds, one equi-join of spine×observed on
+    (entity, hour), one entity-partitioned window — all keyed on the
+    entity, no global stage.
+    """
+    from ..functions import davg
+
+    ts, ent = F.col(f"`{timestamp_col}`"), F.col(f"`{entity_col}`")
+    hourly = (
+        df.select(ent.alias("entity"), F.date_trunc("hour", ts).alias("hr"),
+                  F.col(f"`{value_col}`").alias("_v"))
+        .groupBy("entity", "hr")
+        .agg(F.round(davg(F.col("_v")), decimal_places).alias("_vmean"))
+    )
+    bounds = hourly.groupBy("entity").agg(
+        F.min("hr").alias("_mn"), F.max("hr").alias("_mx")
+    )
+    spine = bounds.select(
+        "entity",
+        F.explode(F.sequence("_mn", "_mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    joined = spine.join(hourly, ["entity", "hr"], "left")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("entity").alias(entity_col),
+        F.col("hr"),
+        F.col("_vmean").isNull().alias("is_gap"),
+        F.last("_vmean", ignorenulls=True).over(w).alias("value_ffill"),
+    )

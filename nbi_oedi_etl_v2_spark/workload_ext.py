@@ -1106,3 +1106,40 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.source_stats(docs, "source", "n_chars", distinct_col="lang")
+
+
+@query(
+    "etl_gapfill_hours",
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id AS entity, date_trunc('hour', ts) AS hr,
+             round({davg_sql('value')}, 7) AS vmean
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT entity, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY entity
+    ), spine AS (
+      SELECT entity, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    ), j AS (
+      SELECT s.entity AS user_id, s.hr, h.vmean
+      FROM spine s LEFT JOIN h ON s.entity = h.entity AND s.hr = h.hr
+    )
+    SELECT user_id, hr, vmean IS NULL AS is_gap,
+           last_value(vmean IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM j
+    """,
+    doc="Dense hourly per-user series with forward fill: spine from "
+        "sequence+explode between each user's first/last hour, left "
+        "join of observed hourly means, last-observation-carried-"
+        "forward window; is_gap marks synthesized hours. The "
+        "missing-hours repair downstream of the reference's hourly "
+        "ETL. pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_etl_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.downsample import gapfill_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_hourly(ev, "ts", "user_id", "value")
