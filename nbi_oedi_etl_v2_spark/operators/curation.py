@@ -482,3 +482,26 @@ def source_stats(
             F.count_distinct(F.col(f"`{distinct_col}`")).alias(f"n_{distinct_col}")
         )
     return df.groupBy(src).agg(*aggs)
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    quality_col: str,
+    salt: str = "q",
+) -> DataFrame:
+    """Deterministic importance sampling: each row's keep probability
+    IS its quality score in [0, 1] — high-quality documents survive,
+    low-quality ones are thinned proportionally, without the global
+    sort a "keep top X%" policy would cost.
+
+    Same salted md5-byte coin as ``stratified_hash_sample``:
+    row-local, shuffle-free, reproducible, independent across rows.
+    Works with any score in [0, 1]; pair with
+    ``text.quality_scores``. Scores already rounded (round(·, 7))
+    stay engine-portable in the ``byte < 256·p`` comparison.
+    """
+    byte0 = _md5_byte0(
+        F.concat_ws(":", F.lit(salt), F.col(f"`{id_col}`").cast("string"))
+    )
+    return df.where(byte0 < F.lit(256.0) * F.col(f"`{quality_col}`"))

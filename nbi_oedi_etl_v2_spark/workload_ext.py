@@ -1143,3 +1143,78 @@ def q_etl_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return gapfill_hourly(ev, "ts", "user_id", "value")
+
+
+@query(
+    "corpus_quality_sample",
+    oracle=f"""
+    WITH q AS ({_duck_quality_sql()})
+    SELECT doc_id, quality_score
+    FROM q
+    WHERE {_md5_byte0_sql("'q:' || CAST(doc_id AS VARCHAR)")}
+          < 256.0 * quality_score
+    """,
+    doc="Deterministic importance sampling: keep probability equals "
+        "the (rounded, engine-portable) quality score — high-quality "
+        "docs survive, junk is thinned proportionally, no global "
+        "sort. Salted md5 coin, row-local, shuffle-free. "
+        "pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_scores(docs, "doc_id", "text")
+    return curation.quality_weighted_sample(
+        scored, "doc_id", "quality_score"
+    ).select("doc_id", "quality_score")
+
+
+# Morton interleave of two 8-bit surrogates, generated to mirror
+# layout.zorder_key's shift-and-or loop term for term
+_Z_INTERLEAVE_SQL = " | ".join(
+    t
+    for b in range(8)
+    for t in (
+        f"(((s_cust >> {b}) & 1) << {2 * b})",
+        f"(((s_price >> {b}) & 1) << {2 * b + 1})",
+    )
+)
+
+
+@query(
+    "orders_zorder_key",
+    oracle=f"""
+    WITH b AS (
+      SELECT min(CAST(o_custkey AS DOUBLE)) AS mn1, max(CAST(o_custkey AS DOUBLE)) AS mx1,
+             min(CAST(o_totalprice AS DOUBLE)) AS mn2, max(CAST(o_totalprice AS DOUBLE)) AS mx2
+      FROM orders
+    ), s AS (
+      SELECT o_orderkey,
+             CAST(FLOOR((CAST(o_custkey AS DOUBLE) - mn1) / (mx1 - mn1) * 255.0) AS BIGINT) AS s_cust,
+             CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn2) / (mx2 - mn2) * 255.0) AS BIGINT) AS s_price
+      FROM orders CROSS JOIN b
+    )
+    SELECT o_orderkey, s_cust, s_price,
+           CAST({_Z_INTERLEAVE_SQL} AS BIGINT) AS zvalue
+    FROM s
+    """,
+    doc="Morton Z-value over (custkey, totalprice) for multi-dim "
+        "layout clustering: min-max 8-bit surrogates + codegen'd bit "
+        "interleave; range-clustering by this key makes parquet "
+        "row-group stats prune filters on EITHER dimension "
+        "(operators/layout.py zorder_layout does the re-cluster). "
+        "pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import layout
+
+    o = load_table(spark, sf_dir, "orders")
+    s1 = layout.minmax_surrogate(o, F.col("o_custkey"), 8)
+    s2 = layout.minmax_surrogate(o, F.col("o_totalprice"), 8)
+    return o.select(
+        "o_orderkey",
+        s1.alias("s_cust"),
+        s2.alias("s_price"),
+        layout.zorder_key([s1, s2], 8).alias("zvalue"),
+    )
