@@ -236,3 +236,65 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(f"`{id_col}`").alias("doc_id"),
         F.expr(fp).alias("fingerprint"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """CCNet-style LM quality proxy without the LM: score each doc by
+    the corpus-unigram probability of its tokens. Two passes: (1)
+    corpus token frequencies, top ``vocab_size`` kept by (count desc,
+    token) — planned as a distributed TakeOrdered heap, never a
+    global sort; (2) per-token lookup against the **broadcast** vocab
+    and a per-doc aggregate. OOV tokens get a half count (add-half
+    smoothing).
+
+    Engine-portability: all accumulation happens in integer half-
+    counts (``2·count`` for in-vocab, ``1`` for OOV) — exact long
+    sums — with a single final double division, so the oracle
+    hash-match needs no tolerance and no transcendental functions
+    (mean log-prob would hinge on ln() being bit-identical across
+    engines; mean probability doesn't).
+    """
+    toks = F.expr(_tokens(text_col))
+    exploded = df.select(
+        F.col(f"`{id_col}`").alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    freqs = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = freqs.agg(F.sum("cnt").alias("total"))
+    vocab = freqs.orderBy(F.col("cnt").desc(), F.col("tok")).limit(vocab_size)
+    halves = F.coalesce(F.lit(2) * F.col("cnt"), F.lit(1))
+    per_doc = (
+        exploded.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(halves).alias("_halves"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("_oov"),
+        )
+    )
+    scored = per_doc.crossJoin(F.broadcast(total_df)).select(
+        "doc_id",
+        "n_tok",
+        (F.col("_oov").cast("double") / F.col("n_tok")).alias("oov_rate"),
+        (
+            F.col("_halves").cast("double")
+            / (F.lit(2.0) * F.col("n_tok") * F.col("total"))
+        ).alias("mean_tok_prob"),
+    )
+    # docs with no tokens never reach the aggregate — restore them
+    # with zero scores so the operator is total over the input
+    empties = (
+        df.select(F.col(f"`{id_col}`").alias("doc_id"))
+        .join(per_doc.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_tok"),
+            F.lit(0.0).alias("oov_rate"),
+            F.lit(0.0).alias("mean_tok_prob"),
+        )
+    )
+    return scored.unionByName(empties)

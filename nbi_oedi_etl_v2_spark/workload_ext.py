@@ -1218,3 +1218,48 @@ def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.alias("s_price"),
         layout.zorder_key([s1, s2], 8).alias("zvalue"),
     )
+
+
+@query(
+    "text_lm_scores",
+    # integer half-count accumulation (2·cnt in-vocab, 1 OOV) with one
+    # final double division — exact long sums, no transcendental, so
+    # the match is bit-exact
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), freqs AS (
+      SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM freqs
+    ), vocab AS (
+      SELECT tok, cnt FROM freqs ORDER BY cnt DESC, tok LIMIT 4096
+    ), per_doc AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             sum(COALESCE(2 * v.cnt, 1)) AS halves,
+             sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov
+      FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
+      GROUP BY e.doc_id
+    ), scored AS (
+      SELECT doc_id, n_tok,
+             CAST(oov AS DOUBLE) / n_tok AS oov_rate,
+             CAST(halves AS DOUBLE) / (2.0 * n_tok * total) AS mean_tok_prob
+      FROM per_doc CROSS JOIN tot
+    )
+    SELECT doc_id, n_tok, oov_rate, mean_tok_prob FROM scored
+    UNION ALL
+    SELECT d.doc_id, CAST(0 AS BIGINT), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM per_doc)
+    """,
+    doc="Unigram LM quality proxy: per-doc mean corpus-token "
+        "probability + OOV rate against a broadcast top-4096 vocab "
+        "(TakeOrdered heap, no global sort); add-half smoothing. "
+        "pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_lm_scores(docs, "doc_id", "text", vocab_size=4096)

@@ -236,3 +236,13 @@ def test_q10_topk_heap_and_pushdown(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "EqualTo(l_returnflag,R)" in plan  # flag filter pushed to scan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_lm_scores_vocab_heap_and_broadcast(spark, sf_dir):
+    # top-V vocab must come from a distributed TakeOrdered heap (a
+    # global sort of the corpus vocabulary would be the 100 TB bug)
+    # and join back broadcast so per-token rows never shuffle for it
+    plan = plan_of(spark, sf_dir, "text_lm_scores")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

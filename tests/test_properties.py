@@ -83,3 +83,48 @@ def test_connected_components_is_a_fixpoint(spark, edges):
                  curation.connected_components(again_pairs).collect()}
         for n, c in again.items():
             assert comp[n] == c or n not in comp
+
+
+@FEW
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40)
+)
+def test_pack_next_fit_matches_python_reference(spark, tokens):
+    from nbi_oedi_etl_v2_spark.operators import packing
+
+    seq_len = 100
+    df = spark.createDataFrame(
+        [(0, i, t) for i, t in enumerate(tokens)],
+        "shard long, doc_id long, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r["bin"]
+        for r in packing.pack_next_fit(df, "doc_id", "n_chars", seq_len, "shard").collect()
+    }
+    # sequential next-fit reference
+    ref, cur, used = {}, 0, 0
+    for i, t in enumerate(tokens):
+        if used > 0 and used + t > seq_len:
+            cur, used = cur + 1, 0
+        ref[i] = cur
+        used += t
+    assert got == ref
+
+
+@FEW
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40)
+)
+def test_global_running_total_matches_cumsum(spark, vals):
+    from nbi_oedi_etl_v2_spark.operators import packing
+
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, v long")
+    got = {
+        r["id"]: r["off"]
+        for r in packing.global_running_total(df, ["id"], "v", "off").collect()
+    }
+    acc, ref = 0, {}
+    for i, v in enumerate(vals):
+        ref[i] = acc
+        acc += v
+    assert got == ref
