@@ -1263,3 +1263,42 @@ def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.unigram_lm_scores(docs, "doc_id", "text", vocab_size=4096)
+
+
+@query(
+    "multimodal_png_headers",
+    # synthesis + parse round-trips, so the oracle is the closed form
+    # of the synthesis parameters; the parser itself is additionally
+    # proven against REAL struct-packed PNG bytes in pytest
+    oracle="""
+    SELECT doc_id AS media_id,
+           doc_id % 10 <> 0 AS is_png,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + doc_id % 1024 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + (doc_id * 7) % 1024 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(8 AS INTEGER) END AS bit_depth,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(doc_id % 5 AS INTEGER) END AS color_type
+    FROM documents
+    """,
+    doc="REAL PNG IHDR parsing (signature + big-endian dims + depth/"
+        "color type) from the binary column with JVM hex/conv "
+        "expressions — the route-before-decode metadata step; no "
+        "codec stub involved. Every 10th payload is non-PNG text "
+        "bytes and must parse as is_png=false. pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_multimodal_png_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(16) + F.col("doc_id") % 1024
+    h = F.lit(16) + (F.col("doc_id") * 7) % 1024
+    ct = F.col("doc_id") % 5
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"), F.lit("0000000D"), F.lit("49484452"),
+        F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"),
+        F.lit("08"), F.lpad(F.hex(ct), 2, "0"),
+    )
+    payload = F.when(
+        F.col("doc_id") % 10 == 0, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.unhex(png_hex))
+    media = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.parse_png_header(media, "doc_id", "payload")

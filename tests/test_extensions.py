@@ -239,3 +239,36 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
         # rsd=0.01 → generous 5-sigma acceptance; catches a broken
         # sketch, not estimator noise
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, k
+
+
+def test_parse_png_header_on_real_png_bytes(spark):
+    import struct
+    import zlib
+
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    def png(width, height, bit_depth=8, color_type=6):
+        ihdr = struct.pack(">II5B", width, height, bit_depth, color_type, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+
+    rows = [
+        (1, bytearray(png(640, 480))),
+        (2, bytearray(png(2, 100000, bit_depth=16, color_type=0))),
+        (3, bytearray(b"not a png at all, just bytes")),
+        (4, bytearray(b"\x89PNG\r\n\x1a\nTRUNC")),  # signature but no IHDR
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.parse_png_header(df, "media_id", "payload").collect()}
+    assert out[1]["is_png"] and (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert out[1]["bit_depth"] == 8 and out[1]["color_type"] == 6
+    assert out[2]["is_png"] and (out[2]["width"], out[2]["height"]) == (2, 100000)
+    assert out[2]["bit_depth"] == 16 and out[2]["color_type"] == 0
+    assert not out[3]["is_png"] and out[3]["width"] is None
+    assert not out[4]["is_png"]
