@@ -194,3 +194,44 @@ def parse_png_header(
         F.when(is_png, u8(25)).alias("bit_depth"),
         F.when(is_png, u8(26)).alias("color_type"),
     )
+
+
+def parse_wav_header(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """REAL WAV (RIFF) header parsing, little-endian, no codec lib:
+    validate ``RIFF????WAVE`` + a canonical ``fmt `` chunk at byte 13
+    and read audio format, channels, sample rate, and bits per sample
+    from their fixed offsets. Little-endian u16/u32 are assembled by
+    reversing the hex byte pairs before ``conv`` — still pure
+    codegen'd JVM expressions, map-only.
+
+    The audio twin of ``parse_png_header``: the route-before-decode
+    metadata step (sample-rate buckets, mono/stereo routing, corrupt
+    drop). Streams with a non-canonical chunk layout parse as
+    ``is_wav = false`` rather than erroring — route those to the full
+    decoder.
+    """
+    hx = F.hex(F.col(f"`{payload_col}`"))
+
+    def le_bytes(byte_off: int, n: int):
+        pairs = [
+            F.substring(hx, (byte_off - 1 + i) * 2 + 1, 2)
+            for i in reversed(range(n))
+        ]
+        return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+    is_wav = (
+        (F.length(F.col(f"`{payload_col}`")) >= 36)
+        & (F.substring(hx, 1, 8) == "52494646")  # "RIFF"
+        & (F.substring(hx, 17, 8) == "57415645")  # "WAVE"
+        & (F.substring(hx, 25, 8) == "666D7420")  # "fmt "
+    )
+    return df.select(
+        F.col(f"`{id_col}`").alias("media_id"),
+        is_wav.alias("is_wav"),
+        F.when(is_wav, le_bytes(21, 2).cast("int")).alias("audio_format"),
+        F.when(is_wav, le_bytes(23, 2).cast("int")).alias("channels"),
+        F.when(is_wav, le_bytes(25, 4)).alias("sample_rate"),
+        F.when(is_wav, le_bytes(35, 2).cast("int")).alias("bits_per_sample"),
+    )

@@ -1302,3 +1302,108 @@ def q_multimodal_png_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.unhex(png_hex))
     media = docs.select("doc_id", payload.alias("payload"))
     return multimodal.parse_png_header(media, "doc_id", "payload")
+
+
+def _le_hex(col_expr, nbytes: int):
+    """Little-endian hex of an integer column: lpad to 2·nbytes hex
+    digits, then reverse the byte pairs (synthesis-side twin of the
+    parser's byte-swap)."""
+    h = F.lpad(F.hex(col_expr), 2 * nbytes, "0")
+    return F.concat(*[
+        F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))
+    ])
+
+
+@query(
+    "multimodal_wav_headers",
+    oracle="""
+    SELECT doc_id AS media_id,
+           doc_id % 10 <> 0 AS is_wav,
+           CASE WHEN doc_id % 10 <> 0 THEN 1 END AS audio_format,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(
+             CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                             WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT) END AS sample_rate,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) END AS bits_per_sample
+    FROM documents
+    """,
+    doc="REAL WAV/RIFF fmt-chunk parsing (little-endian via hex "
+        "byte-pair reversal, pure JVM expressions) — the audio "
+        "route-before-decode twin of the PNG parser; proven on "
+        "struct-packed WAV bytes in pytest. Every 10th payload is "
+        "text and parses is_wav=false. pytest-oracled (driver cap).",
+    driver=False,
+)
+def q_multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    rate = (
+        F.when(F.col("doc_id") % 4 == 0, 8000)
+        .when(F.col("doc_id") % 4 == 1, 16000)
+        .when(F.col("doc_id") % 4 == 2, 22050)
+        .otherwise(44100)
+    ).cast("long")
+    bits = F.when(F.col("doc_id") % 3 == 0, 8).otherwise(16).cast("long")
+    block = (ch * bits / 8).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(36), 4), F.lit("57415645"),
+        F.lit("666D7420"), _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2), _le_hex(ch, 2), _le_hex(rate, 4),
+        _le_hex(rate * block, 4), _le_hex(block, 2), _le_hex(bits, 2),
+    )
+    payload = F.when(
+        F.col("doc_id") % 10 == 0, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.unhex(wav_hex))
+    media = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.parse_wav_header(media, "doc_id", "payload")
+
+
+@query(
+    "corpus_pack_ffd",
+    oracle=None,  # order-dependent greedy with a bin-list state — not
+    # SQL-expressible; capacity + never-worse-than-next-fit invariants
+    # asserted in tests/test_packing.py
+    doc="First-fit-decreasing whole-doc packing (11/9·OPT bound, "
+        "tighter than next-fit): largest-first placement into the "
+        "lowest-index bin with room, per shard via Arrow "
+        "applyInPandas. pytest invariants (driver cap).",
+    driver=False,
+)
+def q_corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = docs.withColumn(
+        "shard",
+        (curation._md5_byte0(F.col("doc_id").cast("string")) % 8).cast("long"),
+    )
+    return packing.pack_first_fit_decreasing(
+        sharded, "doc_id", "n_chars", seq_len=4096, shard_col="shard"
+    )
+
+
+@query(
+    "corpus_length_histogram",
+    oracle="""
+    SELECT n_chars // 200 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Document-length histogram (200-char buckets): the length "
+        "distribution a curation threshold is read off of; one "
+        "map-side-combined hash aggregate. pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.expr("n_chars DIV 200").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -272,3 +272,33 @@ def test_parse_png_header_on_real_png_bytes(spark):
     assert out[2]["bit_depth"] == 16 and out[2]["color_type"] == 0
     assert not out[3]["is_png"] and out[3]["width"] is None
     assert not out[4]["is_png"]
+
+
+def test_parse_wav_header_on_real_wav_bytes(spark):
+    import struct
+
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    def wav(channels, rate, bits):
+        block = channels * bits // 8
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+        )
+
+    rows = [
+        (1, bytearray(wav(2, 44100, 16))),
+        (2, bytearray(wav(1, 16000, 8))),
+        (3, bytearray(b"RIFFxxxxNOTWAVE_atall_padpadpadpadpad")),
+        (4, bytearray(b"short")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           multimodal.parse_wav_header(df, "media_id", "payload").collect()}
+    assert out[1]["is_wav"] and out[1]["channels"] == 2
+    assert out[1]["sample_rate"] == 44100 and out[1]["bits_per_sample"] == 16
+    assert out[1]["audio_format"] == 1
+    assert out[2]["is_wav"] and (out[2]["channels"], out[2]["sample_rate"]) == (1, 16000)
+    assert not out[3]["is_wav"] and out[3]["sample_rate"] is None
+    assert not out[4]["is_wav"]

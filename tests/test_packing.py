@@ -126,3 +126,23 @@ def test_shuffle_rank_is_permutation_and_seed_sensitive(spark, sf_dir):
     again = {r["doc_id"]: r["shuffle_pos"] for r in
              packing.shuffle_rank(docs, "doc_id", seed="42").collect()}
     assert amap == again  # same seed → stable
+
+
+def test_pack_ffd_capacity_and_beats_next_fit(spark, sf_dir):
+    sharded = _docs(spark, sf_dir).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("long")
+    )
+    ffd = packing.pack_first_fit_decreasing(
+        sharded, "doc_id", "n_chars", SEQ_LEN, "shard"
+    ).collect()
+    by_bin: dict[tuple, list] = {}
+    for r in ffd:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r["n_chars"])
+    for (shard, b), sizes in by_bin.items():
+        assert sum(sizes) <= SEQ_LEN or len(sizes) == 1, (shard, b)
+    nf = packing.pack_next_fit(
+        sharded, "doc_id", "n_chars", SEQ_LEN, shard_col="shard"
+    ).collect()
+    n_bins_ffd = len(by_bin)
+    n_bins_nf = len({(r["shard"], r["bin"]) for r in nf})
+    assert n_bins_ffd <= n_bins_nf  # FFD never uses more bins
