@@ -44,6 +44,7 @@ __all__ = [
     "global_running_total",
     "pack_chunks",
     "pack_next_fit",
+    "pack_first_fit_decreasing",
     "mixture_sample",
     "shuffle_rank",
 ]

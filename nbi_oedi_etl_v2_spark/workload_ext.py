@@ -850,6 +850,7 @@ def _md5_byte0_sql(x: str) -> str:
 
 @query(
     "corpus_pack_chunks",
+    headline=True,
     oracle="""
     WITH o AS (
       SELECT doc_id, n_chars,
@@ -1222,6 +1223,7 @@ def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lm_scores",
+    headline=True,
     # integer half-count accumulation (2·cnt in-vocab, 1 OOV) with one
     # final double division — exact long sums, no transcendental, so
     # the match is bit-exact
