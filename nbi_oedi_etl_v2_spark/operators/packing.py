@@ -47,6 +47,7 @@ __all__ = [
     "pack_first_fit_decreasing",
     "mixture_sample",
     "shuffle_rank",
+    "budget_select",
 ]
 
 
@@ -341,3 +342,37 @@ def pack_first_fit_decreasing(
         .groupBy(shard_col)
         .applyInPandas(pack, out_schema)
     )
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy budget fill: take documents best-quality-first until the
+    token ``budget`` is reached — the "give me the best N-token subset
+    of this corpus" step of assembling a training mix.
+
+    A document is kept iff the total of all strictly-better documents
+    is still under the budget (so the crossing document is included
+    and the subset always reaches the budget when the corpus can).
+    Built on ``global_running_total`` ordered by (quality desc, id):
+    one data shuffle, frozen-boundary buckets keyed on the negated
+    quality, no single-task stage. Output keeps ``budget_offset``
+    (tokens consumed by strictly-better docs) as the audit column.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = [F.col(f"`{quality_col}`").desc(), F.col(f"`{id_col}`")]
+    out = global_running_total(
+        df,
+        order,
+        tokens_col,
+        out_col="budget_offset",
+        num_partitions=num_partitions,
+        bucket_key=-F.col(f"`{quality_col}`"),
+    )
+    return out.where(F.col("budget_offset") < budget)

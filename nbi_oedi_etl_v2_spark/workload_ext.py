@@ -1409,3 +1409,39 @@ def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "corpus_budget_select",
+    oracle=f"""
+    WITH q AS ({_duck_quality_sql()}),
+    t AS (
+      SELECT d.doc_id, d.n_chars, q.quality_score
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+    ), o AS (
+      SELECT doc_id, n_chars, quality_score,
+             CAST(COALESCE(SUM(n_chars) OVER (
+                    ORDER BY quality_score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS budget_offset
+      FROM t
+    )
+    SELECT doc_id, n_chars, quality_score, budget_offset
+    FROM o WHERE budget_offset < 100000
+    """,
+    doc="Greedy best-quality-first budget fill (100k-char target "
+        "subset): exclusive prefix sum over (quality desc, id) via "
+        "the one-shuffle frozen-bucket machinery; the crossing doc is "
+        "kept so the subset reaches the budget. pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    with_tokens = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    return packing.budget_select(
+        with_tokens, "doc_id", "n_chars", "quality_score", budget=100_000
+    )

@@ -146,3 +146,33 @@ def test_pack_ffd_capacity_and_beats_next_fit(spark, sf_dir):
     n_bins_ffd = len(by_bin)
     n_bins_nf = len({(r["shard"], r["bin"]) for r in nf})
     assert n_bins_ffd <= n_bins_nf  # FFD never uses more bins
+
+
+def test_budget_select_fills_budget_best_first(spark, sf_dir):
+    from nbi_oedi_etl_v2_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    base = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    budget = 50_000
+    kept = packing.budget_select(
+        base, "doc_id", "n_chars", "quality_score", budget
+    ).collect()
+    total_kept = sum(r["n_chars"] for r in kept)
+    n_all = base.count()
+    # the subset reaches the budget (crossing doc included) unless the
+    # whole corpus fits
+    assert total_kept >= budget or len(kept) == n_all
+    # best-first: every kept doc outranks every dropped doc under
+    # (quality desc, doc_id asc)
+    kept_ids = {r["doc_id"] for r in kept}
+    ranks = {
+        r["doc_id"]: (-r["quality_score"], r["doc_id"]) for r in base.collect()
+    }
+    worst_kept = max(ranks[i] for i in kept_ids)
+    best_dropped = min(
+        (ranks[i] for i in ranks if i not in kept_ids), default=None
+    )
+    assert best_dropped is None or worst_kept < best_dropped
