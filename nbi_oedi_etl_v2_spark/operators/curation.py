@@ -230,6 +230,12 @@ def order_bucket(
     info and the downstream window re-exchanges). Key ties share a
     bucket (boundaries are deduped), so a heavily-tied key coarsens
     parallelism but never breaks ordering.
+
+    Contract: the key must be NON-NULL (a NULL key compares NULL
+    against every boundary and would land in bucket 0 regardless of
+    where the window order sorts NULLs — wrong for descending keys)
+    and the input deterministic (the quantile pass and the data pass
+    each evaluate it).
     """
     probs = [i / num_buckets for i in range(1, num_buckets)]
     if not probs:
@@ -302,10 +308,15 @@ def global_row_number(
         *[F.lit(x) for row, off in zip(counts, offsets) for x in (row["_bucket"], off)]
     )
     w = Window.partitionBy("_bucket").orderBy(*cols)
+    # no coalesce on the offset lookup: with a deterministic input the
+    # count pass covers every bucket the rank pass sees, and a NULL
+    # rank surfacing loudly beats a silently-wrong one if a caller
+    # ever feeds a nondeterministic DataFrame (rand() filters,
+    # re-sampled sources) whose two passes diverge
     return (
         bucketed.withColumn(
             rn_col,
-            F.row_number().over(w) + F.coalesce(omap[F.col("_bucket")], F.lit(0)),
+            F.row_number().over(w) + omap[F.col("_bucket")],
         )
         .drop("_bucket")
     )

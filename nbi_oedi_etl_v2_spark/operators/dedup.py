@@ -124,6 +124,35 @@ def _pinned_partitions(df: DataFrame) -> int:
     )
 
 
+def _prefix_shingles(
+    ex: DataFrame,
+    threshold: float,
+    max_doc_freq: int | None,
+    n_parts: int,
+) -> DataFrame:
+    """AllPairs prefix selection shared by the self-join and bipartite
+    Jaccard paths: rank each doc's shingles by global document
+    frequency ascending, keep the ``n - ceil(t·n) + 1`` rarest
+    ("prefix") shingles, optionally stop-shingling hotter-than-
+    ``max_doc_freq`` shingles first, and pin the partitioning of the
+    CPU-quadratic join boundary.
+    """
+    # global document frequency per shingle; small relative to the
+    # corpus → AQE converts the join below to broadcast when it fits
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("doc").orderBy("df", "shingle")
+    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
+    ranked = ex.join(dfreq, "shingle")
+    if max_doc_freq is not None:
+        ranked = ranked.where(F.col("df") <= max_doc_freq)
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(rank_w))
+        .where(F.col("pos") <= prefix_len)
+        .select("doc", "n_shingles", "shingle")
+    )
+    return prefix.repartition(n_parts, "shingle")
+
+
 def exact_jaccard_for_pairs(
     df: DataFrame,
     candidates: DataFrame,
@@ -193,21 +222,7 @@ def ngram_jaccard_pairs(
     prefix shingles; verification always uses full shingle sets.
     """
     ex = shingle_rows(df, id_col, text_col, k)
-    # global document frequency per shingle; small relative to the
-    # corpus → AQE converts the join below to broadcast when it fits
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rank_w = Window.partitionBy("doc").orderBy("df", "shingle")
-    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
-    ranked = ex.join(dfreq, "shingle")
-    if max_doc_freq is not None:
-        ranked = ranked.where(F.col("df") <= max_doc_freq)
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(rank_w))
-        .where(F.col("pos") <= prefix_len)
-        .select("doc", "n_shingles", "shingle")
-    )
-    n_parts = _pinned_partitions(df)
-    prefix = prefix.repartition(n_parts, "shingle")
+    prefix = _prefix_shingles(ex, threshold, max_doc_freq, _pinned_partitions(df))
     a = prefix.select(
         F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
     )
@@ -253,19 +268,7 @@ def cross_jaccard_pairs(
     r_cols = right.select(F.col(f"`{id_col}`"), F.col(f"`{text_col}`"))
     union = l_cols.unionByName(r_cols)
     ex = shingle_rows(union, id_col, text_col, k)
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rank_w = Window.partitionBy("doc").orderBy("df", "shingle")
-    prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
-    ranked = ex.join(dfreq, "shingle")
-    if max_doc_freq is not None:
-        ranked = ranked.where(F.col("df") <= max_doc_freq)
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(rank_w))
-        .where(F.col("pos") <= prefix_len)
-        .select("doc", "n_shingles", "shingle")
-    )
-    n_parts = _pinned_partitions(left)
-    prefix = prefix.repartition(n_parts, "shingle")
+    prefix = _prefix_shingles(ex, threshold, max_doc_freq, _pinned_partitions(left))
     ids_l = l_cols.select(F.col(f"`{id_col}`").alias("doc")).distinct()
     ids_r = r_cols.select(F.col(f"`{id_col}`").alias("doc")).distinct()
     a = (

@@ -26,26 +26,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def minmax_surrogate(
-    df: DataFrame, col: Column, bits: int
-) -> Column:
-    """Scale a numeric column into the integer grid ``[0, 2^bits)``
-    from its observed min/max (one tiny driver-side aggregate — two
-    doubles, never data). Constant columns map to 0. The floor-based
-    scaling uses plain IEEE double ops, so an engine-portable oracle
-    can reproduce surrogate values exactly.
+def minmax_surrogates(
+    df: DataFrame, cols: list[Column], bits: int
+) -> list[Column]:
+    """Scale numeric columns into the integer grid ``[0, 2^bits)``
+    from their observed min/max — ONE combined aggregate scan for all
+    dimensions (2·N doubles to the driver, never data; a per-column
+    ``first()`` would pay N full scans). Constant columns map to 0.
+    The floor-based scaling uses plain IEEE double ops, so an
+    engine-portable oracle can reproduce surrogate values exactly.
     """
-    row = df.select(
-        F.min(col.cast("double")).alias("mn"), F.max(col.cast("double")).alias("mx")
-    ).first()
-    mn, mx = row["mn"], row["mx"]
-    if mn is None or mx is None or mx == mn:
-        return F.lit(0).cast("long")
-    span = float(mx) - float(mn)
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(c.cast("double")).alias(f"mn{i}"))
+        aggs.append(F.max(c.cast("double")).alias(f"mx{i}"))
+    row = df.select(*aggs).first()
+    out: list[Column] = []
     grid = float(2**bits - 1)
-    return F.floor((col.cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(grid)).cast(
-        "long"
-    )
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn{i}"], row[f"mx{i}"]
+        if mn is None or mx is None or mx == mn:
+            out.append(F.lit(0).cast("long"))
+            continue
+        span = float(mx) - float(mn)
+        out.append(
+            F.floor(
+                (c.cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(grid)
+            ).cast("long")
+        )
+    return out
+
+
+def minmax_surrogate(df: DataFrame, col: Column, bits: int) -> Column:
+    """Single-column convenience wrapper over ``minmax_surrogates``."""
+    return minmax_surrogates(df, [col], bits)[0]
 
 
 def zorder_key(surrogates: list[Column], bits: int) -> Column:
@@ -79,9 +93,7 @@ def zorder_layout(
     in the written table (or drop it post-write) as the clustering
     witness.
     """
-    surs = [
-        minmax_surrogate(df, F.col(f"`{c}`"), bits) for c in cols
-    ]
+    surs = minmax_surrogates(df, [F.col(f"`{c}`") for c in cols], bits)
     out = df.withColumn(z_col, zorder_key(surs, bits))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return out.repartitionByRange(parts, F.col(z_col)).sortWithinPartitions(z_col)

@@ -100,13 +100,16 @@ def global_running_total(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     inclusive = F.sum(F.col(f"`{value_col}`")).over(w)
+    # no coalesce on the offset lookup — see global_row_number: a NULL
+    # offset surfacing loudly beats a silently-wrong prefix sum if the
+    # input is nondeterministic across the two passes
     return (
         bucketed.withColumn(
             out_col,
             (
                 inclusive
                 - F.col(f"`{value_col}`")
-                + F.coalesce(omap[F.col("_bucket")], F.lit(0))
+                + omap[F.col("_bucket")]
             ).cast("long"),
         )
         .drop("_bucket")

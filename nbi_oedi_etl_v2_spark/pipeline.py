@@ -166,7 +166,18 @@ def run_job(
         missing: list[str] = []
     else:
         read_files = {fs.normalize_uri(r["f"]) for r in distinct_read.collect()}
-        missing = sorted(set(map(fs.normalize_uri, listed_files)) - read_files)
+        candidates = sorted(set(map(fs.normalize_uri, listed_files)) - read_files)
+        # a zero-row parquet file yields no input_file_name() rows but
+        # is NOT corrupt — distributed writers produce empty parts
+        # routinely. Re-probe each candidate with corrupt-skipping OFF
+        # (the set is discrepancy-sized, not lake-sized): readable →
+        # legitimately empty; raising → a confirmed discrepancy.
+        missing = []
+        for f in candidates:
+            try:
+                spark.read.option("ignoreCorruptFiles", "false").parquet(f).count()
+            except Exception:
+                missing.append(f)
     written = len(fs.list_files_recursive(data_path))
     return JobResult(
         job_name=job.job_name,

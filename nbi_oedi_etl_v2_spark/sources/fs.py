@@ -43,9 +43,22 @@ def _strip_scheme(path: str) -> str:
 
 def _hadoop(path: str):
     """(jvm, FileSystem, Path) for ``path`` via the active session, or
-    None when no session is up (local fallback)."""
-    spark = SparkSession.getActiveSession()
+    None when no session is up (local fallback).
+
+    The active session is thread-local in the JVM, so worker threads
+    (run_etl's ThreadPoolExecutor) often see None — fall back to the
+    process-wide instantiated session before giving up. Silently
+    falling back to ``os.*`` on an object-store URI would return empty
+    listings, so a remote scheme with no session at all raises.
+    """
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if spark is None:
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme not in ("", "file"):
+            raise RuntimeError(
+                f"no SparkSession available to access {path!r}; the os.* "
+                "fallback only handles local paths"
+            )
         return None
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -112,7 +125,7 @@ def copy_file(src: str, dest: str) -> None:
         shutil.copyfile(s, d)
         return
     jvm, sfs, spath = h
-    spark = SparkSession.getActiveSession()
+    spark = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     conf = spark._jsc.hadoopConfiguration()
     dpath = jvm.org.apache.hadoop.fs.Path(dest)
     dfs = dpath.getFileSystem(conf)

@@ -156,7 +156,13 @@ def compact_partitions(
         .parquet(staging)
     )
     fs.delete(backup)
-    fs.rename(path, backup)
-    fs.rename(staging, path)
+    # Hadoop rename reports failure by RETURNING false, not raising —
+    # and renaming into a still-existing target nests staging INSIDE
+    # it. Abort loudly instead of silently corrupting the dataset.
+    if not fs.rename(path, backup):
+        raise IOError(f"compact: rename {path} -> {backup} failed; aborting swap")
+    if not fs.rename(staging, path):
+        fs.rename(backup, path)  # roll back; original data untouched
+        raise IOError(f"compact: rename {staging} -> {path} failed; rolled back")
     fs.delete(backup)
     return n_rows

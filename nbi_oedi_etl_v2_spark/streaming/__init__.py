@@ -148,7 +148,7 @@ def dedup_stream(
 EWMA_OUTPUT_SCHEMA = (
     "user_id bigint, ts timestamp, value double, ewma double, is_alert boolean"
 )
-_EWMA_STATE_SCHEMA = "ewma double, n bigint"
+_EWMA_STATE_SCHEMA = "ewma double, n bigint, last_ms bigint"
 
 _DURATION_UNITS_MS = {
     "millisecond": 1,
@@ -234,15 +234,19 @@ def ewma_stream(
                 {"user_id": [], "ts": [], "value": [], "ewma": [], "is_alert": []}
             )
             return
-        ewma, n = state.get if state.exists else (None, 0)
+        ewma, n, prev_last_ms = state.get if state.exists else (None, 0, 0)
         batch = pd.concat(list(pdfs), ignore_index=True)
         out, ewma, n = _ewma_fold(batch, alpha, k, ewma, n)
-        state.update((float(ewma), int(n)))
+        # carry the max event time in state: a late-but-within-watermark
+        # batch must never REGRESS the eviction deadline below
+        # last-ever-event + horizon (arming from only this batch's max
+        # would evict early after out-of-order delivery)
+        last_ms = max(int(prev_last_ms), int(batch["ts"].max().value // 1_000_000))
+        state.update((float(ewma), int(n), int(last_ms)))
         # event-time timeout: fires when watermark > last event + ttl.
         # must be set strictly above the current watermark or Spark
         # rejects it — a key whose deadline already passed times out
         # on the next micro-batch.
-        last_ms = int(batch["ts"].max().value // 1_000_000)
         state.setTimeoutTimestamp(
             max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
         )

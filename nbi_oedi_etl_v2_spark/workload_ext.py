@@ -900,7 +900,7 @@ def q_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_reduce(
                   list_transform(list_slice(ts, 1, i),
                                  t -> {{'bin': 0, 'used': t}}),
-                  (acc, x) -> CASE WHEN acc.used + x.used > 4096
+                  (acc, x) -> CASE WHEN acc.used > 0 AND acc.used + x.used > 4096
                               THEN {{'bin': acc.bin + 1, 'used': x.used}}
                               ELSE {{'bin': acc.bin,
                                      'used': acc.used + x.used}} END
@@ -1211,8 +1211,9 @@ def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import layout
 
     o = load_table(spark, sf_dir, "orders")
-    s1 = layout.minmax_surrogate(o, F.col("o_custkey"), 8)
-    s2 = layout.minmax_surrogate(o, F.col("o_totalprice"), 8)
+    s1, s2 = layout.minmax_surrogates(
+        o, [F.col("o_custkey"), F.col("o_totalprice")], 8
+    )
     return o.select(
         "o_orderkey",
         s1.alias("s_cust"),
