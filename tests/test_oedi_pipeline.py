@@ -371,3 +371,54 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg(F.sum("v")).first()[0] == sum(i * 0.5 for i in range(10_000))
+
+
+def test_empty_parquet_file_is_not_a_discrepancy(spark, tmp_path):
+    # a zero-row part file yields no input_file_name() rows but is NOT
+    # corrupt — the accounting probe must clear it, not raise a false
+    # missing-file alarm
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    info = generate_oedi_lake(str(tmp_path))
+    config = _make_config(str(tmp_path))
+    files = sorted(
+        glob.glob(
+            os.path.join(
+                info["bucket"], BASE_PARTITION, YEAR, RELEASE, DATA_PARTITION,
+                "upgrade=0", "state=AK", "*.parquet",
+            )
+        )
+    )
+    schema = pq.read_schema(files[0])
+    empty = os.path.join(os.path.dirname(files[0]), "part-empty.parquet")
+    pq.write_table(pa.table({f.name: pa.array([], f.type) for f in schema}), empty)
+
+    summary = run_etl(spark, config, register_catalog=False)
+    job = summary.jobs[0]
+    assert job.data_files_listed == 9  # 8 generated + the empty one
+    assert job.missing_data_files == []  # empty ≠ corrupt
+
+
+def test_compact_aborts_on_failed_rename(spark, tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    from nbi_oedi_etl_v2_spark.sources import fs as fsmod
+    from nbi_oedi_etl_v2_spark.sources.sinks import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id % 4 AS p").write.partitionBy("p").parquet(path)
+    real_rename = fsmod.rename
+
+    def failing_rename(src, dest):
+        if dest.endswith(".compact-old"):
+            return False  # simulate Hadoop rename returning false
+        return real_rename(src, dest)
+
+    monkeypatch.setattr(fsmod, "rename", failing_rename)
+    with _pytest.raises(IOError, match="aborting swap"):
+        compact_partitions(spark, path, ["p"], 1000)
+    # original data untouched by the aborted swap
+    assert spark.read.parquet(path).count() == 100
