@@ -246,3 +246,13 @@ def test_lm_scores_vocab_heap_and_broadcast(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_equi_joins_only(spark, sf_dir):
+    # bipartite prefix filter + within-batch AllPairs: candidate
+    # generation must stay hash equi-joins — a cartesian or nested
+    # loop here is the quadratic blowup the prefix filter exists to
+    # prevent
+    plan = plan_of(spark, sf_dir, "corpus_incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
