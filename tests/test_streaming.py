@@ -164,3 +164,58 @@ def test_stream_stateless_operator_composes(spark, sf_dir):
     res = streaming.run_to_memory(scored, mode="append")
     batch = text.quality_scores(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     assert _rows(res) == _rows(batch)
+
+
+def test_stream_ewma_late_batch_does_not_regress_eviction(spark, tmp_path):
+    # a late-but-within-watermark batch must not pull a key's eviction
+    # deadline below last-ever-event + horizon: deadlines arm from the
+    # max event time carried in state, not this batch's max
+    import datetime
+    import glob
+    import shutil
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def drop_file(i, rows):
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, str(indir / f"batch{i}.parquet"))
+
+    def run():
+        src = spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        ).parquet(str(indir))
+        q = (
+            streaming.ewma_stream(src)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+        return totals[-1] if totals else None
+
+    h = datetime.timedelta(hours=1)
+    # user 1's last event is t0+6h → deadline t0+8h (2h horizon)
+    drop_file(0, [(1, t0, 1.0), (1, t0 + 6 * h, 2.0)])
+    run()
+    # late event at t0+5h (within watermark): must NOT pull the
+    # deadline back to t0+7h
+    drop_file(1, [(1, t0 + 5 * h, 3.0)])
+    run()
+    # watermark advances to t0+7.5h — past the REGRESSED deadline but
+    # before the correct one: user 1's state must survive
+    drop_file(2, [(2, t0 + datetime.timedelta(hours=9, minutes=30), 4.0)])
+    assert run() == 2
