@@ -1446,3 +1446,32 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.budget_select(
         with_tokens, "doc_id", "n_chars", "quality_score", budget=100_000
     )
+
+
+@query(
+    "events_json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured column analytics: JSON-path extraction from "
+        "the events.props string (get_json_object — codegen'd JVM "
+        "JSON parsing, no UDF) feeding an integer rollup per event "
+        "type; SURVEY §2.8's json-function surface. pytest-oracled "
+        "(driver cap).",
+    driver=False,
+)
+def q_events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
