@@ -37,6 +37,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 
 def _md5_byte0(col: Column) -> Column:
@@ -253,19 +260,35 @@ def order_bucket(
     )
 
 
-def _default_bucket_key(order_cols: list[Column | str]) -> Column:
+def _default_bucket_key(df: DataFrame, order_cols: list[Column | str]) -> Column:
     first = order_cols[0]
     if isinstance(first, str):
-        return F.col(f"`{first}`")
-    # a .desc()/.asc() sort-order Column is not a value expression and
-    # cannot seed the quantile pass; the caller knows the monotone
-    # numeric key (e.g. the negated column for desc) — demand it
-    rendered = str(first).rstrip("'>")
-    if rendered.endswith(("NULLS LAST", "NULLS FIRST")):
+        first = F.col(f"`{first}`")
+    else:
+        # a .desc()/.asc() sort-order Column is not a value expression
+        # and cannot seed the quantile pass; the caller knows the
+        # monotone numeric key (e.g. the negated column for desc) —
+        # demand it
+        rendered = str(first).rstrip("'>")
+        if rendered.endswith(("NULLS LAST", "NULLS FIRST")):
+            raise ValueError(
+                "first order column is a sort-order expression; pass an "
+                "explicit numeric bucket_key monotone along the order "
+                "(e.g. bucket_key=-col for a descending first key)"
+            )
+    # the bucket pass casts the key to double, which must preserve the
+    # window's sort order. A string key would bucket numerically ('9' >
+    # '10') while the window sorts lexicographically ('10' < '9') —
+    # silently wrong global ranks. Only types whose double cast is
+    # monotone along their native order qualify as the default.
+    dtype = df.select(first).schema[0].dataType
+    if not isinstance(
+        dtype, (NumericType, BooleanType, DateType, TimestampType, TimestampNTZType)
+    ):
         raise ValueError(
-            "first order column is a sort-order expression; pass an "
-            "explicit numeric bucket_key monotone along the order "
-            "(e.g. bucket_key=-col for a descending first key)"
+            f"first order column has type {dtype.simpleString()}, whose "
+            "cast to double does not follow its sort order; pass an "
+            "explicit numeric bucket_key monotone along the order"
         )
     return first
 
@@ -294,7 +317,7 @@ def global_row_number(
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    key = bucket_key if bucket_key is not None else _default_bucket_key(order_cols)
+    key = bucket_key if bucket_key is not None else _default_bucket_key(df, order_cols)
     bucketed = df.withColumn("_bucket", order_bucket(df, key, parts))
     counts = sorted(
         bucketed.groupBy("_bucket").count().collect(), key=lambda r: r["_bucket"]

@@ -71,6 +71,12 @@ def zorder_key(surrogates: list[Column], bits: int) -> Column:
     n = len(surrogates)
     if n < 2:
         raise ValueError("zorder_key needs at least 2 dimensions")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits * dimensions = {bits * n} exceeds 63: shiftleft past "
+            "bit 63 wraps into the sign bit and the Z-value goes "
+            "non-monotone. Lower bits (e.g. bits=63//n) or drop dims."
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, s in enumerate(surrogates):

@@ -78,7 +78,7 @@ def global_running_total(
     """
     cols = _as_cols(order_cols)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    key = bucket_key if bucket_key is not None else _default_bucket_key(order_cols)
+    key = bucket_key if bucket_key is not None else _default_bucket_key(df, order_cols)
     bucketed = df.withColumn("_bucket", order_bucket(df, key, parts))
     totals = sorted(
         bucketed.groupBy("_bucket")
@@ -277,11 +277,12 @@ def shuffle_rank(
     single-task global sort.
     """
     key = F.md5(F.concat_ws(":", F.lit(seed), F.col(f"`{id_col}`").cast("string")))
-    # bucket on the numeric value of the first 14 hex digits (56 bits,
-    # double-exact): lexicographic order of fixed-width lowercase hex
-    # equals numeric order of its prefix, so the bucket is monotone
-    # along the md5 sort; prefix ties just share a bucket
-    numeric_prefix = F.conv(F.substring(key, 1, 14), 16, 10).cast("double")
+    # bucket on the numeric value of the first 13 hex digits (52 bits,
+    # inside double's 2^53 exact-integer range): lexicographic order of
+    # fixed-width lowercase hex equals numeric order of its prefix, so
+    # the bucket is monotone along the md5 sort; prefix ties just
+    # share a bucket (coarser parallelism, never a wrong rank)
+    numeric_prefix = F.conv(F.substring(key, 1, 13), 16, 10).cast("double")
     ranked = global_row_number(
         df,
         [key, F.col(f"`{id_col}`")],

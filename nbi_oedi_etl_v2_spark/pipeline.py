@@ -28,6 +28,8 @@ import time
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import PySparkException
 from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -174,10 +176,18 @@ def run_job(
         # legitimately empty; raising → a confirmed discrepancy.
         missing = []
         for f in candidates:
-            try:
-                spark.read.option("ignoreCorruptFiles", "false").parquet(f).count()
-            except Exception:
-                missing.append(f)
+            # only a Spark read/analysis failure marks a discrepancy; a
+            # transient listing/IO hiccup gets ONE retry so a healthy
+            # file is never misfiled as corrupt on a blip
+            for attempt in (0, 1):
+                try:
+                    spark.read.option(
+                        "ignoreCorruptFiles", "false"
+                    ).parquet(f).count()
+                    break
+                except (PySparkException, Py4JJavaError):
+                    if attempt == 1:
+                        missing.append(f)
     written = len(fs.list_files_recursive(data_path))
     return JobResult(
         job_name=job.job_name,

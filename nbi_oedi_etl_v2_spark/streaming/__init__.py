@@ -363,11 +363,14 @@ def dim_enrich_stream(
     """
     cols = dim_cols or [c for c in dim.columns if c != dim_key]
     right = dim.select(dim_key, *cols)
+    # drop by column reference, not by name: .drop("k") removes EVERY
+    # column named k, which would silently delete the stream's own key
+    # when stream_key and dim_key share a name (the common lookup case)
     return stream.join(
         F.broadcast(right),
         stream[stream_key] == right[dim_key],
         "left",
-    ).drop(dim_key)
+    ).drop(right[dim_key])
 
 
 def attribution_join_stream(

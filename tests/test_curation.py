@@ -190,3 +190,13 @@ def test_contamination_detects_planted_copy(spark):
     )
     got = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
     assert set(got) == {1, 3} and got[1] == 1 and got[3] == 1
+
+
+def test_global_row_number_rejects_string_default_bucket_key(spark):
+    import pytest
+
+    # numeric-looking strings bucket numerically ('9' > '10') but sort
+    # lexicographically ('10' < '9') — the default key must refuse
+    df = spark.createDataFrame([("9",), ("10",), ("2",)], "k string")
+    with pytest.raises(ValueError, match="bucket_key"):
+        curation.global_row_number(df, ["k"]).collect()

@@ -43,3 +43,12 @@ def test_minmax_surrogate_constant_column_is_zero(spark):
     df = spark.range(0, 10).select(F.lit(7).alias("c"))
     out = df.select(layout.minmax_surrogate(df, F.col("c"), 8).alias("s"))
     assert {r["s"] for r in out.collect()} == {0}
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest
+
+    from nbi_oedi_etl_v2_spark.operators import layout
+
+    with pytest.raises(ValueError, match="63"):
+        layout.zorder_key([F.lit(i).cast("long") for i in range(8)], bits=8)

@@ -219,3 +219,21 @@ def test_stream_ewma_late_batch_does_not_regress_eviction(spark, tmp_path):
     # before the correct one: user 1's state must survive
     drop_file(2, [(2, t0 + datetime.timedelta(hours=9, minutes=30), 4.0)])
     assert run() == 2
+
+
+def test_dim_enrich_same_key_name_keeps_stream_key(spark, sf_dir):
+    # stream_key and dim_key sharing a name (the common lookup shape)
+    # must not drop the stream's own key: drop-by-name would remove
+    # both 'user_id' columns
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    res = streaming.run_to_memory(
+        streaming.dim_enrich_stream(ev, dim, "user_id", "user_id"), mode="append"
+    )
+    assert res.columns.count("user_id") == 1
+    n = load_table(spark, sf_dir, "events").count()
+    assert res.count() == n
+    assert res.filter(F.col("user_id").isNull()).count() == 0
