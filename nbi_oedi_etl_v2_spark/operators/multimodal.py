@@ -4,13 +4,23 @@ Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, and implements decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` operators.
 
-The decode step itself is STUBBED (the container ships no image/audio
-codecs): ``decode_image_batch`` computes a deterministic fake
-(dimensions + a checksum "feature" derived from the bytes) and the
-real-codec seam is one clearly-marked function. Everything Spark-side
-— schema, batch iteration, partition sizing, UDF signatures — is real
-and tested; swapping in PIL/ffmpeg later changes only
-``_decode_payload``.
+The decode step is REAL for the two formats the standard library can
+handle without codec packages:
+
+- **PNG** (``decode_png``): chunk walk, IHDR parse, IDAT concat,
+  ``zlib`` inflate, and per-scanline unfiltering of all five PNG
+  filter types (None/Sub/Up/Average/Paeth) for 8-bit gray / RGB /
+  gray+alpha / RGBA / palette-index streams.
+- **WAV** (``decode_wav``): RIFF chunk walk (word-aligned), ``fmt ``
+  parse, and ``struct`` unpack of 8/16-bit PCM samples from the
+  ``data`` chunk.
+
+Unknown formats fall back to a deterministic byte fingerprint
+(``_fingerprint_payload`` — the former stub, kept as the honest
+"can't decode, still hash-checkable" path); undecodable bytes that
+CLAIM a known magic yield ``codec='error'`` rows with null features
+instead of failing the job (corrupt media must never kill a 100 TB
+scan — route ``codec='error'`` rows to quarantine).
 
 Scale notes:
 - payloads stay in executor memory one Arrow batch at a time
@@ -25,6 +35,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -45,29 +57,176 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),  # png|wav|raw|error
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
         T.StructField("checksum_feature", T.DoubleType(), True),
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_CHECKSUM_MOD = 9973
 
-def _decode_payload(payload: bytes) -> tuple[int, int, float]:
-    """THE CODEC SEAM — deterministic fake decode.
 
-    A real implementation would hand ``payload`` to PIL / libav here.
-    The fake derives (width, height, feature) from the bytes so tests
-    get stable, content-dependent values.
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Real PNG decode to raw scanline bytes: (width, height, channels,
+    pixels) where ``pixels`` is the unfiltered byte stream (palette
+    images stay as 1-byte indices — expansion is the caller's choice).
+
+    Pure stdlib: chunk walk + ``zlib.decompress`` + the five PNG
+    scanline filters inverted per row. Supports 8-bit depth,
+    non-interlaced, color types 0/2/3/4/6; anything else raises
+    ``ValueError`` (Adam7 interlace and 1/2/4/16-bit depths are rare
+    in training corpora and routed to ``codec='error'``).
     """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height = 8, None, None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("inflated size does not match dimensions")
+    bpp = channels  # 8-bit: bytes per pixel == channels
+    pixels = bytearray(stride * height)
+    prior = bytes(stride)
+    for r in range(height):
+        off = r * (stride + 1)
+        ftype = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        pixels[r * stride : (r + 1) * stride] = row
+        prior = row
+    return width, height, channels, pixels
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """(width, height, channels, checksum) from a real PNG decode.
+    ``checksum`` is the sum of all unfiltered pixel bytes mod 9973,
+    normalized to [0, 1) — a content-dependent feature any independent
+    decoder (or an analytic oracle over synthetic images) reproduces
+    exactly."""
+    width, height, channels, pixels = _png_pixels(payload)
+    return width, height, channels, (sum(pixels) % _CHECKSUM_MOD) / _CHECKSUM_MOD
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """(channels, sample_rate, n_frames, checksum) from a real RIFF
+    WAV decode: chunk walk (word-aligned), ``fmt `` parse, PCM sample
+    unpack (16-bit signed little-endian or 8-bit unsigned).
+
+    ``checksum`` sums the UNSIGNED sample values (16-bit samples
+    shifted by +32768) mod 9973, normalized — sign-free so the 8- and
+    16-bit paths share one definition.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt_body, data_body = 12, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _block, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
+    if audio_format != 1 or bits not in (8, 16) or channels == 0:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        count = len(data_body) // 2
+        samples = struct.unpack(f"<{count}h", data_body[: 2 * count])
+        total = sum(s + 32768 for s in samples)
+    else:
+        count = len(data_body)
+        total = sum(data_body)  # 8-bit PCM is unsigned by spec
+    frames = count // channels
+    return channels, rate, frames, (total % _CHECKSUM_MOD) / _CHECKSUM_MOD
+
+
+def _fingerprint_payload(payload: bytes) -> tuple[int, int, float]:
+    """Unknown-format fallback (the former stub codec, retained as the
+    deterministic byte fingerprint for payloads that are neither PNG
+    nor WAV): first/last byte → pseudo-dims, sum of the first 256
+    bytes → checksum. Content-dependent, oracle-expressible over raw
+    blobs."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError(
-            "empty payload: real codec integration not available in this build"
+            "empty payload: no content to decode or fingerprint"
         )
     w = 16 + (payload[0] % 64) * 16
     h = 16 + (payload[-1] % 64) * 16
-    checksum = float(sum(payload[:256]) % 9973) / 9973.0
+    checksum = float(sum(payload[:256]) % _CHECKSUM_MOD) / _CHECKSUM_MOD
     return w, h, checksum
+
+
+# Backward-compatible alias: the codec seam's old name. Real formats
+# now route to decode_png / decode_wav in decode_media.
+_decode_payload = _fingerprint_payload
 
 
 def attach_binary_payload(
@@ -85,41 +244,214 @@ def attach_binary_payload(
     )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
-    """Arrow-batched decode: mapInPandas over MEDIA_SCHEMA rows →
-    DECODED_SCHEMA rows. Batch-at-a-time keeps peak memory bounded
-    regardless of corpus size."""
+def synth_png_payload(seed: int) -> bytes:
+    """Deterministic real PNG for id ``seed``: grayscale 8-bit,
+    ``width = 1 + seed % 8``, ``height = 1 + (seed // 8) % 8``, pixel
+    ``(r, c) = (seed*31 + r*7 + c*3) % 256``, scanline ``r`` written
+    with filter type ``r % 5`` so a decode exercises every unfilter
+    path. The decoded dims and pixel-sum checksum are closed-form in
+    ``seed`` — the analytic oracle for the REAL decoder."""
+    w = 1 + seed % 8
+    h = 1 + (seed // 8) % 8
+    rows = [
+        bytes((seed * 31 + r * 7 + c * 3) % 256 for c in range(w)) for r in range(h)
+    ]
+    stream = bytearray()
+    prior = bytes(w)
+    for r, row in enumerate(rows):
+        ftype = r % 5
+        stream.append(ftype)
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub (bpp=1)
+            filt = bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(w)
+            )
+        elif ftype == 2:  # Up
+            filt = bytes((row[i] - prior[i]) & 0xFF for i in range(w))
+        elif ftype == 3:  # Average
+            filt = bytes(
+                (row[i] - (((row[i - 1] if i else 0) + prior[i]) >> 1)) & 0xFF
+                for i in range(w)
+            )
+        else:  # Paeth
+            filt = bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 1] if i else 0, prior[i], prior[i - 1] if i else 0
+                    )
+                )
+                & 0xFF
+                for i in range(w)
+            )
+        stream += filt
+        prior = row
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    idat = b"IDAT" + zlib.compress(bytes(stream))
+    iend = b"IEND"
+    out = bytearray(_PNG_SIG)
+    for chunk in (ihdr, idat, iend):
+        out += struct.pack(">I", len(chunk) - 4)
+        out += chunk
+        out += struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    return bytes(out)
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def synth_wav_payload(seed: int) -> bytes:
+    """Deterministic real PCM WAV for id ``seed``: ``channels = 1 +
+    seed % 2``, ``rate = 8000 + (seed % 4) * 4000``, 16-bit, ``frames
+    = 50 + seed % 50``, interleaved sample ``i = ((seed*7 + i*13) %
+    65536) - 32768``. Decoded rate/channels/frames/checksum are
+    closed-form in ``seed``."""
+    channels = 1 + seed % 2
+    rate = 8000 + (seed % 4) * 4000
+    frames = 50 + seed % 50
+    count = frames * channels
+    data = struct.pack(
+        f"<{count}h", *(((seed * 7 + i * 13) % 65536) - 32768 for i in range(count))
+    )
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def attach_synth_media(
+    df: DataFrame, id_col: str, kind: str = "png"
+) -> DataFrame:
+    """Fixture-payload generator: one real PNG or WAV per row, derived
+    deterministically from the id (``synth_png_payload`` /
+    ``synth_wav_payload``). Arrow-batched; this is the test harness'
+    stand-in for reading payload parquet — production pipelines load
+    real bytes and never run this."""
+    media_type = "image" if kind == "png" else "audio"
+    synth = synth_png_payload if kind == "png" else synth_wav_payload
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                _decode_payload(bytes(p)) if p is not None else (None, None, None)
-                for p in pdf["payload"]
-            ]
+            ids = pdf["media_id"]
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "checksum_feature": [d[2] for d in decoded],
+                    "media_id": ids,
+                    "payload": [synth(int(i)) for i in ids],
+                    "media_type": media_type,
+                    "source_uri": [f"synthetic://{int(i)}" for i in ids],
                 }
             )
 
+    base = df.select(F.col(f"`{id_col}`").cast("long").alias("media_id"))
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def _decode_one(payload, media_type: str) -> dict:
+    b = bytes(payload) if payload is not None else None
+    out = {
+        "media_type": media_type,
+        "codec": None,
+        "n_bytes": len(b) if b is not None else 0,
+        "width": None,
+        "height": None,
+        "channels": None,
+        "sample_rate": None,
+        "n_samples": None,
+        "checksum_feature": None,
+    }
+    if b is None:
+        return out
+    if b[:8] == _PNG_SIG:
+        try:
+            w, h, ch, checksum = decode_png(b)
+            out.update(codec="png", width=w, height=h, channels=ch,
+                       checksum_feature=checksum)
+        except (ValueError, zlib.error, struct.error):
+            out["codec"] = "error"
+        return out
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        try:
+            ch, rate, frames, checksum = decode_wav(b)
+            out.update(codec="wav", channels=ch, sample_rate=rate,
+                       n_samples=frames, checksum_feature=checksum)
+        except (ValueError, struct.error):
+            out["codec"] = "error"
+        return out
+    w, h, checksum = _fingerprint_payload(b)
+    out.update(codec="raw", width=w, height=h, checksum_feature=checksum)
+    return out
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode: mapInPandas over MEDIA_SCHEMA rows →
+    DECODED_SCHEMA rows. PNG and WAV payloads get a REAL stdlib decode
+    (dimensions / channels / sample counts / pixel- or sample-sum
+    checksum); unknown formats get the deterministic byte fingerprint
+    (``codec='raw'``); corrupt known-magic payloads yield
+    ``codec='error'`` with null features. Batch-at-a-time keeps peak
+    memory bounded regardless of corpus size."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                {"media_id": mid, **_decode_one(p, mt)}
+                for mid, p, mt in zip(
+                    pdf["media_id"], pdf["payload"], pdf["media_type"]
+                )
+            ]
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def _resize_png(b: bytes, tw: int, th: int) -> bytes:
+    """Real nearest-neighbor PNG resize: decode scanlines, sample
+    source pixel ``(ty*h//th, tx*w//tw)`` per target pixel, re-encode
+    (filter 0, zlib). Palette images resize as index maps (the PLTE
+    chunk is not carried — resized output is grayscale/truecolor
+    bytes of the index plane)."""
+    w, h, channels, pixels = _png_pixels(b)
+    stride = w * channels
+    out_rows = bytearray()
+    for ty in range(th):
+        sy = ty * h // th
+        out_rows.append(0)  # filter type None
+        base = sy * stride
+        for tx in range(tw):
+            sx = tx * w // tw
+            start = base + sx * channels
+            out_rows += pixels[start : start + channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", tw, th, 8, color_type, 0, 0, 0)
+    idat = b"IDAT" + zlib.compress(bytes(out_rows))
+    iend = b"IEND"
+    out = bytearray(_PNG_SIG)
+    for chunk in (ihdr, idat, iend):
+        out += struct.pack(">I", len(chunk) - 4)
+        out += chunk
+        out += struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    return bytes(out)
 
 
 def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Arrow-batched resize: payload → payload' plus recorded target
     dims (MEDIA_SCHEMA in, MEDIA_SCHEMA + width/height out).
 
-    The pixel resample is stubbed at the same codec seam as decode —
-    the fake emits a deterministic fixed-length digest of the input
-    bytes sized ``target_w × target_h // 64`` so downstream operators
-    see realistic payload-size reduction. The Spark plumbing (binary
-    in/out through Arrow, bounded batches, no shuffle) is the real
-    contract.
+    PNG payloads get a REAL nearest-neighbor resample (decode →
+    sample → re-encode, pure stdlib); other formats get the
+    deterministic byte-stream stretch/shrink to ``target_w × target_h
+    // 64`` bytes (the former stub, kept so non-image payloads still
+    flow). The Spark plumbing (binary in/out through Arrow, bounded
+    batches, no shuffle) is identical either way.
     """
     out_schema = T.StructType(
         [*MEDIA_SCHEMA.fields,
@@ -129,17 +461,22 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
     out_len = max(16, target_w * target_h // 64)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_resample(p):
+        def resample(p):
             if p is None:
                 return None
             b = bytes(p)
+            if b[:8] == _PNG_SIG:
+                try:
+                    return _resize_png(b, target_w, target_h)
+                except (ValueError, zlib.error, struct.error):
+                    return None  # corrupt image → null payload, dims kept
             # deterministic stretch/shrink of the byte stream to the
-            # target length — the seam a real resampler replaces
+            # target length — the fallback for non-PNG payloads
             return bytes(b[i * len(b) // out_len] for i in range(out_len)) if b else b
 
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [fake_resample(p) for p in pdf["payload"]]
+            out["payload"] = [resample(p) for p in pdf["payload"]]
             out["width"] = target_w
             out["height"] = target_h
             yield out
@@ -173,7 +510,7 @@ def parse_png_header(
     This is the metadata-extraction step a multimodal pipeline runs
     BEFORE any expensive decode (route by size/type, drop corrupt
     rows): map-only, codegen'd, zero Python. The pixel decode proper
-    remains the acknowledged stub seam in ``decode_media``.
+    lives in ``decode_media`` (real stdlib PNG/WAV decode).
     """
     hx = F.hex(F.col(f"`{payload_col}`"))
 

@@ -158,7 +158,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
     """,
     doc="Saved query 1 parity shape (sql/saved-queries.sql:10-17): "
-        "broadcast dim join + exact COUNT DISTINCT.",
+        "broadcast dim join + exact COUNT DISTINCT.",    driver=False,
 )
 def q_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -242,7 +242,7 @@ def q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_flags",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    doc="D1 distinct projection; map-side partial dedup before shuffle.",
+    doc="D1 distinct projection; map-side partial dedup before shuffle.",    driver=False,
 )
 def q_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -265,7 +265,7 @@ def q_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     doc="J1 at scale: two broadcast hash joins (dims ≤25 rows) feeding "
-        "one hash aggregate — zero fact-side shuffles before the agg.",
+        "one hash aggregate — zero fact-side shuffles before the agg.",    driver=False,
 )
 def q_nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -327,7 +327,7 @@ def q_monthly_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     doc="Cumulative windowed sum per user; exact-decimal accumulator "
-        "so the running values hash-match the oracle.",
+        "so the running values hash-match the oracle.",    driver=False,
 )
 def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -368,7 +368,7 @@ def q_user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Sessionization: lag-gap flag + running count → session ids "
         "(guide 'Common OLAP patterns'); batch analogue of "
-        "session_window in streaming.",
+        "session_window in streaming.",    driver=False,
 )
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -436,7 +436,7 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
     """,
     doc="Left semi join (EXISTS) with the filter pushed into the "
-        "probe side before the join.",
+        "probe side before the join.",    driver=False,
 )
 def q_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -709,7 +709,6 @@ def q_events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast dim joins (the OR predicate is dim-side, so it "
         "prunes before the fact shuffle); per-year volume rollup. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
@@ -763,7 +762,6 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim, heap top-k on the exact-decimal aggregate (ties broken "
         "by custkey so the LIMIT is deterministic). pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -804,7 +802,6 @@ def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         "when the part table fits, AQE decides); both sums "
         "exact-decimal so the ratio is engine-portable. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
@@ -883,7 +880,7 @@ def _ensure_extensions() -> None:
         "SF-proportional (~20% of customers), so its join strategy "
         "is AQE's call — broadcast at bench SF, shuffle at 100 TB. "
         "Predicate pushdown on both date filters, exact-decimal "
-        "revenue sum, top-10 via per-partition heaps.",
+        "revenue sum, top-10 via per-partition heaps.",    driver=False,
 )
 def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = "1998-06-01"
@@ -930,7 +927,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "they shuffle on their keys). Only the constant-size nation/"
         "region dims are forced broadcasts. The same-nation customer⋈"
         "supplier condition rides the supplier join as a residual; the "
-        "region/date filters prune before any shuffle.",
+        "region/date filters prune before any shuffle.",    driver=False,
 )
 def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -1039,7 +1036,7 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Explicit GROUPING SETS (per-status and per-priority margins "
         "only, no cross or grand total) via Spark SQL — the general "
-        "form behind rollup/cube.",
+        "form behind rollup/cube.",    driver=False,
 )
 def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -143,7 +143,7 @@ def _duck_norms() -> str:
     SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.45
     """,
     doc="Embedding-cosine near-dup pairs (exact all-pairs oracle twin "
-        "of the hyperplane-LSH path).",
+        "of the hyperplane-LSH path).",    driver=False,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -184,7 +184,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # trained Voronoi cells; recall asserted in pytest
     doc="IVF-flat approximate top-5 (deterministic hash-sampled "
         "seeds + one Lloyd step, nprobe-cell probe, exact re-rank); "
-        "density-adaptive complement to the hyperplane-LSH path.",
+        "density-adaptive complement to the hyperplane-LSH path.",    driver=False,
 )
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -196,7 +196,7 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_topk_lsh",
     oracle=None,  # xxhash64-derived hyperplanes; recall asserted in pytest
     doc="Hyperplane-LSH bucketed approximate top-5 — the scale path; "
-        "recall vs brute force checked in tests.",
+        "recall vs brute force checked in tests.",    driver=False,
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -261,7 +261,7 @@ def _duck_quality_sql() -> str:
     "text_quality_scores",
     oracle=_duck_quality_sql(),
     headline=True,
-    doc="Per-document quality features + blended score; map-only scan.",
+    doc="Per-document quality features + blended score; map-only scan.",    driver=False,
 )
 def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -309,7 +309,7 @@ def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Polynomial rolling-hash document fingerprint (mod 1e9+7), "
-        "portable across engines.",
+        "portable across engines.",    driver=False,
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -364,7 +364,6 @@ def _duck_dup_frac(arr: str) -> str:
     FROM e
     """,
     # driver cap is full — oracle-checked by pytest instead
-    driver=False,
     doc="Gopher-style within-doc repetition features (duplicate-line "
         "fraction, duplicate-bigram fraction, longest token run) — "
         "map-only HOF expressions, the standard boilerplate/spam gate.",
@@ -429,7 +428,7 @@ def q_streaming_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
     doc="dropDuplicatesWithinWatermark replay-dedup; event_id is "
         "unique in the fixture so the exactly-once projection is the "
-        "stream itself.",
+        "stream itself.",    driver=False,
 )
 def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.read_table_stream(spark, sf_dir, "events")
@@ -544,10 +543,11 @@ def _blob_byte(i: str) -> str:
 
 @query(
     "multimodal_decode",
-    # the stub codec (multimodal._decode_payload) is pure byte
-    # arithmetic — first/last byte → dims, sum of first 256 bytes →
-    # checksum — so the oracle expresses it over DuckDB blobs and the
-    # codec seam stays honestly hash-checked until a real codec lands
+    # UTF-8 text payloads are neither PNG nor WAV, so decode_media
+    # routes them to the codec='raw' byte fingerprint — first/last
+    # byte → pseudo-dims, sum of first 256 bytes → checksum — which
+    # the oracle expresses over DuckDB blobs. The REAL decode paths
+    # are hash-checked by multimodal_decode_png / multimodal_decode_wav.
     oracle=f"""
     WITH m AS (
       SELECT doc_id AS media_id, encode(text) AS payload FROM documents
@@ -561,21 +561,87 @@ def _blob_byte(i: str) -> str:
         {_blob_byte('n')} AS blast
       FROM h
     )
-    SELECT media_id, 'image' AS media_type, CAST(n AS BIGINT) AS n_bytes,
+    SELECT media_id, 'image' AS media_type, 'raw' AS codec,
+           CAST(n AS BIGINT) AS n_bytes,
            CAST(16 + (b0 % 64) * 16 AS INTEGER) AS width,
            CAST(16 + (blast % 64) * 16 AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS channels,
+           CAST(NULL AS BIGINT) AS sample_rate,
+           CAST(NULL AS BIGINT) AS n_samples,
            CAST(list_reduce(list_prepend(0, bytes_), (a, x) -> a + x) % 9973
                 AS DOUBLE) / 9973.0 AS checksum_feature
     FROM b
     """,
-    doc="Binary media column → Arrow-batched mapInPandas decode "
-        "(deterministic stub codec) → typed feature rows; the stub's "
-        "byte arithmetic is oracled over DuckDB blobs.",
+    doc="Binary media column → Arrow-batched mapInPandas decode → typed "
+        "feature rows; unknown formats take the deterministic byte-"
+        "fingerprint path (codec='raw'), oracled over DuckDB blobs.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.decode_media(media)
+
+
+@query(
+    "multimodal_decode_png",
+    # the REAL PNG decoder (chunk walk → zlib inflate → unfilter of
+    # all 5 scanline filters) run over deterministic synthetic images
+    # whose decoded dims and pixel-sum checksum are closed-form in
+    # doc_id — the oracle computes those analytically, so any decoder
+    # bug (wrong unfilter, wrong stride, wrong dims) hash-mismatches
+    oracle="""
+    SELECT doc_id AS media_id, 'png' AS codec,
+           CAST(1 + doc_id % 8 AS INTEGER) AS width,
+           CAST(1 + (doc_id // 8) % 8 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(list_reduce(list_prepend(0, flatten(
+               list_transform(generate_series(0, (1 + (doc_id // 8) % 8) - 1),
+                 r -> list_transform(generate_series(0, (1 + doc_id % 8) - 1),
+                   c -> (doc_id * 31 + r * 7 + c * 3) % 256)))),
+             (a, x) -> a + x) % 9973 AS DOUBLE) / 9973.0 AS checksum_feature
+    FROM documents
+    """,
+    doc="REAL stdlib PNG decode (zlib inflate + scanline unfilter, all "
+        "5 filter types) over synthetic images generated per doc_id; "
+        "the oracle reproduces width/height/pixel-sum analytically.",
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_synth_media(docs, "doc_id", kind="png")
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "channels", "checksum_feature"
+    )
+
+
+@query(
+    "multimodal_decode_wav",
+    # the REAL RIFF/WAV decoder (word-aligned chunk walk → struct
+    # unpack of 16-bit PCM) over synthetic audio whose channel count,
+    # sample rate, frame count, and unsigned-sample-sum checksum are
+    # closed-form in doc_id
+    oracle="""
+    SELECT doc_id AS media_id, 'wav' AS codec,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+           CAST(50 + doc_id % 50 AS BIGINT) AS n_samples,
+           CAST(list_reduce(list_prepend(0,
+               list_transform(
+                 generate_series(0, (50 + doc_id % 50) * (1 + doc_id % 2) - 1),
+                 i -> (doc_id * 7 + i * 13) % 65536)),
+             (a, x) -> a + x) % 9973 AS DOUBLE) / 9973.0 AS checksum_feature
+    FROM documents
+    """,
+    doc="REAL stdlib WAV PCM decode (RIFF chunk walk + 16-bit sample "
+        "unpack) over synthetic audio generated per doc_id; the oracle "
+        "reproduces channels/rate/frames/sample-sum analytically.",
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_synth_media(docs, "doc_id", kind="wav")
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "channels", "sample_rate", "n_samples",
+        "checksum_feature"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -695,7 +761,7 @@ _SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25}
     """,
     doc="Deterministic per-language downsampling (50% en, 25% zh, "
         "12.5% rest) from a stratum-salted md5 — the corpus-mixing "
-        "step; row-local predicate, no shuffle, reproducible.",
+        "step; row-local predicate, no shuffle, reproducible.",    driver=False,
 )
 def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -910,7 +976,7 @@ def q_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Next-fit bin packing without splitting (SFT style, examples "
         "stay whole): sequential within a hash shard via Arrow-batched "
         "applyInPandas, parallel across shards; oracle replays the "
-        "fold with a struct-accumulator list_reduce.",
+        "fold with a struct-accumulator list_reduce.",    driver=False,
 )
 def q_corpus_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -970,7 +1036,7 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deterministic pseudorandom corpus permutation: global rank "
         "under md5(seed:id) via the range-partitioned two-pass row "
         "number — reproducible orderBy(rand()) replacement, no "
-        "single-task sort.",
+        "single-task sort.",    driver=False,
 )
 def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1021,7 +1087,6 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "against the existing corpus — bipartite prefix-filtered cross "
         "Jaccard (corpus never self-joins), then within-batch cluster "
         "resolution; pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1077,7 +1142,6 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shrink for the ANN path): per-vector scale + codes, all "
         "JVM-side higher-order functions, map-only. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1102,7 +1166,6 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "language cardinality) — the input to a mixture plan; one "
         "hash aggregate, exact-decimal mean. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1137,7 +1200,6 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "forward window; is_gap marks synthesized hours. The "
         "missing-hours repair downstream of the reference's hourly "
         "ETL. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_etl_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.downsample import gapfill_hourly
@@ -1205,7 +1267,6 @@ _Z_INTERLEAVE_SQL = " | ".join(
         "row-group stats prune filters on EITHER dimension "
         "(operators/layout.py zorder_layout does the re-cluster). "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import layout
@@ -1261,7 +1322,6 @@ def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probability + OOV rate against a broadcast top-4096 vocab "
         "(TakeOrdered heap, no global sort); add-half smoothing. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1288,7 +1348,6 @@ def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "codec stub involved. Every 10th payload is non-PNG text "
         "bytes and must parse as is_png=false. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_multimodal_png_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1336,7 +1395,6 @@ def _le_hex(col_expr, nbytes: int):
         "route-before-decode twin of the PNG parser; proven on "
         "struct-packed WAV bytes in pytest. Every 10th payload is "
         "text and parses is_wav=false. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1364,14 +1422,51 @@ def q_multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_pack_ffd",
-    oracle=None,  # order-dependent greedy with a bin-list state — not
-    # SQL-expressible; capacity + never-worse-than-next-fit invariants
-    # asserted in tests/test_packing.py
+    # FFD is deterministic given (shard, tokens-desc/id-asc order), so
+    # the oracle replays the exact greedy: a recursive CTE steps one
+    # document at a time per shard carrying the bin-remainder LIST as
+    # state — list_position finds the first bin with room, list_append
+    # opens a new one. Validated against the Python reference packer
+    # in tests/test_packing.py
+    oracle=f"""
+    WITH RECURSIVE sharded AS (
+      SELECT doc_id, n_chars,
+             CAST({_md5_byte0_sql("CAST(doc_id AS VARCHAR)")} % 8 AS BIGINT)
+               AS shard
+      FROM documents
+    ), ordered AS (
+      SELECT shard, doc_id, n_chars,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM sharded
+    ), steps AS (
+      SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS rem,
+             CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_chars,
+             CAST(NULL AS BIGINT) AS bin
+      FROM (SELECT DISTINCT shard FROM ordered)
+      UNION ALL
+      SELECT o.shard, o.rn,
+             CASE WHEN p.pos IS NULL OR p.pos = 0
+                  THEN list_append(s.rem, 4096 - o.n_chars)
+                  ELSE list_transform(generate_series(1, len(s.rem)),
+                         i -> CASE WHEN i = p.pos THEN s.rem[i] - o.n_chars
+                              ELSE s.rem[i] END)
+             END,
+             o.doc_id, o.n_chars,
+             CAST(CASE WHEN p.pos IS NULL OR p.pos = 0 THEN len(s.rem)
+                  ELSE p.pos - 1 END AS BIGINT)
+      FROM steps s
+      JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1,
+      LATERAL (SELECT list_position(
+                 list_transform(s.rem, r -> r >= o.n_chars), true) AS pos) p
+    )
+    SELECT shard, doc_id, n_chars, bin FROM steps WHERE rn > 0
+    """,
     doc="First-fit-decreasing whole-doc packing (11/9·OPT bound, "
         "tighter than next-fit): largest-first placement into the "
         "lowest-index bin with room, per shard via Arrow "
-        "applyInPandas. pytest invariants (driver cap).",
-    driver=False,
+        "applyInPandas; oracle replays the greedy exactly via a "
+        "recursive CTE with list state.",
 )
 def q_corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1398,7 +1493,6 @@ def q_corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distribution a curation threshold is read off of; one "
         "map-side-combined hash aggregate. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1435,7 +1529,6 @@ def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the one-shuffle frozen-bucket machinery; the crossing doc is "
         "kept so the subset reaches the budget. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1464,7 +1557,6 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "JSON parsing, no UDF) feeding an integer rollup per event "
         "type; SURVEY §2.8's json-function surface. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

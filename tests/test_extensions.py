@@ -302,3 +302,109 @@ def test_parse_wav_header_on_real_wav_bytes(spark):
     assert out[2]["is_wav"] and (out[2]["channels"], out[2]["sample_rate"]) == (1, 16000)
     assert not out[3]["is_wav"] and out[3]["sample_rate"] is None
     assert not out[4]["is_wav"]
+
+
+def test_png_decode_real_roundtrip_all_filters(spark):
+    # synth images write scanline r with filter r % 5, so an 8-row
+    # image exercises None/Sub/Up/Average/Paeth; decode must recover
+    # the exact closed-form pixels
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    for seed in (63, 56, 8, 127):  # h = 8 → all five filter types
+        payload = multimodal.synth_png_payload(seed)
+        w, h, ch, checksum = multimodal.decode_png(payload)
+        ew, eh = 1 + seed % 8, 1 + (seed // 8) % 8
+        assert (w, h, ch) == (ew, eh, 1)
+        expect = sum(
+            (seed * 31 + r * 7 + c * 3) % 256
+            for r in range(eh)
+            for c in range(ew)
+        )
+        assert abs(checksum - (expect % 9973) / 9973.0) < 1e-12
+
+
+def test_png_decode_rgba_with_paeth(spark):
+    # independent 2x2 RGBA image (filter Paeth on row 1) — decode must
+    # invert filtering on multi-channel strides (bpp=4)
+    import struct
+    import zlib
+
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    rows = [bytes(range(8)), bytes(range(100, 108))]
+    stream = bytearray([0]) + rows[0]
+    # row 1 Paeth-filtered against row 0
+    filt = bytearray([4])
+    for i in range(8):
+        left = rows[1][i - 4] if i >= 4 else 0
+        up = rows[0][i]
+        ul = rows[0][i - 4] if i >= 4 else 0
+        filt.append((rows[1][i] - multimodal._paeth(left, up, ul)) & 0xFF)
+    stream += filt
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    idat = b"IDAT" + zlib.compress(bytes(stream))
+    payload = bytearray(b"\x89PNG\r\n\x1a\n")
+    for chunk in (ihdr, idat, b"IEND"):
+        payload += struct.pack(">I", len(chunk) - 4)
+        payload += chunk
+        payload += struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    w, h, ch, pixels = multimodal._png_pixels(bytes(payload))
+    assert (w, h, ch) == (2, 2, 4)
+    assert bytes(pixels) == rows[0] + rows[1]
+
+
+def test_wav_decode_real_pcm(spark):
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    for seed in (0, 1, 2, 3, 99):
+        ch, rate, frames, checksum = multimodal.decode_wav(
+            multimodal.synth_wav_payload(seed)
+        )
+        ech = 1 + seed % 2
+        assert (ch, rate, frames) == (
+            ech, 8000 + (seed % 4) * 4000, 50 + seed % 50
+        )
+        n = frames * ech
+        expect = sum((seed * 7 + i * 13) % 65536 for i in range(n))
+        assert abs(checksum - (expect % 9973) / 9973.0) < 1e-12
+
+
+def test_decode_media_dispatch_and_corrupt_rows(spark):
+    # one real PNG, one real WAV, one unknown blob, one corrupt PNG
+    # (valid magic, garbage body) — dispatch by magic, never raise
+    import zlib
+
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(multimodal.synth_png_payload(63)), "image", "s://1"),
+        (2, bytearray(multimodal.synth_wav_payload(5)), "audio", "s://2"),
+        (3, bytearray(b"just some plain bytes, not media"), "image", "s://3"),
+        (4, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40), "image", "s://4"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.decode_media(df).collect()}
+    assert out[1]["codec"] == "png" and (out[1]["width"], out[1]["height"]) == (8, 8)
+    assert out[1]["channels"] == 1 and out[1]["sample_rate"] is None
+    assert out[2]["codec"] == "wav" and out[2]["channels"] == 2
+    assert out[2]["sample_rate"] == 12000 and out[2]["n_samples"] == 55
+    assert out[3]["codec"] == "raw" and out[3]["width"] is not None
+    assert out[4]["codec"] == "error" and out[4]["checksum_feature"] is None
+
+
+def test_resize_media_real_png_nearest_neighbor(spark):
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    seed = 63  # 8x8 grayscale
+    rows = [(1, bytearray(multimodal.synth_png_payload(seed)), "image", "s://1")]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_media(df, 3, 3).collect()[0]
+    assert (out["width"], out["height"]) == (3, 3)
+    w, h, ch, px = multimodal._png_pixels(bytes(out["payload"]))
+    assert (w, h, ch) == (3, 3, 1)
+    expect = [
+        (seed * 31 + (ty * 8 // 3) * 7 + (tx * 8 // 3) * 3) % 256
+        for ty in range(3)
+        for tx in range(3)
+    ]
+    assert list(px) == expect

@@ -37,20 +37,49 @@ def test_entry_contract(spark):
 
 
 def test_driver_export_fills_cap_exactly():
-    """The driver records rows for at most DRIVER_QUERY_CAP queries
-    (round 1: 53 registered, exactly the first 50 got rows). Exporting
-    exactly the cap means no registered query is silently unverified;
-    the round-1 orphans must be inside the export."""
+    """The driver records rows for at most DRIVER_QUERY_CAP queries.
+    Exporting exactly the cap means no driver slot is wasted; the
+    round-3 rotation promotions (queries that had never earned a
+    driver row) must be inside the export, and no operator family may
+    lose its last driver row to a demotion."""
     q = workload.queries()
     assert len(q) == workload.DRIVER_QUERY_CAP
-    for orphan in (
-        "embedding_normalize",
-        "approx_distinct_users",
-        "streaming_attribution_join",
-        # round-2 packing/mixing family — must hold driver rows
-        "corpus_pack_chunks",
-        "corpus_pack_next_fit",
-        "corpus_mixture_sample",
-        "corpus_global_shuffle",
+    for promoted in (
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "text_lm_scores",
+        "text_repetition_scores",
+        "etl_gapfill_hours",
+        "orders_zorder_key",
+        "events_json_props_rollup",
+        "multimodal_png_headers",
+        "multimodal_wav_headers",
+        "multimodal_decode_png",
+        "multimodal_decode_wav",
+        "corpus_budget_select",
+        "corpus_incremental_dedup",
+        "embedding_quantize",
+        "corpus_source_stats",
+        "corpus_length_histogram",
+        "corpus_pack_ffd",
     ):
-        assert orphan in q
+        assert promoted in q, promoted
+    # each family keeps at least one driver row after the demotions
+    families = {
+        "etl": ["etl_hourly_downsample"],
+        "tpch": ["q1_pricing_summary", "q18_large_volume_customers"],
+        "grouping": ["orders_cube"],
+        "window": ["topk_per_segment", "asof_last_order_per_event"],
+        "dedup": ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh"],
+        "similarity": ["similarity_topk", "embedding_normalize"],
+        "text": ["text_token_stats", "text_language_id"],
+        "streaming": ["streaming_hourly_downsample", "streaming_sessionize",
+                      "streaming_ewma_alerts", "streaming_attribution_join"],
+        "curation": ["dedup_components", "corpus_hash_split",
+                     "corpus_balanced_shards", "corpus_contamination"],
+        "packing": ["corpus_pack_chunks", "corpus_mixture_sample"],
+        "sketch": ["approx_distinct_users"],
+    }
+    for fam, members in families.items():
+        assert any(m in q for m in members), fam
