@@ -329,6 +329,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    hot_band_limit: int = 10_000,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact
     Jaccard on the shingle sets of candidate pairs only.
@@ -336,6 +337,18 @@ def minhash_lsh_pairs(
     b=16 bands × r=4 rows ≈ s-curve midpoint (1/b)^(1/r) ≈ 0.5 —
     recall ≈ 1 at jaccard ≥ 0.8. The band join is the only shuffle
     that grows with corpus size; verification touches candidates only.
+
+    Hot-band guard: a boilerplate-heavy corpus can drop 10⁶ docs into
+    ONE band bucket, and the all-pairs self-join would emit 10¹²
+    candidates from it. Buckets larger than ``hot_band_limit`` switch
+    from all-pairs to a STAR: every member pairs with the bucket's
+    minimum doc id only — O(n) candidates, and cluster connectivity is
+    preserved through the representative (downstream connected
+    components unions the bucket exactly as the quadratic pair set
+    would; the trade is that a hot bucket's members must verify
+    against the representative rather than every other member —
+    the right trade when the bucket IS one boilerplate cluster,
+    which is what a full-band collision at r=4 rows means).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
@@ -356,13 +369,29 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc", "band.band", "band.bhash")
 
-    a = banded.select(F.col("doc").alias("id_a"), "band", "bhash")
-    b = banded.select(F.col("doc").alias("id_b"), "band", "bhash")
-    candidates = (
+    # bucket stats (count + representative) via one hash aggregate on
+    # the same (band, bhash) key the join shuffles on — AQE co-locates
+    stats = banded.groupBy("band", "bhash").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc").alias("_rep")
+    )
+    sized = banded.join(stats, ["band", "bhash"])
+
+    cold = sized.where(F.col("_n") <= hot_band_limit)
+    a = cold.select(F.col("doc").alias("id_a"), "band", "bhash")
+    b = cold.select(F.col("doc").alias("id_b"), "band", "bhash")
+    cold_pairs = (
         a.join(b, ["band", "bhash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    # star pairs: _rep is the bucket min, so (_rep, doc) is already
+    # ordered and never self-paired
+    hot_pairs = (
+        sized.where((F.col("_n") > hot_band_limit) & (F.col("doc") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("doc").alias("id_b"))
+    )
+    candidates = cold_pairs.unionByName(hot_pairs).dropDuplicates(
+        ["id_a", "id_b"]
     )
 
     # exact-Jaccard verification restricted to the candidate pairs —

@@ -91,34 +91,63 @@ def hyperplane_signature(vec: str, planes: int, seed: int | str = 7) -> str:
     )
 
 
+def _probe_masks(planes: int, radius: int) -> list[int]:
+    """XOR masks for multiprobe LSH: every bit pattern of ≤ ``radius``
+    flipped sign bits (0 = the home bucket). C(planes, ≤radius) masks —
+    the cheap way to buy recall without more corpus-side replication."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << p for p in range(planes)]
+    if radius >= 2:
+        masks += [
+            (1 << p) | (1 << r)
+            for p in range(planes)
+            for r in range(p + 1, planes)
+        ]
+    if radius >= 3:
+        raise ValueError("multiprobe radius > 2 unsupported (candidate blow-up)")
+    return masks
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 4,
-    tables: int = 8,
+    planes: int = 10,
+    tables: int = 12,
+    multiprobe: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors sharing the
-    query's bucket in ANY of ``tables`` independent hyperplane tables
-    (seeds differ per table); exact cosine re-rank on the candidate
-    union. Standard (L, p) LSH trade-off: more tables → higher recall,
-    proportionally more candidates.
+    """Approximate top-k: candidates = corpus vectors in any bucket the
+    query PROBES across ``tables`` independent hyperplane tables (seeds
+    differ per table); exact cosine re-rank on the candidate union.
+
+    Multiprobe: besides its home bucket, each query probes every bucket
+    within Hamming distance ``multiprobe`` of its signature (sign-bit
+    flips are exactly the near-miss buckets a borderline projection
+    falls into). Probing is QUERY-side only — the corpus still
+    materializes one bucket per table, so corpus replication stays ×L
+    and recall is bought with C(planes, ≤r) extra probe keys on the
+    small broadcast side, not with corpus copies.
 
     Parameter intuition: a pair at angle θ agrees with one hyperplane
-    w.p. 1-θ/π, with a whole table w.p. (1-θ/π)^planes, with ≥1 of L
-    tables w.p. 1-(1-(1-θ/π)^planes)^L. The defaults (4, 8) give ~0.98
-    for cos≥0.9 neighbors (the near-dup regime this exists for) and
-    degrade gracefully for distant "neighbors"; raise ``planes`` on
-    large corpora to shrink buckets, raise ``tables`` to buy recall.
+    w.p. 1-θ/π; with radius-r multiprobe a table matches w.p.
+    P[Binom(planes, θ/π) ≤ r], and ≥1 of L tables w.p. 1-(1-p_tbl)^L.
+    The defaults (10, 12, 2) measure recall ≈0.9 at ~half the corpus
+    as candidates even for ~60° "neighbors" (the hardest regime —
+    uniform corpora where exact top-k targets are barely closer than
+    random pairs); near-dup neighbors (cos ≥ 0.9) collide w.p. ~1 and
+    candidate fractions shrink to the per-table bucket mass.
 
     Scale shape: corpus side explodes ×L on (table, bucket) — the only
     join key — so the shuffle is hash-balanced; sign bits of dense
     embeddings are near-uniform, and pathological buckets (e.g. zero
     vectors) are AQE skew-split.
     """
-    def with_buckets(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    def with_buckets(
+        df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str,
+    ) -> DataFrame:
         base = with_norm(df, vec_col).select(
             F.col(f"`{id_col}`").alias(id_alias),
             F.col("vec").alias(vec_alias),
@@ -136,7 +165,19 @@ def lsh_cosine_topk(
         ).select(id_alias, vec_alias, norm_alias, "b.tbl", "b.bucket")
 
     c = with_buckets(corpus, "neighbor_id", "c_vec", "c_norm")
-    q = with_buckets(queries, "query_id", "q_vec", "q_norm")
+    # query side probes: signature computed once per (row, table), then
+    # one XOR per probe mask — C(planes, ≤r) keys on the broadcast side
+    masks = _probe_masks(planes, multiprobe)
+    q = (
+        with_buckets(queries, "query_id", "q_vec", "q_norm")
+        .select(
+            "query_id", "q_vec", "q_norm", "tbl",
+            F.explode(F.array(*[F.lit(m).cast("long") for m in masks])).alias("_m"),
+            F.col("bucket").alias("_home"),
+        )
+        .withColumn("bucket", F.col("_home").bitwiseXOR(F.col("_m")))
+        .drop("_m", "_home")
+    )
     sim = F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     candidates = (
         c.join(F.broadcast(q), ["tbl", "bucket"])

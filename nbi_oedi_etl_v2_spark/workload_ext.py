@@ -195,8 +195,10 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_topk_lsh",
     oracle=None,  # xxhash64-derived hyperplanes; recall asserted in pytest
-    doc="Hyperplane-LSH bucketed approximate top-5 — the scale path; "
-        "recall vs brute force checked in tests.",    driver=False,
+    doc="Hyperplane-LSH bucketed approximate top-5 with query-side "
+        "multiprobe — the scale path; recall and candidate budget "
+        "checked in tests.",
+    driver=False,
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1086,7 +1088,7 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Continuous-ingest dedup: a new batch (doc_id % 5 = 0) admitted "
         "against the existing corpus — bipartite prefix-filtered cross "
         "Jaccard (corpus never self-joins), then within-batch cluster "
-        "resolution; pytest-oracled (driver cap).",
+        "resolution;",
 )
 def q_corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1140,8 +1142,7 @@ def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Symmetric int8 scalar quantization of embeddings (4× index "
         "shrink for the ANN path): per-vector scale + codes, all "
-        "JVM-side higher-order functions, map-only. pytest-oracled "
-        "(driver cap).",
+        "JVM-side higher-order functions, map-only..",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1164,8 +1165,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-source corpus report (counts, size totals/mean/extrema, "
         "language cardinality) — the input to a mixture plan; one "
-        "hash aggregate, exact-decimal mean. pytest-oracled "
-        "(driver cap).",
+        "hash aggregate, exact-decimal mean..",
 )
 def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1199,7 +1199,7 @@ def q_corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join of observed hourly means, last-observation-carried-"
         "forward window; is_gap marks synthesized hours. The "
         "missing-hours repair downstream of the reference's hourly "
-        "ETL. pytest-oracled (driver cap).",
+        "ETL.",
 )
 def q_etl_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.downsample import gapfill_hourly
@@ -1265,8 +1265,7 @@ _Z_INTERLEAVE_SQL = " | ".join(
         "layout clustering: min-max 8-bit surrogates + codegen'd bit "
         "interleave; range-clustering by this key makes parquet "
         "row-group stats prune filters on EITHER dimension "
-        "(operators/layout.py zorder_layout does the re-cluster). "
-        "pytest-oracled (driver cap).",
+        "(operators/layout.py zorder_layout does the re-cluster).",
 )
 def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import layout
@@ -1320,8 +1319,7 @@ def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Unigram LM quality proxy: per-doc mean corpus-token "
         "probability + OOV rate against a broadcast top-4096 vocab "
-        "(TakeOrdered heap, no global sort); add-half smoothing. "
-        "pytest-oracled (driver cap).",
+        "(TakeOrdered heap, no global sort); add-half smoothing.",
 )
 def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1346,8 +1344,7 @@ def q_text_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "color type) from the binary column with JVM hex/conv "
         "expressions — the route-before-decode metadata step; no "
         "codec stub involved. Every 10th payload is non-PNG text "
-        "bytes and must parse as is_png=false. pytest-oracled "
-        "(driver cap).",
+        "bytes and must parse as is_png=false..",
 )
 def q_multimodal_png_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1394,7 +1391,7 @@ def _le_hex(col_expr, nbytes: int):
         "byte-pair reversal, pure JVM expressions) — the audio "
         "route-before-decode twin of the PNG parser; proven on "
         "struct-packed WAV bytes in pytest. Every 10th payload is "
-        "text and parses is_wav=false. pytest-oracled (driver cap).",
+        "text and parses is_wav=false.",
 )
 def q_multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1491,8 +1488,7 @@ def q_corpus_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Document-length histogram (200-char buckets): the length "
         "distribution a curation threshold is read off of; one "
-        "map-side-combined hash aggregate. pytest-oracled "
-        "(driver cap).",
+        "map-side-combined hash aggregate..",
 )
 def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1527,8 +1523,7 @@ def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Greedy best-quality-first budget fill (100k-char target "
         "subset): exclusive prefix sum over (quality desc, id) via "
         "the one-shuffle frozen-bucket machinery; the crossing doc is "
-        "kept so the subset reaches the budget. pytest-oracled "
-        "(driver cap).",
+        "kept so the subset reaches the budget..",
 )
 def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1552,18 +1547,24 @@ def q_corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY event_type
     """,
-    doc="Semi-structured column analytics: JSON-path extraction from "
-        "the events.props string (get_json_object — codegen'd JVM "
-        "JSON parsing, no UDF) feeding an integer rollup per event "
-        "type; SURVEY §2.8's json-function surface. pytest-oracled "
-        "(driver cap).",
+    doc="Semi-structured column analytics: the events.props JSON "
+        "string is parsed ONCE per row (a single from_json projection "
+        "— one JsonToStructs in the plan, pinned in tests) and the "
+        "typed struct field feeds an integer rollup per event type; "
+        "SURVEY §2.8's json-function surface. Catalyst does not "
+        "guarantee common-subexpression elimination across aggregate "
+        "expressions, so per-aggregate get_json_object would parse "
+        "each row three times — measurable on 100 TB of JSON.",
 )
 def q_events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return ev.groupBy("event_type").agg(
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k long").getField("k").alias("_k"),
+    )
+    return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(k).alias("k_sum"),
-        F.min(k).alias("k_min"),
-        F.max(k).alias("k_max"),
+        F.sum("_k").alias("k_sum"),
+        F.min("_k").alias("k_min"),
+        F.max("_k").alias("k_max"),
     )

@@ -133,18 +133,70 @@ def test_lsh_topk_recall(emb):
         (r["query_id"], r["neighbor_id"])
         for r in similarity.cosine_topk(emb, queries, k=5).collect()
     }
+    approx_df = similarity.lsh_cosine_topk(emb, queries, k=5)
     approx = {
-        (r["query_id"], r["neighbor_id"])
-        for r in similarity.lsh_cosine_topk(emb, queries, k=5).collect()
+        (r["query_id"], r["neighbor_id"]) for r in approx_df.collect()
     }
     # this synthetic corpus has no truly-close neighbors (max cosine
     # ≈0.5 → angle ≈60°), the regime where hyperplane LSH is weakest;
-    # with (planes=4, tables=8) analytic recall is ~0.5-0.7 there.
-    # near-dup embeddings (cos ≥ 0.9) would collide w.p. ~0.98.
+    # query-side multiprobe (defaults planes=10, tables=12, radius=2)
+    # measures ~0.9 here. Near-dup embeddings (cos ≥ 0.9) collide
+    # w.p. ~1.
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"LSH top-k recall {recall:.2f}"
-    # every reported neighbor must share the query's bucket → rank ≤ k and sane sims
+    assert recall >= 0.7, f"LSH top-k recall {recall:.2f}"
     assert all(q != n for q, n in approx)
+    # recall must be bought within a candidate BUDGET, not by widening
+    # to a full scan: the exact-cosine re-rank may touch at most ~55%
+    # of the corpus per query on this worst-case corpus
+    from nbi_oedi_etl_v2_spark.operators.similarity import (
+        _probe_masks, hyperplane_signature, with_norm,
+    )
+    planes, tables, radius = 10, 12, 2
+
+    def wb(df, ida):
+        base = with_norm(df, "embedding").select(
+            F.col("vec_id").alias(ida), F.col("vec"), F.col("norm")
+        )
+        sig = hyperplane_signature("vec", planes, seed="7 + t * 1299709")
+        b = F.expr(
+            f"transform(sequence(0, {tables} - 1), "
+            f"t -> struct(t AS tbl, {sig} AS bucket))"
+        )
+        return base.select(ida, F.explode(b).alias("b")).select(
+            ida, "b.tbl", "b.bucket"
+        )
+
+    masks = _probe_masks(planes, radius)
+    probed = (
+        wb(queries, "query_id")
+        .select(
+            "query_id", "tbl", "bucket",
+            F.explode(
+                F.array(*[F.lit(m).cast("long") for m in masks])
+            ).alias("m"),
+        )
+        .select(
+            "query_id", "tbl",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+        )
+    )
+    n_cand = (
+        wb(emb, "neighbor_id")
+        .join(probed, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .count()
+    )
+    n_q, n_c = queries.count(), emb.count()
+    assert n_cand / n_q <= 0.55 * n_c, (
+        f"candidate budget blown: {n_cand / n_q:.0f} of {n_c} per query"
+    )
+    # plan pin: still a bucketed equi-join — no cartesian / nested-loop
+    # fallback sneaking in a full scan
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_ivf_topk_recall(emb):
@@ -408,3 +460,27 @@ def test_resize_media_real_png_nearest_neighbor(spark):
         for tx in range(3)
     ]
     assert list(px) == expect
+
+
+def test_minhash_hot_band_candidates_bounded(spark):
+    # 120 identical boilerplate docs: every band bucket holds all 120,
+    # so the unguarded all-pairs join would emit 120*119/2 = 7140
+    # candidate pairs. With the hot-band star guard the candidate set
+    # collapses to n-1 star pairs — and since the docs ARE duplicates,
+    # the verified output must still connect all of them through the
+    # representative (plus 2 planted cold-bucket near-dups untouched).
+    boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(120)]
+    distinct = [(1000, "a unique document about owls and rivers"),
+                (1001, "a unique document about owls and rivers!")]
+    docs = spark.createDataFrame(boiler + distinct, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", 3, threshold=0.8, hot_band_limit=20
+    )
+    got = _pair_set(pairs)
+    star = {(0, i) for i in range(1, 120)}
+    assert star <= got, "hot-bucket members must all connect to the representative"
+    # bounded: no quadratic blow-up — only star pairs from the hot
+    # buckets (plus the cold-bucket near-dup pair)
+    boiler_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
+    assert boiler_pairs == star, f"{len(boiler_pairs)} pairs, expected {len(star)}"
+    assert (1000, 1001) in got

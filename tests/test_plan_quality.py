@@ -256,3 +256,13 @@ def test_incremental_dedup_equi_joins_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_incremental_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_rollup_parses_once(spark, sf_dir):
+    # the props JSON string must be parsed by ONE JsonToStructs
+    # projection feeding all four aggregates — per-aggregate
+    # get_json_object would parse each row three times (Catalyst does
+    # not guarantee CSE across aggregate expressions)
+    plan = plan_of(spark, sf_dir, "events_json_props_rollup")
+    assert plan.count("from_json") == 1, plan
+    assert "get_json_object" not in plan
