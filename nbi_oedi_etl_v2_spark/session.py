@@ -23,6 +23,13 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "hdfs": ("org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
+}
+
 
 def get_spark(
     app_name: str = "nbi_oedi_etl_v2_spark",
@@ -54,6 +61,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # RocksDB state store: streaming state lives off-heap/on-disk,
+        # so per-key state (sessionize, EWMA, dedup horizon) is bounded
+        # by disk rather than executor heap — the 100 TB posture. The
+        # HDFS-backed default keeps every state row on the heap, which
+        # caps state at executor memory. Changelog checkpointing ships
+        # per-batch deltas instead of full snapshots. Override with
+        # SPARK_GRAFT_STATE_STORE=hdfs for the heap-backed provider.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            _STATE_STORE_PROVIDERS[
+                os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb")
+            ],
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

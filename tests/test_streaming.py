@@ -237,3 +237,65 @@ def test_dim_enrich_same_key_name_keeps_stream_key(spark, sf_dir):
     n = load_table(spark, sf_dir, "events").count()
     assert res.count() == n
     assert res.filter(F.col("user_id").isNull()).count() == 0
+
+
+def test_stream_sessionize_state_bounded_after_watermark(spark, tmp_path):
+    # session_window state must plateau/shrink once sessions quiesce
+    # past the watermark (ADVICE r2 item 7): a closed session's state
+    # row is evicted when the watermark passes its end. Verified from
+    # the progress metrics (numRowsTotal) on the RocksDB provider the
+    # session factory now configures by default.
+    import datetime
+    import glob
+    import shutil
+
+    assert "RocksDB" in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def drop_file(i, rows):
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        shutil.copy(part, str(indir / f"batch{i}.parquet"))
+
+    def run():
+        src = spark.readStream.schema(
+            "user_id bigint, ts timestamp, value double"
+        ).parquet(str(indir))
+        q = (
+            streaming.sessionize_stream(src, gap="30 minutes", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ]
+        return totals[-1] if totals else None
+
+    h = datetime.timedelta(hours=1)
+    # two users open one session each → state holds 2 session rows
+    drop_file(0, [(1, t0, 1.0), (2, t0, 2.0)])
+    assert run() == 2
+    # user 2 keeps going 10h later; the advanced watermark (t0+8h) is
+    # past both t0 sessions' ends (t0+30min) → they are emitted and
+    # evicted; only user 2's new session may remain. availableNow may
+    # or may not run the trailing eviction batch, hence the range.
+    drop_file(1, [(2, t0 + 10 * h, 3.0)])
+    assert run() in (1, 2, 3)
+    # one more step firmly past every old session: exactly one live
+    # session row (user 2's t0+10h session) — state plateaued, not
+    # accumulated across 10h of quiesced keys
+    drop_file(2, [(2, t0 + datetime.timedelta(hours=10, minutes=1), 4.0)])
+    assert run() == 1
