@@ -369,12 +369,18 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc", "band.band", "band.bhash")
 
-    # bucket stats (count + representative) via one hash aggregate on
-    # the same (band, bhash) key the join shuffles on — AQE co-locates
-    stats = banded.groupBy("band", "bhash").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("doc").alias("_rep")
+    # bucket stats (count + representative) via unbounded window over
+    # the SAME (band, bhash) key the candidate join needs: one shuffle
+    # + per-bucket sort, no second pass over the signature subtree
+    # (the agg+join formulation shuffles the banded rows twice and
+    # recomputes the minhash aggregate for the stats branch — measured
+    # ~1.4× slower at sf0.1). A hot bucket lands in one window task,
+    # but the self-join needs it co-located anyway; the guard below is
+    # what bounds the quadratic part.
+    bucket = Window.partitionBy("band", "bhash")
+    sized = banded.withColumn("_n", F.count(F.lit(1)).over(bucket)).withColumn(
+        "_rep", F.min("doc").over(bucket)
     )
-    sized = banded.join(stats, ["band", "bhash"])
 
     cold = sized.where(F.col("_n") <= hot_band_limit)
     a = cold.select(F.col("doc").alias("id_a"), "band", "bhash")
