@@ -857,6 +857,7 @@ def _ensure_extensions() -> None:
     """Late-import the extension workload (it imports ``query`` from
     this module, so a top-level import would be circular)."""
     from . import workload_ext  # noqa: F401
+    from . import workload_tpch  # noqa: F401
 
 
 @query(
