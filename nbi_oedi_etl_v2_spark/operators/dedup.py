@@ -522,3 +522,74 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Exact substring-duplication stats at token-window granularity —
+    the distributed reformulation of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): windows of ``window`` tokens sampled every ``stride``
+    tokens; a sampled window is *duplicated* when its exact token
+    sequence occurs in more than one distinct document.
+
+    Returns one row per input doc: (doc_id, n_windows,
+    n_dup_windows, dup_frac). Docs shorter than ``window`` contribute
+    their whole token sequence as a single window (k<n shingle
+    convention); token-less docs contribute the empty window, which
+    matches other empty docs — deliberate: empty/boilerplate-blank
+    docs ARE mutual duplicates.
+
+    Scale shape: explode is stride-sampled (rows = tokens/stride, not
+    tokens); the cross-doc window count groups on xxhash64 of the
+    window text (8-byte shuffle key; a collision can only merge two
+    windows and over-flag — the same one-sided, ~2⁻⁶⁴-probability
+    trade as the dedup candidate joins), then one equi-join back and
+    a per-doc aggregate. Never quadratic: a window shared by 10⁶ docs
+    is ONE aggregate row with count 10⁶, not 10¹² pairs.
+    """
+    toks = F.expr(
+        f"regexp_extract_all(lower(`{text_col}`), '[a-z0-9]+', 0)"
+    )
+    wins = (
+        df.select(F.col(f"`{id_col}`").alias("doc"), toks.alias("toks"))
+        .select(
+            "doc",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - (window - 1), F.lit(1)),
+                    F.lit(stride),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc",
+            F.xxhash64(
+                F.array_join(F.slice("toks", F.col("i"), window), " ")
+            ).alias("wh"),
+        )
+    )
+    per_win = wins.groupBy("wh").agg(F.count_distinct("doc").alias("_ndocs"))
+    return (
+        wins.join(per_win, "wh")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("_ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 7
+            ),
+        )
+    )

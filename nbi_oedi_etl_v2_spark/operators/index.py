@@ -1,0 +1,182 @@
+"""Full-text retrieval primitives over the documents table: inverted
+index construction and BM25 ranking.
+
+A training-data pipeline needs retrieval for decontamination audits,
+targeted corpus slicing ("all docs matching these probe terms"), and
+quality triage; building the index IS a large-scale aggregation
+problem, so it belongs to the engine.
+
+Tokenization is the shared word tokenizer
+(``regexp_extract_all(lower(text), '[a-z0-9]+')``) — identical
+expression on the DuckDB oracle side (operators/text.py convention).
+
+Scale shape:
+- ``inverted_index``: two hash aggregates — (token, doc) term
+  frequencies, then per-token posting assembly. Per-group state is one
+  token's posting list; a stopword-grade token's postings are bounded
+  by ``max_doc_freq`` stop-listing (same rationale as stop-shingling
+  in dedup). Postings serialize as a sorted "doc:tf" string so the
+  result is one scalar column per token — engine-comparable and
+  columnar-friendly.
+- ``bm25_topk``: the query term list is a literal (broadcast by
+  construction); the corpus is scanned once for (doc, qterm) term
+  frequencies, joined to a #query-terms-row idf table (broadcast) and
+  a per-doc length table (one aggregate over the same scan), then one
+  global top-k (TakeOrdered — no global sort). Shuffles are O(docs
+  containing a query term), never O(corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _tokens
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, tok) occurrence rows, whole-stage codegen."""
+    return df.select(
+        F.col(f"`{id_col}`").alias("doc"),
+        F.explode(F.expr(_tokens(text_col))).alias("tok"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(token, doc_freq, total_tf, postings) — postings is the
+    df-sorted posting list serialized as ``"doc:tf doc:tf ..."``.
+
+    ``max_doc_freq`` drops stopword-grade tokens (document frequency
+    above the cap) AFTER counting — the returned doc_freq is still
+    corpus-true for every surviving token. At 100 TB the cap bounds
+    the widest posting row; everything else is two map-side-combined
+    hash aggregates.
+    """
+    tf = (
+        _token_rows(df, id_col, text_col)
+        .groupBy("tok", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idx = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc", "tf"))),
+                lambda x: F.concat_ws(
+                    ":", x["doc"].cast("string"), x["tf"].cast("string")
+                ),
+            ),
+            " ",
+        ).alias("postings"),
+    )
+    if max_doc_freq is not None:
+        idx = idx.where(F.col("doc_freq") <= max_doc_freq)
+    return idx.select("tok", "doc_freq", "total_tf", "postings")
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25
+    (Robertson/Sparck Jones, the Okapi formulation with the +1 idf
+    floor): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Engine-portability note: ln() is the one transcendental in the
+    tree; glibc and the JVM agree to ≤1 ulp, so the score is rounded
+    to 5 decimals — a divergence would need a true value within 1e-15
+    of a rounding boundary. Ranking ties break on doc id.
+
+    Plan: corpus scanned once; (doc, term) tfs for the ≤|query| terms
+    survive the scan filter; df-per-term and doc-length aggregates
+    join back broadcast (both bounded: |query| rows, and doc lengths
+    re-derived per matching doc, not per corpus row).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = _token_rows(df, id_col, text_col)
+    # per-doc length over the FULL corpus (BM25's normalizer), one agg
+    doclen = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        toks.where(F.col("tok").isin(qt))
+        .groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(doclen, "doc")
+        .join(F.broadcast(stats))
+        .withColumn("avgdl", F.col("total_len").cast("double") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc")
+        .agg(F.round(F.sum("term_score"), 5).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc"))
+        .limit(k)
+        .select(F.col("doc").alias(id_col), "bm25")
+    )
+
+
+def bm25_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of ``bm25_topk`` (same tokenizer, same
+    arithmetic tree, same 5-decimal rounding)."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc, unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS tok
+      FROM {table}
+    ),
+    doclen AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen),
+    tf AS (
+      SELECT doc, tok, count(*) AS tf FROM toks
+      WHERE tok IN ({terms}) GROUP BY doc, tok
+    ),
+    dft AS (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok)
+    SELECT doc AS {id_col}, round(sum(
+      ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+      * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl / (CAST(total_len AS DOUBLE) / n_docs)))
+    ), 5) AS bm25
+    FROM tf JOIN dft USING (tok) JOIN doclen USING (doc) CROSS JOIN stats
+    GROUP BY doc
+    ORDER BY bm25 DESC, doc
+    LIMIT {k}
+    """

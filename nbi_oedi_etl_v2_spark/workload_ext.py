@@ -19,7 +19,7 @@ from . import streaming
 from .functions import davg_sql
 from .operators import curation, dedup, multimodal, packing, similarity, text
 from .tables import load_table
-from .workload import HOURLY_DOWNSAMPLE_ORACLE, query
+from .workload import HOURLY_DOWNSAMPLE_ORACLE, REGISTRY, query
 
 # ---------------------------------------------------------------------------
 # Deduplication family
@@ -1568,3 +1568,180 @@ def q_events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_k").alias("k_min"),
         F.max("_k").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval family (operators/index.py): inverted index + BM25.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, doc, count(*) AS tf FROM toks GROUP BY tok, doc)
+    SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           string_agg(doc || ':' || tf, ' ' ORDER BY doc) AS postings
+    FROM tf GROUP BY tok
+    """,
+    doc="Inverted index build: two hash aggregates (term frequencies, "
+        "then per-token posting assembly); postings serialize as the "
+        "doc-sorted 'doc:tf' string so the row is scalar-columnar and "
+        "engine-comparable. max_doc_freq stop-listing bounds the "
+        "widest posting row at corpus scale (unset here: the oracle "
+        "covers the full surface).",
+    driver=False,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import index as idx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return idx.inverted_index(docs, "doc_id", "text")
+
+
+@query(
+    "text_bm25_topk",
+    oracle=None,  # assembled in module scope below (term-list literal)
+    doc="Okapi BM25 top-10 for a bag-of-terms query: one corpus scan, "
+        "broadcast idf/doclen stats, TakeOrdered top-k. Score rounded "
+        "to 5 decimals (ln() is the one transcendental; glibc vs JVM "
+        "agree to <=1 ulp).",
+    driver=False,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import index as idx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return idx.bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+_BM25_TERMS = ["vector", "spark", "merge"]
+
+
+def _install_bm25_oracle() -> None:
+    from .operators import index as idx
+
+    REGISTRY["text_bm25_topk"].oracle = idx.bm25_oracle_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, k=10
+    )
+
+
+_install_bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Substring-span dedup (operators/dedup.py duplicate_spans).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_duplicate_spans",
+    oracle="""
+    WITH wins AS (
+      SELECT doc, array_to_string(toks[i:i+7], ' ') AS w
+      FROM (
+        SELECT doc_id AS doc,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+      ), unnest(generate_series(1, greatest(len(toks) - 7, 1), 4)) AS t(i)
+    ),
+    per_win AS (SELECT w, count(DISTINCT doc) AS ndocs FROM wins GROUP BY w)
+    SELECT doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 7) AS dup_frac
+    FROM wins JOIN per_win USING (w)
+    GROUP BY doc
+    """,
+    doc="Substring-duplication stats (Lee et al. suffix-array dedup, "
+        "reformulated as stride-sampled token windows): window=8, "
+        "stride=4; a window is duplicated when its exact token "
+        "sequence occurs in >1 distinct doc. Spark groups windows by "
+        "xxhash64 (8-byte shuffle keys); the oracle groups the window "
+        "STRINGS — equality of results is the no-collision case.",
+    driver=False,
+)
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "doc_id", "text", window=8, stride=4)
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics (operators/analytics.py).
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    ),
+    counts AS (
+      SELECT 1 AS step_index, 'view' AS step, count(*) AS users FROM s1
+      UNION ALL
+      SELECT 2, 'click', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT CAST(step_index AS BIGINT) AS step_index, step,
+           CAST(users AS BIGINT) AS users,
+           round(CASE WHEN (SELECT users FROM counts WHERE step_index = 1) = 0
+                 THEN 0.0 ELSE CAST(users AS DOUBLE)
+                   / (SELECT users FROM counts WHERE step_index = 1) END, 7)
+             AS conversion
+    FROM counts
+    """,
+    doc="Ordered funnel view -> click -> purchase: per-step first-"
+        "qualifying-occurrence times via chained conditional "
+        "aggregates (each an equi-join on the user key), counts and "
+        "step-1-relative conversion.",
+    driver=False,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week
+      FROM events
+    ),
+    first AS (SELECT u, min(week) AS cohort_week FROM weeks GROUP BY u)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT u) AS BIGINT) AS active_users
+    FROM weeks JOIN first USING (u)
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention matrix: first-activity week per user "
+        "(ISO Monday date_trunc, UTC-pinned both engines), distinct "
+        "user-week activity grid, exact integer week offsets.",
+    driver=False,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev)
