@@ -1,0 +1,162 @@
+"""Iterative graph algorithms as DataFrame loops: fixed-point
+PageRank. Complements ``curation.connected_components`` (min-label +
+pointer jumping) as the engine's iterative-computation surface.
+
+Determinism design: ranks are INTEGER fixed-point (×``scale``) and
+every per-step operation is integer floor arithmetic (`div`), so an
+iteration is a pure function of the previous one — bit-identical
+across engines, partitionings, and AQE re-plans. Double-based
+PageRank sums contributions in partition order and cannot be
+hash-compared across engines; integer fixed-point gives up ~1e-12
+relative precision per step for exact reproducibility (and
+``scale=10¹²`` keeps ~7 significant digits even on a 10⁵-node graph).
+
+Scale shape per iteration: one equi-join (ranks→edges on src), one
+hash aggregate (contributions by dst), one left join back to the node
+set — all keyed shuffles, nothing driver-side, lineage truncated per
+round the same way connected_components does NOT need here because
+the iteration count is fixed and small (a 5-deep plan is fine; pass
+``checkpoint_every`` for long runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Synchronous power-iteration PageRank with integer fixed-point
+    ranks: R⁰(v) = scale div N, and
+
+        Rⁱ⁺¹(v) = base + Σ_{u→v} (damping_pct · (Rⁱ(u) div deg(u))) div 100
+        base    = ((100 − damping_pct) · (scale div N)) div 100
+
+    Dangling nodes (no out-edges) keep only the teleport term — their
+    mass is dropped, the simplest standard convention. Returns
+    (node, rank_fp) with rank_fp the final fixed-point rank.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(f"`{src}`").alias("src"), F.col(f"`{dst}`").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # scale div N and the teleport base are scalars — computed once,
+    # broadcast into the node table (never collected to Python)
+    init = (
+        nodes.join(F.broadcast(n_nodes))
+        .select(
+            "node",
+            F.expr(f"CAST({scale} AS BIGINT) div _n").alias("r"),
+            F.expr(
+                f"(CAST({100 - damping_pct} AS BIGINT)"
+                f" * (CAST({scale} AS BIGINT) div _n)) div 100"
+            ).alias("base"),
+        )
+    )
+    ranks = init
+    ed = e.join(deg, "src")  # (src, dst, deg) — static across rounds
+    for i in range(iterations):
+        contrib = (
+            ed.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.expr(f"(CAST({damping_pct} AS BIGINT) * (r div deg)) div 100")
+                ).alias("_c")
+            )
+        )
+        ranks = (
+            init.select("node", "base")
+            .join(contrib, "node", "left_outer")
+            .select(
+                "node",
+                (F.col("base") + F.coalesce(F.col("_c"), F.lit(0))).alias("r"),
+                "base",
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Directed distinct co-occurrence edges: (a, b) when items a ≠ b
+    appear in the same order. The self-join is per-order (fan-out
+    bounded by items-per-order², a catalog constant, never corpus-
+    quadratic); distinct pairs collapse repeat co-purchases.
+    """
+    a = lineitem.select(
+        F.col(f"`{order_col}`").alias("o"), F.col(f"`{item_col}`").alias("src")
+    ).distinct()
+    b = a.select(F.col("o"), F.col("src").alias("dst"))
+    return (
+        a.join(b, "o")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_oracle_sql(
+    iterations: int = 5, damping_pct: int = 85, scale: int = SCALE
+) -> str:
+    """DuckDB mirror of ``pagerank_fixed`` over the lineitem
+    co-purchase graph — the iteration unrolled as a generated CTE
+    chain with the same integer floor arithmetic."""
+    head = f"""
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    consts AS (
+      SELECT CAST({scale} AS BIGINT) // count(*) AS r0,
+             (CAST({100 - damping_pct} AS BIGINT)
+              * (CAST({scale} AS BIGINT) // count(*))) // 100 AS base
+      FROM nodes
+    ),
+    r0 AS (SELECT node, (SELECT r0 FROM consts) AS r FROM nodes)"""
+    steps = []
+    for i in range(iterations):
+        steps.append(f""",
+    r{i + 1} AS (
+      SELECT n.node,
+             (SELECT base FROM consts) + COALESCE(c.s, 0) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node,
+               sum((CAST({damping_pct} AS BIGINT) * (r.r // d.deg)) // 100) AS s
+        FROM edges e JOIN r{i} r ON e.src = r.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{iterations}
+    """
+    )

@@ -1745,3 +1745,35 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return analytics.cohort_retention(ev)
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph computation (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_copurchase_pagerank",
+    oracle=None,  # generated below (unrolled 5-iteration CTE chain)
+    doc="Fixed-point integer PageRank (5 synchronous power steps, "
+        "d=0.85) over the part co-purchase graph: ranks are integer "
+        "fixed-point with floor division at every step, so the "
+        "iteration is bit-identical across engines/partitionings — "
+        "the oracle unrolls the same arithmetic as a CTE chain.",
+    driver=False,
+)
+def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.pagerank_fixed(graph.copurchase_edges(li), iterations=5)
+
+
+def _install_pagerank_oracle() -> None:
+    from .operators import graph
+
+    REGISTRY["part_copurchase_pagerank"].oracle = graph.pagerank_oracle_sql(
+        iterations=5
+    )
+
+
+_install_pagerank_oracle()

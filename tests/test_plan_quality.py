@@ -266,3 +266,37 @@ def test_json_rollup_parses_once(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_json_props_rollup")
     assert plan.count("from_json") == 1, plan
     assert "get_json_object" not in plan
+
+
+def test_bm25_broadcasts_stats_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    # the scalar stats row and the per-term df table join broadcast;
+    # the single no-condition join (stats attach) must be a broadcast
+    # nested loop over ONE row, never a cartesian product
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # top-k is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_spans_single_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_duplicate_spans")
+    # window-hash stats join back per occurrence — equi-join only;
+    # a shared window must never expand into pairwise rows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_joins_stay_on_user_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_funnel")
+    assert "CartesianProduct" not in plan
+    # the only no-condition join is the 1-row base-count attach
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_inverted_index_two_aggregates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_inverted_index")
+    # (tok, doc) tf agg + per-token assembly, each partial+final;
+    # no joins at all
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" in plan
