@@ -123,6 +123,7 @@ def q_etl_hourly_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     doc="TPC-H Q1 pricing summary: filter→hash agg with partial "
         "(map-side) combine; the 100 TB shape of worker.py's A1.",
+    driver=False,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -186,6 +187,7 @@ def q_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     doc="Saved query 2 parity shape (sql/saved-queries.sql:20-26): "
         "per-group exact count-distinct.",
+    driver=False,
 )
 def q_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -219,6 +221,7 @@ def q_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     doc="Saved query 3 parity shape (sql/saved-queries.sql:29-45): "
         "DISTINCT → row_number() per group → rn<=k + group filter.",
+    driver=False,
 )
 def q_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -522,6 +525,7 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="PIVOT on a low-cardinality column with explicit values (an "
         "implicit-values pivot would need a driver-side distinct).",
+    driver=False,
 )
 def q_orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -577,6 +581,7 @@ def q_top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact interpolated percentiles (sort-based, deterministic — "
         "no summation-order issues). approx_percentile is the sketch "
         "alternative at 100 TB when exactness isn't contractual.",
+    driver=False,
 )
 def q_price_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -667,6 +672,7 @@ def q_asof_last_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Value-range window frame (events of the same user in the "
         "preceding hour, exclusive): rangeBetween on integer "
         "microseconds — a self range join without the range join.",
+    driver=False,
 )
 def q_events_in_prior_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -983,6 +989,7 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bench SF, shuffle at 100 TB where the keyset is itself "
         "huge. The lineitem pre-aggregation is map-side partial "
         "before its one shuffle on l_orderkey.",
+    driver=False,
 )
 def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

@@ -33,6 +33,7 @@ from .workload import HOURLY_DOWNSAMPLE_ORACLE, REGISTRY, query
     GROUP BY text
     """,
     doc="Exact dedup: stable (min-id) representative per distinct text.",
+    driver=False,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -109,6 +110,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64-based signature
     doc="64-bit SimHash near-dup pairs (hamming ≤ 3) via pigeonhole "
         "block join.",
+    driver=False,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -221,6 +223,7 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Token counting: whitespace, BPE-ish regex, word tokens.",
+    driver=False,
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -291,6 +294,7 @@ def _duck_langid_sql() -> str:
     "text_language_id",
     oracle=_duck_langid_sql(),
     doc="Stopword-hit language ID with deterministic tie-break.",
+    driver=False,
 )
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -395,7 +399,6 @@ def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(t1, '{text.PII_PATTERNS["ssn"]}')) AS BIGINT) AS n_ssn
     FROM s2
     """,
-    driver=False,
     doc="PII scrubbing: email/phone/SSN shapes replaced with typed "
         "placeholders + per-type match counts; RE2∩Java-regex patterns "
         "so both engines compile them identically; map-only.",
@@ -469,6 +472,7 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="session_window stateful sessionization with watermark "
         "eviction; oracled against the lag-gap batch formulation "
         "with session_window's half-open boundary convention.",
+    driver=False,
 )
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.read_table_stream(spark, sf_dir, "events")
@@ -524,6 +528,7 @@ def q_ewma_alerts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Same EWMA as a custom stateful streaming operator "
         "(applyInPandasWithState, per-key GroupState carried across "
         "micro-batches); held to the identical oracle.",
+    driver=False,
 )
 def q_streaming_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.read_table_stream(spark, sf_dir, "events")
@@ -577,6 +582,7 @@ def _blob_byte(i: str) -> str:
     doc="Binary media column → Arrow-batched mapInPandas decode → typed "
         "feature rows; unknown formats take the deterministic byte-"
         "fingerprint path (codec='raw'), oracled over DuckDB blobs.",
+    driver=False,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -678,6 +684,7 @@ _COMPONENTS_CTES = f"""
         "Jaccard pair graph via iterative min-label propagation "
         "(localCheckpoint per round); oracle is a recursive "
         "transitive-closure CTE.",
+    driver=False,
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -696,6 +703,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The curated corpus: drop every near-dup cluster member except "
         "the min-id representative (anti-join against the component "
         "losers) — the step that turns pair lists into a dataset.",
+    driver=False,
 )
 def q_corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -718,6 +726,7 @@ def q_corpus_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deterministic 80/10/10 train/val/test membership from "
         "md5(doc_id) — engine-portable, shuffle-free, stable under "
         "recomputation and corpus growth (unlike randomSplit).",
+    driver=False,
 )
 def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -740,6 +749,7 @@ def q_corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="8 training shards balanced on document size: scalable global "
         "row_number (range partition + per-partition rank + broadcast "
         "offsets — no single-task window) dealt round-robin.",
+    driver=False,
 )
 def q_corpus_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -835,6 +845,7 @@ def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near-dup cluster resolution → deterministic hash split — "
         "each stage individually oracled, and the composition held to "
         "one end-to-end oracle.",
+    driver=False,
 )
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -857,6 +868,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Arrow-vectorized pandas_udf L2 normalization; np.add.accumulate "
         "makes the norm bit-identical to the oracle's sequential fold, "
         "so every element hash-matches with no tolerance.",
+    driver=False,
 )
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -870,6 +882,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approx_count_distinct (HyperLogLog++) users per event type — "
         "the sketch aggregate for 100 TB cardinalities where exact "
         "distinct would shuffle every key; rsd=0.01.",
+    driver=False,
 )
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -894,6 +907,7 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Stream-stream interval join (symmetric hash, watermark-bounded "
         "state): purchases attributed to same-user clicks in the prior "
         "hour; held to the batch-join oracle.",
+    driver=False,
 )
 def q_streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.read_table_stream(spark, sf_dir, "events")
@@ -940,6 +954,7 @@ def _md5_byte0_sql(x: str) -> str:
     doc="Concatenate-and-chunk sequence packing (pretraining style, "
         "docs may span chunks): global exclusive prefix sum via the "
         "two-pass range-partition formulation — no single-task window.",
+    driver=False,
 )
 def q_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -1018,6 +1033,7 @@ _MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
         "#sources-row aggregate joined back broadcast; keep decision "
         "is the salted md5-byte row-local predicate — corpus never "
         "shuffles, nothing collects.",
+    driver=False,
 )
 def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1111,7 +1127,6 @@ def q_corpus_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the broadcast customer dim each micro-batch (stateless, no "
         "watermark, exactly-once per input row); held to the plain "
         "batch-join oracle. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = streaming.read_table_stream(spark, sf_dir, "events")
@@ -1222,7 +1237,6 @@ def q_etl_gapfill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "docs survive, junk is thinned proportionally, no global "
         "sort. Salted md5 coin, row-local, shuffle-free. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_corpus_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1594,7 +1608,6 @@ def q_events_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engine-comparable. max_doc_freq stop-listing bounds the "
         "widest posting row at corpus scale (unset here: the oracle "
         "covers the full surface).",
-    driver=False,
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import index as idx
@@ -1610,7 +1623,6 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast idf/doclen stats, TakeOrdered top-k. Score rounded "
         "to 5 decimals (ln() is the one transcendental; glibc vs JVM "
         "agree to <=1 ulp).",
-    driver=False,
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import index as idx
@@ -1664,7 +1676,6 @@ _install_bm25_oracle()
         "sequence occurs in >1 distinct doc. Spark groups windows by "
         "xxhash64 (8-byte shuffle keys); the oracle groups the window "
         "STRINGS — equality of results is the no-collision case.",
-    driver=False,
 )
 def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1711,7 +1722,6 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qualifying-occurrence times via chained conditional "
         "aggregates (each an equi-join on the user key), counts and "
         "step-1-relative conversion.",
-    driver=False,
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import analytics
@@ -1738,7 +1748,6 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weekly cohort retention matrix: first-activity week per user "
         "(ISO Monday date_trunc, UTC-pinned both engines), distinct "
         "user-week activity grid, exact integer week offsets.",
-    driver=False,
 )
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import analytics
@@ -1759,7 +1768,6 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixed-point with floor division at every step, so the "
         "iteration is bit-identical across engines/partitionings — "
         "the oracle unrolls the same arithmetic as a CTE chain.",
-    driver=False,
 )
 def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph

@@ -62,7 +62,6 @@ def _t(spark, sf_dir, *names):
     doc="TPC-H Q2 shape (no partsupp: pairs from lineitem, cost = "
         "s_acctbal): per-part max over a window, dim-filtered, "
         "top-100. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p, s, n, r = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
@@ -108,7 +107,6 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q4 shape (late = shipped >30d after order date): "
         "EXISTS → left-semi join with a cross-table residual "
         "predicate, per-priority count. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, l = _t(spark, sf_dir, "orders", "lineitem")
@@ -142,7 +140,6 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q6: range+between filters all pushed to the scan, one "
         "partial-aggregated global sum — zero joins, zero wide "
         "shuffles. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l,) = _t(spark, sf_dir, "lineitem")
@@ -195,7 +192,6 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join; NATION_3's share of yearly volume as a conditional "
         "exact-decimal ratio. Dims broadcast, one fact shuffle chain. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p, s, o, c, n, r = _t(
@@ -256,7 +252,6 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q9 shape (cost = 0.4*retailprice/unit, no partsupp): "
         "LIKE-filtered part dim, profit rollup by supplier nation × "
         "order year. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p, s, o, n = _t(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
@@ -306,7 +301,6 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grouped decimal sums filtered against a scalar-subquery "
         "share-of-total threshold, integer-scaled so the comparison "
         "is exact in both engines. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, s, n = _t(spark, sf_dir, "lineitem", "supplier", "nation")
@@ -348,7 +342,6 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q12 shape (returnflag as the mode column): fact×fact "
         "join, conditional high/low priority counts per group. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, l = _t(spark, sf_dir, "orders", "lineitem")
@@ -390,7 +383,6 @@ def q_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "LIKE): left outer join keeps order-less customers at "
         "c_count=0, then the count-of-counts histogram. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o = _t(spark, sf_dir, "customer", "orders")
@@ -429,7 +421,6 @@ def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "against the scalar max kept in DECIMAL so ties are exact, "
         "supplier dim joined for the survivors only. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, s = _t(spark, sf_dir, "lineitem", "supplier")
@@ -478,7 +469,6 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "negative-balance suppliers): NOT IN over a non-null key → "
         "broadcast anti-join, distinct-supplier counts per part "
         "attribute triple. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
@@ -518,7 +508,6 @@ def q_q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the avg is exact (decimal sum / count) so the strict "
         "inequality can't flip between engines. pytest-oracled "
         "(driver cap).",
-    driver=False,
 )
 def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p = _t(spark, sf_dir, "lineitem", "part")
@@ -554,7 +543,6 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arms spanning the join — Catalyst pushes the derivable "
         "single-side disjuncts below the join and keeps the residual "
         "on top. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p = _t(spark, sf_dir, "lineitem", "part")
@@ -601,7 +589,6 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "two-level grouped decimal sums, integer-scaled share "
         "threshold, name-prefix part filter, nation-filtered "
         "suppliers. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, p, s, n = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
@@ -663,7 +650,6 @@ def q_q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(distinct suppliers, distinct late suppliers, the single "
         "late supplier's line count) — one fact shuffle instead of "
         "two correlated self-joins. pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, o, s, n = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
@@ -719,7 +705,6 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact-decimal average threshold broadcast into the filter, "
         "NOT EXISTS → anti-join against orders, per-code counts. "
         "pytest-oracled (driver cap).",
-    driver=False,
 )
 def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o = _t(spark, sf_dir, "customer", "orders")
