@@ -1,0 +1,112 @@
+"""Slowly-changing-dimension and change-data-capture operators.
+
+Lakehouse table-maintenance semantics expressed as plain DataFrame
+plans (no table-format dependency):
+
+- :func:`scd2_from_history` — collapse a change history into a
+  type-2 dimension (effective-dated intervals + current flag).
+- :func:`cdc_merge` — apply a change feed (upserts + deletes,
+  latest-per-key wins) onto a snapshot; the declarative core of
+  MERGE INTO.
+
+Scale shape: both are one-shuffle-per-input plans — SCD2 is two
+window passes over the same (key, order) partitioning (Catalyst
+reuses the exchange), CDC merge is a latest-per-key window on the
+feed plus one equi full-outer join that AQE sizes. At 100 TB the
+snapshot side would be bucketed on the key so repeated merges skip
+its shuffle entirely (sources/bucketing.py provides the seam).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tie_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Type-2 dimension from a change history.
+
+    Keeps one row per (key, run of identical ``tracked_cols`` values),
+    effective from the first row of the run until the start of the
+    next run (half-open; NULL = still current). ``(order_col,
+    tie_col)`` must totally order each key's history, or run
+    boundaries are nondeterministic.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col, tie_col)
+    changed = reduce(
+        lambda a, b: a | b,
+        [
+            ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+            for c in tracked_cols
+        ],
+    )
+    # the first row of each key has lag()=NULL on every tracked col →
+    # eqNullSafe false (tracked values are non-null here) → opens a run.
+    # A genuinely all-NULL first tracked row still opens one because
+    # row_number()==1 is OR'd in explicitly.
+    runs = df.withColumn(
+        "_is_change",
+        (F.row_number().over(w) == 1) | changed,
+    ).where(F.col("_is_change"))
+    w2 = Window.partitionBy(*key_cols).orderBy(order_col, tie_col)
+    nxt = F.lead(F.col(order_col)).over(w2)
+    return runs.select(
+        *key_cols,
+        *tracked_cols,
+        F.col(order_col).alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def cdc_merge(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC feed onto a snapshot (MERGE INTO semantics).
+
+    ``changes`` carries the snapshot's columns plus ``op_col``
+    (``delete_op`` = delete, anything else = upsert) and ``seq_col``
+    (a monotone version; the highest per key wins — ties broken by
+    ``op_col`` so the outcome is deterministic even on seq ties).
+    Result = snapshot rows untouched by the feed + upserted payloads,
+    minus deleted keys.
+    """
+    payload_cols = [c for c in snapshot.columns]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", seq_col)
+    )
+    joined = snapshot.alias("s").join(
+        latest.alias("c"), on=key_cols, how="full_outer"
+    )
+    op: Column = F.col(f"c.{op_col}")
+    out_cols = []
+    for c in payload_cols:
+        if c in key_cols:
+            # join keys are coalesced into one column by the USING-
+            # style join; reference it unqualified
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(
+                F.when(op.isNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"c.{c}"))
+                .alias(c)
+            )
+    return joined.where(op.isNull() | (op != delete_op)).select(*out_cols)

@@ -298,3 +298,116 @@ def unigram_lm_scores(
         )
     )
     return scored.unionByName(empties)
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 256,
+) -> DataFrame:
+    """Global token vocabulary: the ``top_n`` most frequent word tokens
+    with exact counts and document frequencies.
+
+    The tokenizer-training precursor (BPE/unigram vocab induction
+    starts from exactly this table). One explode feeds ONE hash
+    aggregate — map-side partial aggregation collapses each partition
+    to its distinct tokens (vocabulary, not corpus, sized), so the
+    shuffle carries O(|vocab| × partitions) rows regardless of corpus
+    size; the top-n is a TakeOrderedAndProject (per-partition heaps,
+    never a full sort). Ordering is total (count desc, token asc) so
+    the truncation boundary is deterministic.
+    """
+    toks = df.select(
+        F.col(f"`{id_col}`").alias("doc_id"),
+        F.explode(F.expr(_tokens(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("token")).limit(top_n)
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    min_pair_count: int = 10,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over skip-gram
+    co-occurrence counts (token pairs within ``window`` positions).
+
+    Scale shape: pair generation is an EQUI-join — each token row is
+    replicated ``window`` times with key (doc, pos+d) and joined back
+    on (doc, pos), so there is no range join and no per-document
+    quadratic blowup; the pair aggregate is the same
+    vocabulary-bounded hash agg as :func:`vocabulary`. The
+    pair↔unigram joins stay equi-joins with AQE choosing the strategy
+    (a 100 TB corpus's unigram table is vocabulary-sized — often too
+    big to broadcast, but the min-count-filtered pair side usually
+    isn't, and AQE sees the real sizes). PMI uses ln on exact integer
+    counts, rounded to 5 decimals (glibc vs JVM log agree to ≤1 ulp
+    on these magnitudes).
+
+    Pairs are ordered (a ≤ b alphabetically) so (x,y) and (y,x)
+    accumulate into one row, matching the symmetric-window convention.
+    """
+    toks = df.select(
+        F.col(f"`{id_col}`").alias("doc_id"),
+        F.posexplode(F.expr(_tokens(text_col))).alias("pos", "token"),
+    )
+    n_tokens = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    unigrams = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    left = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(d) for d in range(1, window + 1)])
+        ).alias("pos"),
+        F.col("token").alias("tok_a"),
+    )
+    pairs = (
+        left.join(toks.withColumnRenamed("token", "tok_b"), ["doc_id", "pos"])
+        .select(
+            F.least("tok_a", "tok_b").alias("tok_x"),
+            F.greatest("tok_a", "tok_b").alias("tok_y"),
+        )
+        .groupBy("tok_x", "tok_y")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+    )
+    ux = unigrams.select(
+        F.col("token").alias("tok_x"), F.col("cnt").alias("cnt_x")
+    )
+    uy = unigrams.select(
+        F.col("token").alias("tok_y"), F.col("cnt").alias("cnt_y")
+    )
+    # window positions per token ≈ window × cnt; PMI over raw counts
+    # with the standard n_total normalization for pair mass
+    scored = (
+        pairs.join(ux, "tok_x")
+        .join(uy, "tok_y")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "tok_x",
+            "tok_y",
+            "pair_cnt",
+            F.round(
+                F.log(
+                    F.col("pair_cnt").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (
+                        F.col("cnt_x").cast("double")
+                        * F.col("cnt_y").cast("double")
+                        * F.lit(float(window))
+                    )
+                ),
+                5,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("tok_x"), F.col("tok_y")
+    ).limit(top_n)

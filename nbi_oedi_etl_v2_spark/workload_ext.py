@@ -12,7 +12,7 @@ assertions in the pytest suite instead (tests/test_extensions.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import streaming
@@ -1785,3 +1785,293 @@ def _install_pagerank_oracle() -> None:
 
 
 _install_pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-precursor corpus statistics (operators/text.py).
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+@query(
+    "text_vocabulary",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM t GROUP BY token
+    ORDER BY tf DESC, token LIMIT 256
+    """,
+    doc="Top-256 token vocabulary with exact term/document "
+        "frequencies: one explode into one map-side-combined hash "
+        "agg (shuffle is vocabulary-sized, not corpus-sized), top-n "
+        "via per-partition heaps. Deterministic (tf desc, token) "
+        "truncation order. pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocabulary(docs, "doc_id", "text", top_n=256)
+
+
+@query(
+    "text_token_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_DUCK_TOKENS}) AS token,
+             generate_subscripts({_DUCK_TOKENS}, 1) AS pos
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM toks),
+    pairs AS (
+      SELECT least(a.token, b.token) AS tok_x,
+             greatest(a.token, b.token) AS tok_y,
+             COUNT(*) AS pair_cnt
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 10
+    ),
+    uni AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT tok_x, tok_y, pair_cnt,
+           round(ln(CAST(pair_cnt AS DOUBLE) * CAST(n_total AS DOUBLE)
+                    / (CAST(ux.cnt AS DOUBLE) * CAST(uy.cnt AS DOUBLE) * 3.0)),
+                 5) AS pmi
+    FROM pairs
+    JOIN uni ux ON ux.token = tok_x
+    JOIN uni uy ON uy.token = tok_y
+    CROSS JOIN n
+    ORDER BY pmi DESC, tok_x, tok_y
+    LIMIT 100
+    """,
+    doc="Top-100 collocations by PMI over ±3-position skip-gram "
+        "counts. Pair generation is an equi-join (each token row "
+        "re-keyed at pos+1..pos+3 — no range join, no per-doc "
+        "quadratic); aggregates are vocabulary-bounded; ln on exact "
+        "integer counts rounded to 5. pytest-oracled; r4 rotation "
+        "candidate.",
+    driver=False,
+)
+def q_text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_pmi(
+        docs, "doc_id", "text", window=3, min_pair_count=10, top_n=100
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / CDC lakehouse maintenance (operators/history.py).
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_scd2_priority",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             row_number() OVER w AS rn,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM h WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER w2 AS effective_to,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM runs
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Type-2 dimension from the per-customer order-priority "
+        "history: runs of identical tracked values collapse to "
+        "half-open effective-dated intervals + current flag. Two "
+        "window passes over ONE (key, order) exchange (Catalyst "
+        "reuses it). pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import history
+
+    o = load_table(spark, sf_dir, "orders")
+    return history.scd2_from_history(
+        o,
+        key_cols=["o_custkey"],
+        order_col="o_orderdate",
+        tie_col="o_orderkey",
+        tracked_cols=["o_orderpriority"],
+    )
+
+
+@query(
+    "orders_cdc_merge",
+    # independent derivation: keys ≡0 (mod 5) deleted, ≡1 upserted
+    # with the bumped price, everything else passes through — the
+    # oracle never runs the join/window plan it verifies
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 5 <> 0
+    """,
+    doc="MERGE INTO semantics on a plain DataFrame: latest-per-key "
+        "change feed (deletes for keys ≡0 mod 5, price-bump upserts "
+        "for ≡1) applied onto the full orders snapshot via one "
+        "latest-wins window + one AQE-sized full-outer equi-join. "
+        "The oracle derives the expected table arithmetically — a "
+        "fully independent check of the merge plan. pytest-oracled; "
+        "r4 rotation candidate.",
+    driver=False,
+)
+def q_orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import history
+
+    o = load_table(spark, sf_dir, "orders")
+    feed = (
+        o.where(F.col("o_orderkey") % 5 < 2)
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("op") == "U", F.col("o_totalprice") + F.lit(1000.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn("seq", F.col("o_orderdate"))
+    )
+    return history.cdc_merge(o, feed, key_cols=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth + windowed anomaly scoring over events.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           ntile(4)           OVER w AS price_quartile_seq,
+           round(percent_rank() OVER w2, 7) AS price_pct_rank,
+           round(cume_dist()    OVER w2, 7) AS price_cume_dist,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_price
+    FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Window-function breadth in one pass: lag/lead/ntile/"
+        "percent_rank/cume_dist/first/last over two total orderings "
+        "(ties broken by key so ranks are engine-portable). Both "
+        "windows share the o_custkey hash exchange; only the "
+        "in-partition sort differs. pytest-oracled; r4 rotation "
+        "candidate.",
+    driver=False,
+)
+def q_orders_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("price_quartile_seq"),
+        F.round(F.percent_rank().over(w2), 7).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w2), 7).alias("price_cume_dist"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wall).alias("last_price"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, value,
+        COUNT(*) OVER w AS n_prev,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS VARCHAR)
+             AS DOUBLE) AS sum_prev,
+        CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,10))) OVER w
+             AS VARCHAR) AS DOUBLE) AS sumsq_prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value,
+           round((value - sum_prev / n_prev)
+                 / sqrt((sumsq_prev - sum_prev * sum_prev / n_prev)
+                        / (n_prev - 1)), 7) AS zscore
+    FROM s
+    WHERE n_prev >= 5
+      AND (sumsq_prev - sum_prev * sum_prev / n_prev) / (n_prev - 1) > 1e-12
+      AND abs((value - sum_prev / n_prev)
+              / sqrt((sumsq_prev - sum_prev * sum_prev / n_prev)
+                     / (n_prev - 1))) > 2.5
+    """,
+    doc="Trailing-window anomaly detection: z-score of each event "
+        "value against its user's previous ≤20 events (exact-decimal "
+        "windowed sums so both engines see bit-identical moments; "
+        "identical double arithmetic downstream). Flags |z| > 2.5 "
+        "with ≥5-event history. One (user) exchange + one sorted "
+        "window pass. pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n_prev = F.count("value").over(w)
+    sum_prev = (
+        F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double")
+    )
+    sumsq_prev = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)"))
+        .over(w)
+        .cast("double")
+    )
+    var = (sumsq_prev - sum_prev * sum_prev / n_prev) / (n_prev - 1)
+    z = (F.col("value") - sum_prev / n_prev) / F.sqrt(var)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            n_prev.alias("n_prev"),
+            var.alias("var"),
+            z.alias("z"),
+        )
+        .where(
+            (F.col("n_prev") >= 5)
+            & (F.col("var") > 1e-12)
+            & (F.abs(F.col("z")) > 2.5)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round(F.col("z"), 7).alias("zscore"),
+        )
+    )
