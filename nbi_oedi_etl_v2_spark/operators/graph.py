@@ -160,3 +160,51 @@ def pagerank_oracle_sql(
     SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r{iterations}
     """
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    symmetric directed edges (both (a,b) and (b,a) present).
+
+    Uses degree orientation — every undirected edge is directed from
+    its lower-(degree, id) endpoint, so each triangle is enumerated
+    exactly once at its lowest-degree vertex and the wedge join
+    materializes Σ min-deg² rows instead of Σ deg² (the difference
+    between tractable and not on power-law graphs: a celebrity node
+    of degree 10⁶ contributes no wedges because its edges all point
+    INTO it). Three equi-joins, no cartesian; the orientation is an
+    optimization only — the result is identical to naive a<b<c
+    enumeration, which is what the oracle runs.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = (
+        edges.join(deg, "src")
+        .withColumnRenamed("deg", "deg_src")
+        .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "deg_dst"), "dst")
+    )
+    oriented = with_deg.where(
+        (F.col("deg_src") < F.col("deg_dst"))
+        | ((F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst", "deg_dst")
+    o1 = oriented.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("y"),
+        F.col("deg_dst").alias("dy"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("z"),
+        F.col("deg_dst").alias("dz"),
+    )
+    wedges = o1.join(o2, "x").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closer = oriented.select(
+        F.col("src").alias("y"), F.col("dst").alias("z")
+    )
+    tris = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
+    nodes = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("node")
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -414,3 +414,90 @@ def quantize_embeddings(
         ),
     )
     return out.select(F.col(f"`{id_col}`"), "scale", q.alias("qvec"))
+
+
+def first_k_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+) -> DataFrame:
+    """Deterministic engine-portable centroid table: the ``nlist``
+    corpus vectors with smallest id. The oracled twin of
+    :func:`ivf_centroids` (whose xxhash64 seeding DuckDB cannot
+    mirror) — production callers pass trained centroids instead."""
+    v = with_norm(df, vec_col).select(
+        F.col(f"`{id_col}`").alias("vid"), "vec", "norm"
+    )
+    return (
+        v.orderBy("vid")
+        .limit(nlist)
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    nlist: int = 8,
+    threshold: float = 0.92,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space, then prune any vector with a lower-id same-cluster
+    neighbor of cosine ≥ ``threshold``.
+
+    Returns (vec_id, cid, kept). The pairwise pass runs INSIDE each
+    cluster only — the point of SemDeDup: an all-pairs O(n²) prune
+    becomes k independent O((n/k)²) prunes, and each cluster's pair
+    join is an equi-join on cid that AQE distributes; no cross-cluster
+    pairs are ever materialized. Centroids (k × dim) are the only
+    broadcast. Prune rule is greedy-by-id (a vector is pruned if ANY
+    lower-id cluster-mate is within threshold, kept otherwise), which
+    is order-insensitive and engine-portable — no iterative
+    keep-set dependence.
+
+    Default centroids are :func:`first_k_centroids` (oracle-able);
+    pass :func:`ivf_centroids` output for density-adapted clusters.
+    """
+    if centroids is None:
+        centroids = first_k_centroids(df, id_col, vec_col, nlist)
+    v = with_norm(df, vec_col).select(
+        F.col(f"`{id_col}`").alias("vid"), "vec", "norm"
+    )
+    assign = ivf_assign(v, centroids, "vid", nprobe=1).select(
+        "vid", "vec", "norm", "cid"
+    )
+    a = assign.select(
+        F.col("vid").alias("id_a"),
+        F.col("vec").alias("v_a"),
+        F.col("norm").alias("n_a"),
+        "cid",
+    )
+    b = assign.select(
+        F.col("vid").alias("id_b"),
+        F.col("vec").alias("v_b"),
+        F.col("norm").alias("n_b"),
+        "cid",
+    )
+    sim = F.expr(_dot("v_a", "v_b")) / (F.col("n_a") * F.col("n_b"))
+    pruned = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(sim, 7) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assign.join(pruned.withColumn("_pruned", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cid",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+        )
+    )

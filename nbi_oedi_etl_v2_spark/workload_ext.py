@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import streaming
-from .functions import davg_sql
+from .functions import davg_sql, dsum_sql
 from .operators import curation, dedup, multimodal, packing, similarity, text
 from .tables import load_table
 from .workload import HOURLY_DOWNSAMPLE_ORACLE, REGISTRY, query
@@ -2074,4 +2074,154 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.round(F.col("z"), 7).alias("zscore"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (operators/similarity.py).
+# ---------------------------------------------------------------------------
+
+_SEM_DOT_NV = _DOT_FOLD.format(a="n.vec", b="c.c_vec")
+_SEM_DOT_AB = _DOT_FOLD.format(a="na.vec", b="nb.vec")
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, vec,
+             sqrt({_DOT_FOLD.format(a='vec', b='vec')}) AS norm
+      FROM v
+    ),
+    c AS (
+      SELECT vec_id AS cid, vec AS c_vec, norm AS c_norm
+      FROM n ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+      SELECT n.vec_id, c.cid,
+             {_SEM_DOT_NV} / (n.norm * c.c_norm) AS sim
+      FROM n CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE round({_SEM_DOT_AB} / (na.norm * nb.norm), 7) >= 0.92
+    )
+    SELECT s.vec_id, s.cid, (p.vec_id IS NULL) AS kept
+    FROM assign s LEFT JOIN pruned p ON s.vec_id = p.vec_id
+    """,
+    doc="SemDeDup: assign every embedding to its nearest of 8 "
+        "deterministic centroids (argmax cosine, cid tie-break), "
+        "prune vectors with a lower-id same-cluster neighbor at "
+        "cosine ≥ 0.92. The O(n²) prune becomes 8 independent "
+        "intra-cluster equi-joins; only the 8×64 centroid table is "
+        "broadcast. pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, "vec_id", "embedding", nlist=8, threshold=0.92
+    )
+
+
+@query(
+    "part_copurchase_triangles",
+    # naive a<b<c enumeration — output-identical to the degree-
+    # oriented plan, independently derived
+    oracle="""
+    WITH ed AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM ed e1
+      JOIN ed e2 ON e1.dst = e2.src
+      JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    x AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM x GROUP BY node
+    """,
+    doc="Per-part triangle counts in the co-purchase graph via "
+        "degree-oriented wedge enumeration (each triangle counted "
+        "once at its lowest-degree vertex; wedge volume Σ min-deg², "
+        "the power-law-safe bound). Oracle enumerates naively by id "
+        "order — independent derivation, identical result. "
+        "pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.triangle_counts(graph.copurchase_edges(li))
+
+
+@query(
+    "events_json_roundtrip",
+    # the oracle aggregates the original table directly: a correct JSON
+    # encode/decode must be invisible in the result
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS sum_value,
+           MAX(event_id) AS max_event_id
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="JSON codec fidelity: every event row is serialized with "
+        "to_json(struct(*)) and re-parsed with from_json under an "
+        "explicit schema (timestamps ISO-8601 UTC, doubles "
+        "shortest-roundtrip, strings escaped), then aggregated "
+        "hourly — the oracle aggregates the original table, so any "
+        "encode/decode loss breaks the hash. Map-only until the one "
+        "agg; the same plumbing serves JSONL source/sink files "
+        "(sources/formats.py). pytest-oracled; r4 rotation "
+        "candidate.",
+    driver=False,
+)
+def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    js = e.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).alias("js")
+    )
+    parsed = js.select(
+        F.from_json(
+            "js",
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).alias("s")
+    ).select("s.*")
+    return parsed.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sum_value"),
+        F.max("event_id").alias("max_event_id"),
     )

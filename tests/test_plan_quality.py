@@ -300,3 +300,57 @@ def test_inverted_index_two_aggregates(spark, sf_dir):
     # no joins at all
     assert "Join" not in plan
     assert "Exchange hashpartitioning" in plan
+
+
+def test_vocabulary_partial_agg_and_heap_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_vocabulary")
+    # vocabulary-sized shuffle: partial aggregation below the exchange
+    assert "partial_count" in plan
+    # top-n via per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_pmi_equi_joins_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_token_pmi")
+    # pair generation re-keys positions — must stay equi-join; the
+    # only (deliberate) non-equi element is the 1-row n_total
+    # broadcast nested loop
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_scd2_reuses_one_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_scd2_priority")
+    # both window passes partition on o_custkey: one hash exchange
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_merge_single_outer_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_cdc_merge")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_semantic_dedup_broadcasts_only_centroids(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embedding_semantic_dedup")
+    # the intra-cluster prune is an equi-join on cid; the only
+    # nested-loop element is the deliberate k-row centroid cross
+    # join, recomputed once per consumer of the assignment (a-side,
+    # b-side, output) — each is a map-only broadcast pass, no shuffle
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoop") <= 3
+
+
+def test_triangles_equi_joins_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "part_copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_anomaly_zscore_single_window_pass(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_anomaly_zscore")
+    # one user exchange feeding one sorted window operator
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 1
