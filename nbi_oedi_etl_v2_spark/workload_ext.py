@@ -2225,3 +2225,31 @@ def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value")).alias("sum_value"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@query(
+    "customer_fuzzy_name_pairs",
+    # brute-force oracle: the prefix filter must only prune, never
+    # lose a pair — any filtering bug shows as a row-count mismatch
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Fuzzy self-join: all customer-name pairs within Levenshtein "
+        "1 via Ed-Join q-gram prefix filtering (rarity-ordered "
+        "3-gram prefix equi-join, lossless) + JVM levenshtein verify "
+        "on candidates only. The oracle is the O(n²) cross join — "
+        "independent derivation. pytest-oracled; r4 rotation "
+        "candidate.",
+    driver=False,
+)
+def q_customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import fuzzy
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy.edit_distance_pairs(
+        c, "c_custkey", "c_name", max_dist=1, q=2
+    )

@@ -354,3 +354,14 @@ def test_anomaly_zscore_single_window_pass(spark, sf_dir):
     # one user exchange feeding one sorted window operator
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert plan.count("Window") == 1
+
+
+def test_fuzzy_join_no_cross_product(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "customer_fuzzy_name_pairs")
+    # candidate generation must stay an equi-join on the gram key;
+    # levenshtein runs only post-join on candidates. The one allowed
+    # nested loop is the short-string bucket (length < q + max_dist):
+    # its constant join key folds away, and the block is pushed-down
+    # filtered to near-empty on any real corpus
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
