@@ -1,25 +1,34 @@
 """Fuzzy (edit-distance) self-join: all pairs within Levenshtein
 ``max_dist``, without the all-pairs cross product.
 
-Candidate generation is Ed-Join-style q-gram prefix filtering
-(Xiao et al., VLDB'08): each string's distinct q-grams are ordered by
-global rarity (corpus frequency asc, gram asc) and only the first
-``max_dist·q + 1`` participate in the candidate equi-join. Lossless:
-one edit can destroy at most ``q`` gram types, so two strings within
-``max_dist`` edits cannot have disjoint prefixes of that length.
-Strings too short to yield a q-gram are handled by an explicit short
-bucket (a string of length < q can only be within ``max_dist`` of
-strings of length < q + max_dist — a constant-size block in any real
-corpus; documented skew caveat if your corpus is all 1-char strings).
+Candidate generation is Ed-Join prefix filtering (Xiao, Wang & Lin,
+VLDB'08): each string's distinct q-grams are ordered by global rarity
+(corpus frequency asc, gram asc) and only the first
+``max_dist·q + 1`` participate in the candidate equi-join. Lossless
+(symmetric prefix-prefix): if the two prefixes are disjoint then —
+taking the larger of the two prefix maxima in the global order — one
+string has ``max_dist·q + 1`` gram types absent from the other
+entirely, and a single edit can destroy at most ``q`` gram types, so
+the distance exceeds ``max_dist``.
 
-Scale shape: one gram-frequency aggregate (vocabulary-sized), one
-rarity-ranked window per string (bounded by grams-per-string), one
-equi-join on gram hash, then the Levenshtein verify ONLY on surviving
-candidates (JVM built-in, never per-row Python). The same
-prefix-filter trick the exact n-gram Jaccard join uses
-(operators/dedup.py) — rarity ordering keeps hot grams ("the ",
-"Customer#") out of every prefix, which is what bounds the candidate
-count on skewed text.
+The count bound is vacuous when the longer string has ≤
+``max_dist·q`` grams, i.e. length < ``(max_dist+1)·q`` — e.g.
+("axa", "aya") at q=2, k=1 share ZERO bigrams at distance 1. ALL
+strings below that length therefore go to an explicit exhaustive
+short bucket (constant-sized in any real corpus; a corpus of mostly
+such strings degrades to the quadratic it actually requires).
+
+Plan shape (the part that matters at scale): strings ride along with
+their prefix grams, so the candidate join VERIFIES inline —
+length gap, then JVM ``levenshtein`` — and the only distinct runs on
+true result pairs, never on the (much larger) candidate multiset.
+One gram-frequency aggregate (vocabulary-sized), one rarity-ranking
+window (bounded by grams-per-string), one equi-join on the gram key,
+zero joins after it. Carrying the string through the join is the
+right trade for name/title-length strings (edit distance is
+meaningless on document-length text anyway); candidate rows are
+bounded by Σ per-gram prefix-occurrence², which the rarity ordering
+keeps cold ("Customer#", "the " never make a prefix).
 """
 
 from __future__ import annotations
@@ -52,7 +61,7 @@ def edit_distance_pairs(
         F.col(f"`{str_col}`").alias("s"),
     )
     grams = s.select(
-        "id", F.explode(F.expr(_gram_expr("s", q))).alias("g")
+        "id", "s", F.explode(F.expr(_gram_expr("s", q))).alias("g")
     )
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("id").orderBy("freq", "g")
@@ -60,35 +69,53 @@ def edit_distance_pairs(
         grams.join(freq, "g")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
-        .select("id", "g")
+        .select("id", "s", "g")
     )
+    # CPU-quadratic boundary: the gram join's OUTPUT is quadratic in
+    # hot buckets while its INPUT is a few MB, so AQE's byte-based
+    # coalescing would serialize it onto one task (measured 16× on the
+    # customer names). Explicit numPartitions pins the width — AQE
+    # honors user-specified repartition counts. Same guard as the
+    # n-gram Jaccard candidate join (dedup._pinned_partitions).
+    from .dedup import _pinned_partitions
+
+    prefix = prefix.repartition(_pinned_partitions(df), F.col("g"))
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "g")
-        .join(prefix.select(F.col("id").alias("id_b"), "g"), "g")
+        prefix.select(
+            F.col("id").alias("id_a"), F.col("s").alias("s_a"), "g"
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"), F.col("s").alias("s_b"), "g"
+            ),
+            "g",
+        )
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .select("id_a", "id_b", "s_a", "s_b")
     )
-    # strings with no q-gram: pair the short block exhaustively
-    short = s.where(F.length("s") < q + max_dist).select(
-        F.col("id"), F.lit(1).alias("_b")
+    # strings too short for the count bound (longer side would have
+    # ≤ max_dist·q grams): pair the short block exhaustively
+    short = s.where(F.length("s") < (max_dist + 1) * q).select(
+        "id", "s", F.lit(1).alias("_b")
     )
     short_pairs = (
-        short.select(F.col("id").alias("id_a"), "_b")
-        .join(short.select(F.col("id").alias("id_b"), "_b"), "_b")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    all_cand = cand.unionByName(short_pairs).distinct()
-    sa = s.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = s.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
-    return (
-        all_cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(
-            F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
+        short.select(
+            F.col("id").alias("id_a"), F.col("s").alias("s_a"), "_b"
         )
+        .join(
+            short.select(
+                F.col("id").alias("id_b"), F.col("s").alias("s_b"), "_b"
+            ),
+            "_b",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+    )
+    return (
+        cand.unionByName(short_pairs)
+        .where(F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+        .distinct()
     )

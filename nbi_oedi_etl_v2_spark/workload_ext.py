@@ -1623,6 +1623,7 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast idf/doclen stats, TakeOrdered top-k. Score rounded "
         "to 5 decimals (ln() is the one transcendental; glibc vs JVM "
         "agree to <=1 ulp).",
+    headline=True,
 )
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import index as idx
@@ -1768,6 +1769,7 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixed-point with floor division at every step, so the "
         "iteration is bit-identical across engines/partitionings — "
         "the oracle unrolls the same arithmetic as a CTE chain.",
+    headline=True,
 )
 def q_part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph
@@ -1810,6 +1812,7 @@ _DUCK_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
         "via per-partition heaps. Deterministic (tf desc, token) "
         "truncation order. pytest-oracled; r4 rotation candidate.",
     driver=False,
+    headline=True,
 )
 def q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1927,6 +1930,7 @@ def q_orders_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fully independent check of the merge plan. pytest-oracled; "
         "r4 rotation candidate.",
     driver=False,
+    headline=True,
 )
 def q_orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import history
@@ -2133,6 +2137,7 @@ _SEM_DOT_AB = _DOT_FOLD.format(a="na.vec", b="nb.vec")
         "intra-cluster equi-joins; only the 8×64 centroid table is "
         "broadcast. pytest-oracled; r4 rotation candidate.",
     driver=False,
+    headline=True,
 )
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2240,7 +2245,9 @@ def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Fuzzy self-join: all customer-name pairs within Levenshtein "
         "1 via Ed-Join q-gram prefix filtering (rarity-ordered "
-        "3-gram prefix equi-join, lossless) + JVM levenshtein verify "
+        "4-trigram prefix equi-join, lossless; q=3 keeps buckets "
+        "cold on near-sequential synthetic names) + JVM levenshtein "
+        "verify "
         "on candidates only. The oracle is the O(n²) cross join — "
         "independent derivation. pytest-oracled; r4 rotation "
         "candidate.",
@@ -2251,5 +2258,5 @@ def q_customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer")
     return fuzzy.edit_distance_pairs(
-        c, "c_custkey", "c_name", max_dist=1, q=2
+        c, "c_custkey", "c_name", max_dist=1, q=3
     )

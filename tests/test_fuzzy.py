@@ -32,6 +32,17 @@ def test_short_strings_not_lost(spark):
     assert _pairs(out) == [(1, 2, 1), (1, 3, 1), (1, 4, 1), (2, 3, 1), (2, 4, 1)]
 
 
+def test_no_shared_gram_regime_not_lost(spark):
+    # "axa" vs "aya": levenshtein 1 but ZERO shared bigrams — the
+    # q-gram count bound is vacuous below length (k+1)·q, so these
+    # must come from the widened short bucket. A bucket bounded at
+    # length < q + max_dist (the naive reading) silently loses them.
+    rows = [(1, "axa"), (2, "aya"), (3, "azb")]
+    df = spark.createDataFrame(rows, "id int, s string")
+    out = fuzzy.edit_distance_pairs(df, "id", "s", max_dist=1, q=2)
+    assert _pairs(out) == [(1, 2, 1)]
+
+
 def test_exactness_vs_bruteforce(spark):
     # 200 pseudo-random-ish strings; prefix-filtered result must
     # equal the exhaustive cross-join result exactly
