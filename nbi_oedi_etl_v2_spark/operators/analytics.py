@@ -22,7 +22,7 @@ offsets are exact integer day arithmetic — no doubles anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,4 +105,115 @@ def cohort_retention(
             .alias("week_offset"),
         )
         .agg(F.count_distinct("user").cast("bigint").alias("active_users"))
+    )
+
+
+def sequence_pattern_users(
+    events: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Users whose time-ordered event-type sequence matches a regex —
+    the poor man's MATCH_RECOGNIZE, as one aggregation.
+
+    Each user's history collapses to a single comma-joined string of
+    event types (deterministically ordered via struct sort), then one
+    regexp per user. Scale shape: ONE hash aggregate keyed by user
+    (map-side partial collect_list), pattern evaluation row-local on
+    the aggregated string; no self-joins, no windows. The per-user
+    string is bounded by that user's event count — the same bound any
+    sequence-pattern engine needs in state.
+    """
+    o1, o2 = order_cols
+    seq = (
+        events.groupBy(F.col(f"`{user_col}`").alias("user_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(f"`{o1}`").alias("o1"),
+                                F.col(f"`{o2}`").alias("o2"),
+                                F.col(f"`{type_col}`").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                ",",
+            ).alias("seq")
+        )
+    )
+    return seq.where(F.col("seq").rlike(pattern)).select(
+        "user_id", F.length("seq").cast("bigint").alias("seq_len")
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """2-D skyline (Pareto front, maximizing both columns): rows not
+    strictly dominated by any other row.
+
+    The textbook formulation is a quadratic NOT EXISTS self-join; in
+    two dimensions the front falls out of one sorted sweep instead: a
+    row survives iff its y exceeds the max y over all strictly-higher
+    x (nothing richer dominates it) and it carries the max y within
+    its own x (no same-x row beats it).
+
+    Scale shape: the sweep is BUCKETED, never a single-partition
+    window — distinct x values (data-sized for continuous x) are
+    range-bucketed by frozen quantile boundaries
+    (curation.order_bucket; x ties share a bucket, so cross-bucket
+    comparisons stay strict), each bucket runs its own running-max
+    window, and the cross-bucket prefix maxima travel through one
+    #buckets-row aggregate broadcast back as literals — the driver
+    sees #buckets values, never rows. One per-x aggregate, one
+    bucketed window, one equi-join back onto the data.
+    """
+    from . import curation
+
+    x, y = F.col(f"`{x_col}`"), F.col(f"`{y_col}`")
+    per_x = df.groupBy(x.alias("_x")).agg(F.max(y).alias("_maxy_same"))
+    bkt = curation.order_bucket(per_x, F.col("_x"), num_buckets)
+    b = per_x.withColumn("_bkt", bkt)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    inb = b.withColumn("_maxy_in", F.max("_maxy_same").over(w))
+    # cross-bucket prefix: max y over buckets with strictly larger x
+    # (= strictly larger bucket id; ties share a bucket). #buckets
+    # rows cross the driver — never data.
+    bucket_max = {
+        r["_bkt"]: r["_m"]
+        for r in b.groupBy("_bkt").agg(F.max("_maxy_same").alias("_m")).collect()
+    }
+    prefix: dict[int, object] = {}
+    run = None
+    for k in sorted(bucket_max, reverse=True):
+        prefix[k] = run
+        run = bucket_max[k] if run is None else max(run, bucket_max[k])
+    mapping = [x_ for k, v in prefix.items() if v is not None for x_ in (F.lit(k), F.lit(v))]
+    prefix_col = (
+        F.create_map(*mapping)[F.col("_bkt")] if mapping else F.lit(None)
+    )
+    frontier = inb.withColumn(
+        "_maxy_higher", F.greatest(F.col("_maxy_in"), prefix_col)
+        if mapping
+        else F.col("_maxy_in"),
+    ).where(
+        F.col("_maxy_higher").isNull() | (F.col("_maxy_same") > F.col("_maxy_higher"))
+    )
+    return (
+        df.join(frontier.select("_x", "_maxy_same"), x == F.col("_x"))
+        .where(y == F.col("_maxy_same"))
+        .drop("_x", "_maxy_same")
     )

@@ -539,3 +539,64 @@ def quality_weighted_sample(
         F.concat_ws(":", F.lit(salt), F.col(f"`{id_col}`").cast("string"))
     )
     return df.where(byte0 < F.lit(256.0) * F.col(f"`{quality_col}`"))
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str | None = None,
+    k: int = 16,
+    seed: str = "wr",
+) -> DataFrame:
+    """Deterministic weighted reservoir sampling (Efraimidis–Spirakis
+    A-RES): per group, keep the ``k`` rows with the largest
+    ``u^(1/w)`` where ``u`` is a uniform derived from
+    ``md5(seed || ':' || id)`` — inclusion probability proportional
+    to weight, reproducible across runs/engines/partitionings (no
+    ``rand()``), one window pass.
+
+    The md5 prefix (13 hex digits = 52 bits, double-exact) maps to
+    ``u ∈ [0, 1)``; weights clamp at 1e-6 so zero-weight rows rank
+    last instead of dividing by zero. Keys are rounded to 12 decimals
+    BEFORE ranking with an id tie-break, so the cross-engine ``pow``
+    (≤1 ulp libm divergence) cannot flip an order the rounding
+    doesn't already collapse. Scale shape: one hash exchange on the
+    group key feeding a WindowGroupLimit (per-partition top-k heaps
+    — Spark never sorts whole groups for a rank ≤ k filter).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(f"`{id_col}`").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w_clamped = F.greatest(F.col(f"`{weight_col}`").cast("double"), F.lit(1e-6))
+    key = F.round(F.pow(u, F.lit(1.0) / w_clamped), 12)
+    grp = [F.col(f"`{group_col}`")] if group_col else [F.lit(1)]
+    win = Window.partitionBy(*grp).orderBy(
+        key.desc(), F.col(f"`{id_col}`")
+    )
+    out_cols = [F.col(f"`{group_col}`").alias("group")] if group_col else []
+    return (
+        df.withColumn("_wr_key", key)
+        .withColumn("_wr_rank", F.row_number().over(win))
+        .where(F.col("_wr_rank") <= k)
+        .select(
+            *out_cols,
+            F.col(f"`{id_col}`").alias("id"),
+            F.col(f"`{weight_col}`").cast("double").alias("weight"),
+            F.col("_wr_key").alias("res_key"),
+            F.col("_wr_rank").cast("bigint").alias("res_rank"),
+        )
+    )

@@ -2260,3 +2260,238 @@ def q_customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy.edit_distance_pairs(
         c, "c_custkey", "c_name", max_dist=1, q=3
     )
+
+
+@query(
+    "corpus_weighted_reservoir",
+    oracle=f"""
+    WITH q AS ({_duck_quality_sql()}),
+    w AS (
+      SELECT d.source, d.doc_id, q.quality_score,
+             round(pow(
+               CAST(('0x' || substr(md5('wr:' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                 / 4503599627370496.0,
+               1.0 / greatest(q.quality_score, 1e-6)), 12) AS res_key
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    )
+    SELECT source AS "group", doc_id AS id, quality_score AS weight,
+           res_key, CAST(rn AS BIGINT) AS res_rank
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY res_key DESC, doc_id) AS rn
+      FROM w
+    ) WHERE rn <= 16
+    """,
+    doc="Per-source weighted reservoir sample (Efraimidis–Spirakis "
+        "A-RES, k=16): inclusion odds proportional to quality score, "
+        "fully deterministic (md5-derived uniforms, no rand()), one "
+        "group exchange + per-partition top-k heaps. pytest-oracled; "
+        "r4 rotation candidate.",
+    driver=False,
+)
+def q_corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_scores(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    enriched = docs.select("doc_id", "source").join(scored, "doc_id")
+    return curation.weighted_reservoir_sample(
+        enriched,
+        id_col="doc_id",
+        weight_col="quality_score",
+        group_col="source",
+        k=16,
+        seed="wr",
+    )
+
+
+@query(
+    "events_pattern_users",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len
+    FROM s WHERE regexp_matches(seq, 'view.*click.*purchase')
+    """,
+    doc="Sequence-pattern detection (MATCH_RECOGNIZE-lite): users "
+        "whose time-ordered event-type string matches "
+        "view→…→click→…→purchase. ONE user-keyed aggregate "
+        "(map-side partial collect), row-local regex — no self-join, "
+        "no window. pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_events_pattern_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    return analytics.sequence_pattern_users(ev, "view.*click.*purchase")
+
+
+@query(
+    "etl_incremental_agg_merge",
+    # independent derivation: the oracle aggregates the whole table
+    # in one pass — the merged partials must be indistinguishable
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           {dsum_sql('value')} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           {dsum_sql('value')} / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental aggregate maintenance: the table is aggregated "
+        "as two disjoint halves (yesterday's materialized partial + "
+        "today's increment) and the partials are MERGED — count/sum/"
+        "min/max re-aggregate, avg derives from merged sums. The "
+        "algebra every incremental rollup view depends on; "
+        "exact-decimal sums make the merge bit-identical to the "
+        "single-pass oracle. pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_etl_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import dsum
+
+    e = load_table(spark, sf_dir, "events")
+    split = "2024-01-15 00:00:00"
+
+    def partial(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    merged = (
+        partial(e.where(F.col("ts") < split))
+        .unionByName(partial(e.where(F.col("ts") >= split)))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "hour",
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_value"),
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'row_count' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+    UNION ALL
+    SELECT 'distinct_orderkeys', CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'duplicate_orderkeys',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'null_custkeys',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'distinct_customers', CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'min_totalprice', MIN(o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'max_totalprice', MAX(o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'orphan_orders', CAST(COUNT(*) AS DOUBLE)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    doc="Deequ-style data-quality profile as one long-format table: "
+        "volume, key uniqueness, null rates, value ranges from ONE "
+        "aggregate pass (grouping-free agg with conditional "
+        "expressions), plus referential integrity via a left-anti "
+        "join against the customer dimension. pytest-oracled; r4 "
+        "rotation candidate.",
+    driver=False,
+)
+def q_dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    stats = o.agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        F.countDistinct("o_orderkey").cast("double").alias("distinct_orderkeys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("double")
+        .alias("duplicate_orderkeys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("double")
+        .alias("null_custkeys"),
+        F.countDistinct("o_custkey").cast("double").alias("distinct_customers"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+    )
+    long = stats.selectExpr(
+        "stack(7, "
+        "'row_count', row_count, "
+        "'distinct_orderkeys', distinct_orderkeys, "
+        "'duplicate_orderkeys', duplicate_orderkeys, "
+        "'null_custkeys', null_custkeys, "
+        "'distinct_customers', distinct_customers, "
+        "'min_totalprice', min_totalprice, "
+        "'max_totalprice', max_totalprice) AS (metric, value)"
+    )
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.lit("orphan_orders").alias("metric"), "value")
+    )
+    return long.unionByName(orphans)
+
+
+@query(
+    "orders_skyline",
+    # independent derivation: the quadratic NOT EXISTS dominance
+    # definition, feasible on the month-filtered subset
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        AND o_orderdate <  TIMESTAMP '1995-04-01'
+    )
+    SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, a.o_orderdate
+    FROM m a WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.o_totalprice >= a.o_totalprice
+        AND b.o_orderdate >= a.o_orderdate
+        AND (b.o_totalprice > a.o_totalprice
+             OR b.o_orderdate > a.o_orderdate)
+    )
+    """,
+    doc="2-D skyline (Pareto front on price × recency) via one "
+        "sorted sweep — per-x max aggregate + running max over "
+        "distinct x + join back — instead of the quadratic NOT "
+        "EXISTS self-join the oracle runs. pytest-oracled; r4 "
+        "rotation candidate.",
+    driver=False,
+)
+def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics
+
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-03-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    return analytics.skyline_2d(
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        "o_totalprice",
+        "o_orderdate",
+    )

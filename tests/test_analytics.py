@@ -154,3 +154,20 @@ def test_cohort_retention_planted(spark):
     assert rows[(t0, 1)] == 1
     assert rows[(t0 + w, 0)] == 1
     assert rows[(t0 + w, 1)] == 1
+
+
+def test_skyline_strict_dominance_ties_survive(spark):
+    from nbi_oedi_etl_v2_spark.operators import analytics
+
+    rows = [
+        (1, 10.0, 5),   # dominated by id 3 (both axes strictly better)
+        (2, 20.0, 3),   # front (best x among y<=3... dominated? see 5)
+        (3, 15.0, 6),   # front
+        (4, 15.0, 6),   # exact tie with 3 — both survive (strict dominance)
+        (5, 20.0, 3),   # exact tie with 2 — both survive
+        (6, 20.0, 2),   # same x as 2/5, lower y → dominated
+        (7, 5.0, 7),    # front (highest y)
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    out = analytics.skyline_2d(df, "x", "y", num_buckets=2)
+    assert sorted(r.id for r in out.collect()) == [2, 3, 4, 5, 7]

@@ -365,3 +365,17 @@ def test_fuzzy_join_no_cross_product(spark, sf_dir):
     # filtered to near-empty on any real corpus
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_skyline_no_single_partition_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_skyline")
+    # the sweep must stay bucketed: no SinglePartition exchange, no
+    # quadratic dominance self-join
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_users_single_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_pattern_users")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial_collect_list" in plan  # map-side partial collect
