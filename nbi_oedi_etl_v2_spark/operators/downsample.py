@@ -150,6 +150,34 @@ def gapfill_hourly(
     (entity, hour), one entity-partitioned window — all keyed on the
     entity, no global stage.
     """
+    joined = _hourly_spine_join(df, timestamp_col, entity_col, value_col,
+                                decimal_places)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("entity").alias(entity_col),
+        F.col("hr"),
+        F.col("_vmean").isNull().alias("is_gap"),
+        F.last("_vmean", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+def _hourly_spine_join(
+    df: DataFrame,
+    timestamp_col: str,
+    entity_col: str,
+    value_col: str,
+    decimal_places: int,
+) -> DataFrame:
+    """Shared gap-fill front end: hourly exact-decimal means, per-entity
+    bounds, dense hour spine (sequence+explode — spine rows are born
+    map-side, never shuffled in), left join of observed hours. Columns:
+    (entity, hr, _vmean nullable)."""
     from ..functions import davg
 
     ts, ent = F.col(f"`{timestamp_col}`"), F.col(f"`{entity_col}`")
@@ -166,17 +194,87 @@ def gapfill_hourly(
         "entity",
         F.explode(F.sequence("_mn", "_mx", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
     )
-    joined = spine.join(hourly, ["entity", "hr"], "left")
+    return spine.join(hourly, ["entity", "hr"], "left")
+
+
+def gapfill_hourly_interp(
+    df: DataFrame,
+    timestamp_col: str,
+    entity_col: str,
+    value_col: str,
+    decimal_places: int = DECIMAL_PLACES,
+) -> DataFrame:
+    """Dense hourly series per entity with LINEAR interpolation across
+    gaps — the companion to :func:`gapfill_hourly`'s step-function LOCF
+    for sensor series where a straight line between the bracketing
+    observations is the better prior (temperatures, meter readings).
+
+    Each synthesized hour takes
+    ``prev + (next - prev) * elapsed/gap_len`` where ``prev``/``next``
+    are the nearest observed hourly means before/after and the fraction
+    is a ratio of integer hour counts (``timestampdiff(HOUR)``) — pure
+    IEEE double arithmetic identical across engines, so the result is
+    hash-oracle-able. Leading/trailing gaps fall back to back-/forward-
+    fill (no second bracket to interpolate toward).
+
+    Shuffle profile matches :func:`gapfill_hourly`: everything is keyed
+    on the entity — one hash aggregate for hourly means, one for
+    bounds, the spine equi-join, then a single entity-partitioned sort
+    serving all four bracketing windows (Catalyst collapses same-spec
+    windows into one exchange + sort). No global stage; scales with
+    #entities × horizon like the LOCF variant.
+    """
     from pyspark.sql import Window
 
-    w = (
+    joined = _hourly_spine_join(df, timestamp_col, entity_col, value_col,
+                                decimal_places)
+    back = (
         Window.partitionBy("entity")
         .orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
-        F.col("entity").alias(entity_col),
-        F.col("hr"),
-        F.col("_vmean").isNull().alias("is_gap"),
-        F.last("_vmean", ignorenulls=True).over(w).alias("value_ffill"),
+    fwd = (
+        Window.partitionBy("entity")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("_vmean").isNotNull(), F.col("hr"))
+    prev_v = F.last("_vmean", ignorenulls=True).over(back)
+    next_v = F.first("_vmean", ignorenulls=True).over(fwd)
+    prev_hr = F.last(obs_hr, ignorenulls=True).over(back)
+    next_hr = F.first(obs_hr, ignorenulls=True).over(fwd)
+    dh_total = F.expr("timestampdiff(HOUR, _prev_hr, _next_hr)")
+    dh_prev = F.expr("timestampdiff(HOUR, _prev_hr, hr)")
+    frac = dh_prev.cast("double") / dh_total.cast("double")
+    interp = (
+        F.when(F.col("_vmean").isNotNull(), F.col("_vmean"))
+        .when(F.col("_prev_v").isNull(), F.col("_next_v"))
+        .when(F.col("_next_v").isNull(), F.col("_prev_v"))
+        # no final round: prev/next are already identical 7-dp-rounded
+        # doubles on both engines and frac is a ratio of small ints, so
+        # the raw IEEE result is bit-identical cross-engine — a final
+        # round(7) would *create* divergence (midpoint interpolants land
+        # exactly on 8th-digit ties, where DuckDB's float-path rounding
+        # disagrees with Spark's BigDecimal HALF_UP)
+        .otherwise(
+            F.col("_prev_v") + (F.col("_next_v") - F.col("_prev_v")) * frac
+        )
+    )
+    return (
+        joined.select(
+            "entity",
+            "hr",
+            "_vmean",
+            F.col("_vmean").isNull().alias("is_gap"),
+            prev_v.alias("_prev_v"),
+            next_v.alias("_next_v"),
+            prev_hr.alias("_prev_hr"),
+            next_hr.alias("_next_hr"),
+        )
+        .select(
+            F.col("entity").alias(entity_col),
+            "hr",
+            "is_gap",
+            interp.alias("value_interp"),
+        )
     )

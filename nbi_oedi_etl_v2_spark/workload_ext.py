@@ -2495,3 +2495,163 @@ def q_orders_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         "o_orderdate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill + per-group regression moments (round 3,
+# third wave).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "etl_gapfill_interp",
+    oracle="""
+    WITH h AS (
+      SELECT user_id AS entity, date_trunc('hour', ts) AS hr,
+             round(CAST(CAST(SUM(CAST((value) AS DECIMAL(38,10))) AS VARCHAR)
+                        AS DOUBLE) / COUNT(value), 7) AS vmean
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT entity, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY entity
+    ), spine AS (
+      SELECT entity, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM b
+    ), j AS (
+      SELECT s.entity AS user_id, s.hr, h.vmean
+      FROM spine s LEFT JOIN h ON s.entity = h.entity AND s.hr = h.hr
+    ), br AS (
+      SELECT user_id, hr, vmean,
+        last_value(vmean IGNORE NULLS) OVER wback AS prev_v,
+        first_value(vmean IGNORE NULLS) OVER wfwd AS next_v,
+        last_value(CASE WHEN vmean IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER wback AS prev_hr,
+        first_value(CASE WHEN vmean IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER wfwd AS next_hr
+      FROM j
+      WINDOW wback AS (PARTITION BY user_id ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wfwd AS (PARTITION BY user_id ORDER BY hr
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hr, vmean IS NULL AS is_gap,
+      CASE WHEN vmean IS NOT NULL THEN vmean
+           WHEN prev_v IS NULL THEN next_v
+           WHEN next_v IS NULL THEN prev_v
+           ELSE prev_v + (next_v - prev_v) *
+                (CAST(date_diff('hour', prev_hr, hr) AS DOUBLE) /
+                 CAST(date_diff('hour', prev_hr, next_hr) AS DOUBLE))
+      END AS value_interp
+    FROM br
+    """,
+    doc="Dense hourly per-user series with LINEAR interpolation across "
+        "gaps (companion to etl_gapfill_hours' LOCF): each synthesized "
+        "hour is prev + (next-prev) * elapsed/gap_len, the fraction a "
+        "ratio of integer hour counts so both engines run identical "
+        "IEEE arithmetic. Leading/trailing gaps back-/forward-fill. "
+        "One entity exchange serves all four bracketing windows. "
+        "pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_etl_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.downsample import gapfill_hourly_interp
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_hourly_interp(ev, "ts", "user_id", "value")
+
+
+@query(
+    "lineitem_price_trend",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS DOUBLE) AS n,
+             {dsum_sql('l_quantity')} AS sx,
+             {dsum_sql('l_extendedprice')} AS sy,
+             {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+             {dsum_sql('l_quantity * l_quantity')} AS sxx,
+             {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 7) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 7) AS intercept,
+           round((n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 7) AS corr_qty_price
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Per-group OLS trend line + Pearson correlation of extended "
+        "price on quantity, computed from exact-decimal first/second "
+        "moments (dsum) so the closed-form slope/intercept/r are "
+        "bit-identical across engines — the distributed formulation "
+        "of regr_slope/regr_intercept/corr that stays hash-oracle-"
+        "able. ONE map-side-combined hash aggregate over the fact "
+        "table; moments shuffle, never rows. pytest-oracled; r4 "
+        "rotation candidate.",
+    driver=False,
+)
+def q_lineitem_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(price).alias("sy"),
+        dsum(qty * price).alias("sxy"),
+        dsum(qty * qty).alias("sxx"),
+        dsum(price * price).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return (
+        m.where((var_x > 0) & (var_y > 0))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            n.cast("bigint").alias("n_rows"),
+            F.round(slope, 7).alias("slope"),
+            F.round((sy - slope * sx) / n, 7).alias("intercept"),
+            F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 7).alias(
+                "corr_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "events_hll_daily_rollup",
+    oracle=None,
+    # no oracle: the DataSketches binary payload is engine-specific.
+    # Estimate-vs-exact tolerance pinned in tests/test_extensions.py.
+    doc="Mergeable-sketch pre-aggregation: materialize one DataSketches "
+        "HLL sketch of user_id per (event_type, day) — KB-sized binary "
+        "rows — then answer the per-type distinct-user rollup by "
+        "UNIONING sketches, never rescanning events. At 100 TB the "
+        "daily sketch table is thousands of rows; any later window "
+        "(week, month, all-time) re-aggregates that table instead of "
+        "the raw store. Rows-only driver check; ±5%-of-exact pinned "
+        "in pytest.",
+    driver=False,
+)
+def q_events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.build_sketches(
+        ev.withColumn("day", F.to_date("ts")),
+        "user_id",
+        ["event_type", "day"],
+    )
+    return sketches.rollup_sketches(daily, ["event_type"]).orderBy(
+        "event_type"
+    )

@@ -171,3 +171,58 @@ def test_skyline_strict_dominance_ties_survive(spark):
     df = spark.createDataFrame(rows, "id int, x double, y int")
     out = analytics.skyline_2d(df, "x", "y", num_buckets=2)
     assert sorted(r.id for r in out.collect()) == [2, 3, 4, 5, 7]
+
+
+def test_gapfill_interp_planted(spark):
+    """One entity, observations at hours 0 (v=10) and 4 (v=30), a lone
+    hour-6 reading (v=50): interior gap hours interpolate linearly
+    (10 + (30-10)*k/4), the hour-5 gap interpolates toward hour 6,
+    and there are no leading/trailing gaps."""
+    from nbi_oedi_etl_v2_spark.operators.downsample import (
+        gapfill_hourly_interp,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    df = spark.createDataFrame(
+        [(1, at(0), 10.0), (1, at(4), 30.0), (1, at(6), 50.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {
+        r["hr"].hour: (r["is_gap"], r["value_interp"])
+        for r in gapfill_hourly_interp(df, "ts", "user_id", "value").collect()
+    }
+    assert len(out) == 7
+    assert out[0] == (False, 10.0)
+    assert out[1] == (True, 15.0)
+    assert out[2] == (True, 20.0)
+    assert out[3] == (True, 25.0)
+    assert out[4] == (False, 30.0)
+    assert out[5] == (True, 40.0)
+    assert out[6] == (False, 50.0)
+
+
+def test_gapfill_interp_edge_fills(spark):
+    """An entity whose series starts/ends with gap hours cannot exist
+    (bounds come from observed hours), but single-observation entities
+    and adjacent observations must pass through unchanged."""
+    from nbi_oedi_etl_v2_spark.operators.downsample import (
+        gapfill_hourly_interp,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 7.0),
+            (2, t0, 1.0),
+            (2, t0 + datetime.timedelta(hours=1), 2.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    rows = gapfill_hourly_interp(df, "ts", "user_id", "value").collect()
+    got = {(r["user_id"], r["hr"].hour): r["value_interp"] for r in rows}
+    assert got == {(1, 0): 7.0, (2, 0): 1.0, (2, 1): 2.0}
+    assert all(not r["is_gap"] for r in rows)

@@ -484,3 +484,41 @@ def test_minhash_hot_band_candidates_bounded(spark):
     boiler_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
     assert boiler_pairs == star, f"{len(boiler_pairs)} pairs, expected {len(star)}"
     assert (1000, 1001) in got
+
+
+def test_hll_sketch_rollup_matches_exact_within_tolerance(spark, sf_dir):
+    """Daily sketches unioned to per-type estimates must land within
+    ±5% of exact COUNT(DISTINCT) (lgK=12 ⇒ ~1.6% RSE), and the
+    materialize→rollup path must agree with a direct one-shot sketch."""
+    import pyspark.sql.functions as F
+
+    from nbi_oedi_etl_v2_spark.operators import sketches
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.build_sketches(
+        ev.withColumn("day", F.to_date("ts")), "user_id",
+        ["event_type", "day"],
+    )
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.rollup_sketches(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(1, 0.05 * ex), (et, approx[et], ex)
+    # merge path ≡ one-shot sketch (union is lossless for HLL)
+    oneshot = {
+        r["event_type"]: r["approx_distinct"]
+        for r in sketches.rollup_sketches(
+            sketches.build_sketches(ev, "user_id", ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    assert approx == oneshot

@@ -1,0 +1,98 @@
+"""File-level min/max skipping index: pruning skips provably-disjoint
+files, keeps unprovable ones (null stats), and the skipped read is
+always exactly the row-filtered result."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nbi_oedi_etl_v2_spark.operators import layout
+from nbi_oedi_etl_v2_spark.sources import skipping
+
+
+def _write_clustered(spark, tmp_path, n=4096, files=8):
+    """n rows with x in [0, 1024), range-clustered on x into `files`
+    files so each file owns a disjoint x span."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"), (F.col("id") % 1024).alias("x")
+    )
+    df.repartitionByRange(files, "x").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_prune_skips_disjoint_files_and_result_is_exact(spark, tmp_path):
+    path = _write_clustered(spark, tmp_path)
+    idx = skipping.build_skipping_index(spark, path, ["x"])
+    total_files = idx.count()
+    assert total_files >= 4
+
+    got = skipping.read_with_skipping(
+        spark, path, idx, {"x": (100, 140)}
+    )
+    # a 41/1024 slice of a range-clustered table must skip most files
+    survivors = skipping.prune_files(idx, {"x": (100, 140)})
+    assert len(survivors) < total_files
+    expect = (
+        spark.read.parquet(path)
+        .where((F.col("x") >= 100) & (F.col("x") <= 140))
+        .collect()
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expect
+    )
+
+
+def test_prune_open_bounds(spark, tmp_path):
+    path = _write_clustered(spark, tmp_path)
+    idx = skipping.build_skipping_index(spark, path, ["x"])
+    total = idx.count()
+    hi_only = skipping.prune_files(idx, {"x": (None, 50)})
+    lo_only = skipping.prune_files(idx, {"x": (1000, None)})
+    assert 0 < len(hi_only) < total
+    assert 0 < len(lo_only) < total
+    n = skipping.read_with_skipping(
+        spark, path, idx, {"x": (None, 50)}
+    ).count()
+    assert n == spark.read.parquet(path).where("x <= 50").count()
+
+
+def test_null_stats_keep_the_file(spark, tmp_path):
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame([(1, None)], "k bigint, x bigint").write.mode(
+        "overwrite"
+    ).parquet(path)
+    idx = skipping.build_skipping_index(spark, path, ["x"])
+    # min/max are NULL: the file is unprovable, so it must survive
+    assert len(skipping.prune_files(idx, {"x": (0, 10)})) == 1
+
+
+def test_empty_survivor_set_returns_empty_with_schema(spark, tmp_path):
+    path = _write_clustered(spark, tmp_path)
+    idx = skipping.build_skipping_index(spark, path, ["x"])
+    out = skipping.read_with_skipping(spark, path, idx, {"x": (5000, 6000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "x"}
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """The marquee combination: z-order on (x, y), then the zone map
+    prunes on EITHER dimension alone — what a single-column sort
+    cannot do for its non-prefix dimension."""
+    path = str(tmp_path / "z")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    layout.zorder_layout(df, ["x", "y"], bits=6, num_partitions=16).drop(
+        "zvalue"
+    ).write.mode("overwrite").parquet(path)
+    idx = skipping.build_skipping_index(spark, path, ["x", "y"])
+    total = idx.count()
+    x_files = skipping.prune_files(idx, {"x": (0, 7)})
+    y_files = skipping.prune_files(idx, {"y": (0, 7)})
+    assert len(x_files) < total
+    assert len(y_files) < total
+    # and the pruned reads stay exact
+    got = skipping.read_with_skipping(spark, path, idx, {"y": (0, 7)})
+    assert got.count() == spark.read.parquet(path).where("y <= 7").count()
