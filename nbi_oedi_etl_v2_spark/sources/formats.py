@@ -64,3 +64,18 @@ def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (zlib, Spark's native vectorized writer). ORC carries
+    types + per-stripe min/max in the file itself, so unlike jsonl/csv
+    no schema/timestamp conventions are needed — the roundtrip risk is
+    only timestamp semantics, covered by the roundtrip test/oracle."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema still pinned explicitly: consistent with the other
+    readers, it skips the footer-sampling inference pass and fails
+    fast on drift instead of silently widening types."""
+    return spark.read.schema(schema).orc(path)

@@ -2655,3 +2655,88 @@ def q_events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.rollup_sketches(daily, ["event_type"]).orderBy(
         "event_type"
     )
+
+
+@query(
+    "orders_skipping_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice BETWEEN 150000.0 AND 250000.0
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                          AND TIMESTAMP '1995-07-01'
+    """,
+    doc="End-to-end data-skipping scan: Z-order orders on (price, "
+        "date) into a 16-file layout, build the file-level min/max "
+        "zone map (sources/skipping.py), prune files against both "
+        "range predicates, and read only survivors + the residual "
+        "row filter. Skipping is conservative-superset by "
+        "construction, so the result hash-matches a plain filtered "
+        "scan — which is exactly what the oracle runs. Pruning "
+        "efficacy (files skipped on EITHER z-dimension) is pinned in "
+        "tests/test_skipping.py. pytest-oracled; r4 rotation "
+        "candidate.",
+    driver=False,
+)
+def q_orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from .operators import layout
+    from .sources import skipping
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = tempfile.mkdtemp(prefix="skipscan_")
+    layout.zorder_layout(
+        o, ["o_totalprice", "o_orderdate"], bits=10, num_partitions=16
+    ).drop("zvalue").write.mode("overwrite").parquet(path)
+    idx = skipping.build_skipping_index(
+        spark, path, ["o_totalprice", "o_orderdate"]
+    )
+    return skipping.read_with_skipping(
+        spark,
+        path,
+        idx,
+        {
+            "o_totalprice": (150000.0, 250000.0),
+            "o_orderdate": (
+                datetime.datetime(1995, 1, 1),
+                datetime.datetime(1995, 7, 1),
+            ),
+        },
+    )
+
+
+@query(
+    "events_orc_roundtrip",
+    # oracle = the unserialized table: a lossless roundtrip through
+    # ORC must hash-match reading the original parquet
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    """,
+    doc="ORC interchange fidelity: write events to ORC (vectorized "
+        "native writer, per-stripe min/max indexes), read back with a "
+        "pinned schema, hash-match the unserialized parquet table — "
+        "codec losslessness proven in-plan, same pattern as the JSONL "
+        "roundtrip. pytest-oracled; r4 rotation candidate.",
+    driver=False,
+)
+def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources import formats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_")
+    formats.write_orc(ev, path)
+    return formats.read_orc(
+        spark,
+        path,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
