@@ -379,3 +379,52 @@ def test_pattern_users_single_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_pattern_users")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "partial_collect_list" in plan  # map-side partial collect
+
+
+def test_gapfill_interp_single_window_pass(spark, sf_dir):
+    """All four bracketing window functions (prev/next value+hour)
+    share one partition/order spec, so Catalyst must collapse them
+    into ONE Window node over ONE sort — four separate window passes
+    would pay 4× the entity exchange at 100 TB."""
+    plan = plan_of(spark, sf_dir, "etl_gapfill_interp")
+    assert plan.count("Window ") + plan.count("Window\n") <= 2  # node + possible AQE echo
+    # the real pin: a single physical Window operator line
+    lines = [l for l in plan.splitlines() if l.lstrip("+-: *").startswith("Window")]
+    assert len(lines) == 1, lines
+    assert "CartesianProduct" not in plan
+
+
+def test_price_trend_is_one_aggregate(spark, sf_dir):
+    """All six regression moments ride ONE map-side-combined hash
+    aggregate: exactly one data exchange, partial+final agg pair."""
+    plan = plan_of(spark, sf_dir, "lineitem_price_trend")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_hll_rollup_shuffles_sketches_not_keys(spark, sf_dir):
+    """Two aggregate stages (daily sketch build, union rollup), both
+    map-side combined — the rollup's shuffle carries partial sketches,
+    never user ids."""
+    plan = plan_of(spark, sf_dir, "events_hll_daily_rollup")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_hll_sketch_agg" in plan  # map-side sketch build
+    assert "partial_hll_union_agg" in plan  # map-side sketch merge
+
+
+def test_skipping_index_scan_is_pruned(spark, tmp_path):
+    """The zone-map build must read ONLY the indexed columns."""
+    import pyspark.sql.functions as F
+
+    from nbi_oedi_etl_v2_spark.sources import skipping
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("a"), F.col("id").alias("b"), F.col("id").alias("c")
+    ).write.parquet(path)
+    idx = skipping.build_skipping_index(spark, path, ["a"])
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "a#" in scan
+    assert "b#" not in scan and "c#" not in scan
