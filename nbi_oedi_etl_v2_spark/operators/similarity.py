@@ -275,19 +275,28 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    nlist: int = 16,
-    nprobe: int = 4,
-    iterations: int = 1,
+    nlist: int = 32,
+    nprobe: int = 12,
+    iterations: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into ``nlist``
-    Voronoi cells, probe each query's ``nprobe`` nearest cells, exact
-    cosine re-rank inside them.
+    Voronoi cells, probe each query's ``nprobe`` nearest cells
+    (multiprobe by centroid distance), exact cosine re-rank inside
+    them.
 
     The scale shape: cell assignment is one broadcast pass; the search
     join is an equi-join on cid touching ~``nprobe/nlist`` of the
     corpus per query instead of all of it. Complements hyperplane LSH:
     IVF adapts to the data distribution (cells follow density), LSH is
     oblivious but needs no training pass.
+
+    Default calibration (measured on the uniform synthetic embeddings
+    — the hardest regime, no planted clusters): nlist=32 / nprobe=12 /
+    2 Lloyd iterations ⇒ recall ≥0.8 of exact top-5 while scanning
+    ~3/8 of the corpus per query; the pytest floor is 0.7 under a
+    ≤0.55 measured candidate-fraction budget
+    (tests/test_extensions.py::test_ivf_topk_recall). Real clustered
+    embeddings fare better at smaller nprobe/nlist.
     """
     cents = ivf_centroids(corpus, id_col, vec_col, nlist, iterations)
     c = with_norm(corpus, vec_col).select(

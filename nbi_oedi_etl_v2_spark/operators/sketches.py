@@ -46,11 +46,16 @@ def rollup_sketches(
     sketches: DataFrame, group_cols: list[Column | str]
 ) -> DataFrame:
     """Re-aggregate materialized sketches to a coarser grouping:
-    union the sketch column, read out the estimate. Input is the
+    union the sketch column, read out the estimate — AND keep the
+    merged sketch itself, so rollups compose hierarchically
+    (day → week → month each re-aggregates the previous level's
+    ``sketch`` column, never the finest table). Input is the
     #groups-sized sketch table, so this never touches raw data."""
+    merged = F.hll_union_agg("sketch")
     return sketches.groupBy(*group_cols).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
-        .cast("bigint")
-        .alias("approx_distinct"),
+        merged.alias("sketch"),
         F.sum("n_rows").alias("n_rows"),
+    ).withColumn(
+        "approx_distinct",
+        F.hll_sketch_estimate("sketch").cast("bigint"),
     )

@@ -79,25 +79,64 @@ def prune_files(index: DataFrame, ranges: dict[str, tuple]) -> list[str]:
     return [r[FILE_COL] for r in index.where(cond).select(FILE_COL).collect()]
 
 
+READ_BATCH_FILES = 10_000
+
+
 def read_with_skipping(
     spark: SparkSession,
     path: str,
     index: DataFrame,
     ranges: dict[str, tuple],
+    batch_files: int = READ_BATCH_FILES,
 ) -> DataFrame:
     """Read only the files the index cannot rule out, then apply the
     range predicate row-level (skipping is a superset; the residual
     filter also reaches the parquet reader as a pushed filter for
     row-group pruning inside surviving files).
 
+    Scale bounds: the surviving-path list is #files-sized — the same
+    driver-side footprint Delta/Iceberg pay to resolve a manifest. At
+    10⁶-file scale a single ``parquet(*paths)`` call would push one
+    enormous file list through the DataSource; paths are therefore
+    handed off in ``batch_files``-sized reads unioned lazily, keeping
+    each relation's file list bounded while Spark still schedules one
+    job over the union.
+
+    The table schema is pinned from ONE surviving file's footer (not a
+    full-directory inference pass, which would re-read every pruned
+    footer). This module indexes flat parquet directories only: with a
+    Hive-partitioned layout the partition columns live in directory
+    names, not footers, and reading leaf files under a pinned schema
+    would silently yield NULLs — so partitioned layouts are rejected.
+    Partitioned tables get directory-level pruning from
+    ``sources/reader.py`` first; this index applies within a leaf.
+
     An empty surviving set returns an empty DataFrame with the table's
     schema, so downstream code never branches.
     """
     files = prune_files(index, ranges)
-    schema = spark.read.parquet(path).schema
-    if not files:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*files)
+    if any("=" in f[len(path):] for f in files):
+        raise ValueError(
+            "read_with_skipping requires a flat (non-partitioned) "
+            "parquet directory; Hive-partitioned layouts would lose "
+            "partition columns under a footer-pinned schema"
+        )
+    if files:
+        # one footer, not #files footers, fixes the schema
+        schema = spark.read.parquet(files[0]).schema
+    else:
+        any_file = index.select(FILE_COL).first()
+        if any_file is None:
+            return spark.createDataFrame([], spark.read.parquet(path).schema)
+        return spark.createDataFrame(
+            [], spark.read.parquet(any_file[FILE_COL]).schema
+        )
+    batches = [
+        files[i : i + batch_files] for i in range(0, len(files), batch_files)
+    ]
+    df = spark.read.schema(schema).parquet(*batches[0])
+    for chunk in batches[1:]:
+        df = df.unionByName(spark.read.schema(schema).parquet(*chunk))
     for c, (lo, hi) in ranges.items():
         if lo is not None:
             df = df.where(F.col(f"`{c}`") >= F.lit(lo))

@@ -21,6 +21,25 @@ from .operators import curation, dedup, multimodal, packing, similarity, text
 from .tables import load_table
 from .workload import HOURLY_DOWNSAMPLE_ORACLE, REGISTRY, query
 
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, dataset) scratch path under the system
+    temp dir.  The write-side queries below use mode('overwrite'), so a
+    stable path means repeated bench/pytest/driver invocations reclaim
+    the previous copy instead of leaking a fresh mkdtemp dir each run
+    (ADVICE r3).  The sf_dir hash keeps different scale factors from
+    clobbering each other within one process sweep."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_scratch_{name}_{tag}"
+    )
+    os.makedirs(path, exist_ok=True)
+    return path
+
 # ---------------------------------------------------------------------------
 # Deduplication family
 # ---------------------------------------------------------------------------
@@ -2680,7 +2699,6 @@ def q_events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import tempfile
 
     from .operators import layout
     from .sources import skipping
@@ -2688,7 +2706,7 @@ def q_orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-    path = tempfile.mkdtemp(prefix="skipscan_")
+    path = _scratch_dir("skipscan", sf_dir)
     layout.zorder_layout(
         o, ["o_totalprice", "o_orderdate"], bits=10, num_partitions=16
     ).drop("zvalue").write.mode("overwrite").parquet(path)
@@ -2725,14 +2743,12 @@ def q_orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,
 )
 def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from .sources import formats
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    path = tempfile.mkdtemp(prefix="orc_rt_")
+    path = _scratch_dir("orc_rt", sf_dir)
     formats.write_orc(ev, path)
     return formats.read_orc(
         spark,

@@ -96,3 +96,31 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     # and the pruned reads stay exact
     got = skipping.read_with_skipping(spark, path, idx, {"y": (0, 7)})
     assert got.count() == spark.read.parquet(path).where("y <= 7").count()
+
+
+def test_many_file_read_batches_the_path_handoff(spark, tmp_path):
+    """At large #files the surviving-path list is handed to the reader
+    in READ_BATCH_FILES-sized chunks unioned lazily; force a tiny batch
+    size so the chunked union path is exercised and stays exact."""
+    path = _write_clustered(spark, tmp_path, n=4096, files=32)
+    idx = skipping.build_skipping_index(spark, path, ["x"])
+    got = skipping.read_with_skipping(
+        spark, path, idx, {"x": (0, 900)}, batch_files=5
+    )
+    expect = spark.read.parquet(path).where("x <= 900")
+    assert got.count() == expect.count()
+    assert len(skipping.prune_files(idx, {"x": (0, 900)})) > 5
+
+
+def test_partitioned_layout_is_rejected(spark, tmp_path):
+    """Hive-partitioned layouts must be rejected: partition columns
+    live in dir names, and a footer-pinned schema would NULL them."""
+    import pytest
+
+    path = str(tmp_path / "part")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("p")
+    ).write.partitionBy("p").mode("overwrite").parquet(path)
+    idx = skipping.build_skipping_index(spark, path, ["k"])
+    with pytest.raises(ValueError, match="flat"):
+        skipping.read_with_skipping(spark, path, idx, {"k": (0, 50)})
