@@ -56,10 +56,40 @@ def main() -> None:
     # the query, not session warm-up.
     warm = workload.REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
     warm.count()
+    # …and the streaming path once: the RocksDB state store pays a
+    # one-time native-library + state-dir init (~0.5 s) on its first
+    # micro-batch, which otherwise lands in the first timed sample and
+    # skews the median (this was most of BENCH_r03's apparent
+    # streaming regression — steady-state RocksDB ≈ heap provider).
+    workload.all_specs()["streaming_hourly_downsample"].fn(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name, fn in workload.headline_queries().items():
         timings[name] = _median_time(lambda: fn(spark, SF_DIR).count(), name)
+
+    # state-store A/B tail (VERDICT r3 item 3): the same streaming
+    # query under the heap-backed provider, so every BENCH_r{N}.json
+    # records what the scale-correct RocksDB default costs locally.
+    _PROVIDERS = {
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider",
+        "hdfs": "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+    }
+    _SS_KEY = "spark.sql.streaming.stateStore.providerClass"
+    _prior = spark.conf.get(_SS_KEY)
+    state_store_ab: dict[str, float] = {}
+    _stream_fn = workload.all_specs()["streaming_hourly_downsample"].fn
+    try:
+        for _label, _cls in _PROVIDERS.items():
+            spark.conf.set(_SS_KEY, _cls)
+            _stream_fn(spark, SF_DIR).count()  # provider init outside timer
+            state_store_ab[_label] = _median_time(
+                lambda: _stream_fn(spark, SF_DIR).count(),
+                f"streaming_hourly_downsample[{_label}]",
+            )
+    finally:
+        spark.conf.set(_SS_KEY, _prior)
 
     # the reference's headline number IS an ETL run (BASELINE.md:
     # 564.64 s for 1,128 files ≈ 2 files/s): time the equivalent
@@ -90,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "state_store_ab": state_store_ab,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

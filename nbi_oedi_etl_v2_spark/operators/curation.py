@@ -564,6 +564,14 @@ def weighted_reservoir_sample(
     doesn't already collapse. Scale shape: one hash exchange on the
     group key feeding a WindowGroupLimit (per-partition top-k heaps
     — Spark never sorts whole groups for a rank ≤ k filter).
+
+    ``group_col=None`` windows over ``partitionBy(lit(1))`` — a single
+    logical partition, which would be a scale bug as a sort but is not
+    here: Catalyst collapses the ungrouped rank ≤ k into
+    ``TakeOrderedAndProject``, so each input partition keeps only a
+    k-row heap and exactly k·#partitions rows reach the final k-row
+    merge. Both shapes are pinned in tests/test_plan_quality.py::
+    test_rank_topk_operators_use_window_group_limit.
     """
     u = (
         F.conv(

@@ -490,30 +490,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return signed.unionByName(empty)
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc",
+    hash_col: str = "h",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block the 64-bit signature into
-    ``max_hamming + 1`` chunks (pigeonhole: any pair within the
+    """Generic near-dup pairs over any 64-bit signature column
+    (SimHash, image aHash, audio fingerprints…): block the signature
+    into ``max_hamming + 1`` chunks (pigeonhole: any pair within the
     Hamming radius agrees on ≥1 whole block), equi-join per block,
-    verify with exact popcount on xor."""
+    verify with exact popcount on xor. NULL signatures (undecodable
+    payloads upstream) never pair. Scale shape: (blocks)× replication
+    on an 8-byte key, never all-pairs."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    sh = simhash(df, id_col, text_col)
-    blocked = sh.select(
-        "doc",
-        "simhash",
+    blocked = sigs.where(F.col(f"`{hash_col}`").isNotNull()).select(
+        F.col(f"`{id_col}`").alias("doc"),
+        F.col(f"`{hash_col}`").alias("_h"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {blocks - 1}), "
                 f"b -> struct(b AS blk, "
-                f"(shiftright(simhash, b * {width}) & {(1 << width) - 1}) AS bits))"
+                f"(shiftright(`{hash_col}`, b * {width}) & {(1 << width) - 1}) AS bits))"
             )
         ).alias("blk"),
-    ).select("doc", "simhash", "blk.blk", "blk.bits")
+    ).select("doc", "_h", "blk.blk", "blk.bits")
 
-    a = blocked.select(F.col("doc").alias("id_a"), F.col("simhash").alias("h_a"), "blk", "bits")
-    b = blocked.select(F.col("doc").alias("id_b"), F.col("simhash").alias("h_b"), "blk", "bits")
+    a = blocked.select(F.col("doc").alias("id_a"), F.col("_h").alias("h_a"), "blk", "bits")
+    b = blocked.select(F.col("doc").alias("id_b"), F.col("_h").alias("h_b"), "blk", "bits")
     return (
         a.join(b, ["blk", "bits"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -522,6 +527,15 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash — the text instantiation of
+    :func:`hamming_near_pairs`."""
+    sh = simhash(df, id_col, text_col)
+    return hamming_near_pairs(sh, "doc", "simhash", max_hamming)
 
 
 def duplicate_spans(

@@ -1,6 +1,13 @@
 """Fuzzy (edit-distance) self-join: all pairs within Levenshtein
 ``max_dist``, without the all-pairs cross product.
 
+Two layers: the Ed-Join candidate machinery runs over DISTINCT
+strings (each edit distance computed once, identical strings never
+reach Levenshtein at all), and id-level pairs are re-expanded from
+string pairs by equi-joins — so duplicate-heavy entity columns (the
+common case) pay verification proportional to distinct values and
+pay the duplicate multiplicity only in the output rows themselves.
+
 Candidate generation is Ed-Join prefix filtering (Xiao, Wang & Lin,
 VLDB'08): each string's distinct q-grams are ordered by global rarity
 (corpus frequency asc, gram asc) and only the first
@@ -53,13 +60,59 @@ def edit_distance_pairs(
     max_dist: int = 2,
     q: int = 2,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with levenshtein ≤ ``max_dist``,
-    exact — the prefix filter only prunes, never loses a pair."""
-    prefix_len = max_dist * q + 1
-    s = df.select(
+    """All (id_a < id_b) pairs with levenshtein ≤ ``max_dist``, exact.
+
+    Runs the Ed-Join over DISTINCT strings, then expands string pairs
+    back to id pairs with equi-joins. Exact duplicates are rampant in
+    real entity columns (and in the sf1 replica soak, where every name
+    occurs 10×): with m copies per string, the naive id-level join
+    computes the same Levenshtein m² times and the r3 soak measured
+    it super-linear. Distinct-level verification computes each
+    distance ONCE; the m² blow-up survives only in the output
+    expansion (those rows ARE the answer) as pure equi-joins, and
+    identical-string pairs (dist 0) skip Levenshtein entirely.
+    """
+    ids = df.select(
         F.col(f"`{id_col}`").alias("id"),
         F.col(f"`{str_col}`").alias("s"),
     )
+    spairs = _distinct_string_pairs(
+        ids.select("s").distinct(), max_dist, q
+    )
+    a = ids.select(F.col("id").alias("raw_a"), F.col("s").alias("s_a"))
+    b = ids.select(F.col("id").alias("raw_b"), F.col("s").alias("s_b"))
+    # cross-string expansion: the two id sets are disjoint (strings
+    # differ), so least/greatest emits each unordered pair exactly once
+    cross = (
+        spairs.join(a, "s_a")
+        .join(b, "s_b")
+        .select(
+            F.least("raw_a", "raw_b").alias("id_a"),
+            F.greatest("raw_a", "raw_b").alias("id_b"),
+            "dist",
+        )
+    )
+    # identical-string pairs: distance 0 by definition — one equi-join
+    # on the string, no edit-distance evaluation
+    same = (
+        a.join(b, F.col("s_a") == F.col("s_b"))
+        .where(F.col("raw_a") < F.col("raw_b"))
+        .select(
+            F.col("raw_a").alias("id_a"),
+            F.col("raw_b").alias("id_b"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+    )
+    return cross.unionByName(same)
+
+
+def _distinct_string_pairs(
+    strs: DataFrame, max_dist: int, q: int
+) -> DataFrame:
+    """Ed-Join proper over a DISTINCT string set: (s_a < s_b, dist ≤
+    max_dist). One Levenshtein per candidate string pair."""
+    prefix_len = max_dist * q + 1
+    s = strs.select(F.col("s").alias("id"), F.col("s").alias("s"))
     grams = s.select(
         "id", "s", F.explode(F.expr(_gram_expr("s", q))).alias("g")
     )
@@ -79,7 +132,7 @@ def edit_distance_pairs(
     # n-gram Jaccard candidate join (dedup._pinned_partitions).
     from .dedup import _pinned_partitions
 
-    prefix = prefix.repartition(_pinned_partitions(df), F.col("g"))
+    prefix = prefix.repartition(_pinned_partitions(strs), F.col("g"))
     cand = (
         prefix.select(
             F.col("id").alias("id_a"), F.col("s").alias("s_a"), "g"
@@ -116,6 +169,6 @@ def edit_distance_pairs(
         .where(F.abs(F.length("s_a") - F.length("s_b")) <= max_dist)
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", F.col("dist").cast("bigint").alias("dist"))
+        .select("s_a", "s_b", F.col("dist").cast("bigint").alias("dist"))
         .distinct()
     )

@@ -57,7 +57,7 @@ DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), True),
-        T.StructField("codec", T.StringType(), True),  # png|wav|raw|error
+        T.StructField("codec", T.StringType(), True),  # png|wav|jpeg|raw|error
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -206,6 +206,47 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         total = sum(data_body)  # 8-bit PCM is unsigned by spec
     frames = count // channels
     return channels, rate, frames, (total % _CHECKSUM_MOD) / _CHECKSUM_MOD
+
+
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn minus DHT/JPG/DAC
+_JPEG_COMPONENTS = {1: 1, 3: 3, 4: 4}
+
+
+def _jpeg_sof(b: bytes, max_segments: int = 64) -> tuple[int, int, int, int, int]:
+    """Walk JPEG markers from SOI to the first SOFn segment and return
+    (sof_marker, precision, height, width, n_components). Pure stdlib
+    marker scan — segment lengths are honored, standalone markers
+    (TEM, RSTn) are stepped over, EOI or a non-marker byte stops the
+    walk with ValueError. Entropy-coded image data is never touched:
+    this is metadata-only (decode proper is out of scope for JPEG —
+    it needs a DCT codec; declared in SCALE.md)."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    for _ in range(max_segments):
+        if pos + 4 > len(b) or b[pos] != 0xFF:
+            raise ValueError("marker walk fell off the segment chain")
+        marker = b[pos + 1]
+        if marker in _JPEG_SOF_MARKERS:
+            if pos + 10 > len(b):
+                raise ValueError("truncated SOF segment")
+            precision = b[pos + 4]
+            height = (b[pos + 5] << 8) | b[pos + 6]
+            width = (b[pos + 7] << 8) | b[pos + 8]
+            ncomp = b[pos + 9]
+            return marker, precision, height, width, ncomp
+        if marker == 0xD9:  # EOI before any SOF
+            raise ValueError("EOI before SOF")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        seg_len = (b[pos + 2] << 8) | b[pos + 3]
+        if seg_len < 2:
+            raise ValueError("bad segment length")
+        pos += 2 + seg_len
+    raise ValueError("no SOF within segment budget")
 
 
 def _fingerprint_payload(payload: bytes) -> tuple[int, int, float]:
@@ -384,6 +425,18 @@ def _decode_one(payload, media_type: str) -> dict:
         except (ValueError, struct.error):
             out["codec"] = "error"
         return out
+    if b[:2] == b"\xff\xd8":
+        # JPEG: metadata-only route — SOF marker walk gives dims and
+        # component count; pixel decode needs a DCT codec and stays
+        # out of scope (declared). checksum_feature stays null so no
+        # fabricated feature leaks downstream.
+        try:
+            _, _, h, w, ncomp = _jpeg_sof(b)
+            out.update(codec="jpeg", width=w, height=h,
+                       channels=_JPEG_COMPONENTS.get(ncomp, ncomp))
+        except ValueError:
+            out["codec"] = "error"
+        return out
     w, h, checksum = _fingerprint_payload(b)
     out.update(codec="raw", width=w, height=h, checksum_feature=checksum)
     return out
@@ -393,10 +446,13 @@ def decode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched decode: mapInPandas over MEDIA_SCHEMA rows →
     DECODED_SCHEMA rows. PNG and WAV payloads get a REAL stdlib decode
     (dimensions / channels / sample counts / pixel- or sample-sum
-    checksum); unknown formats get the deterministic byte fingerprint
-    (``codec='raw'``); corrupt known-magic payloads yield
-    ``codec='error'`` with null features. Batch-at-a-time keeps peak
-    memory bounded regardless of corpus size."""
+    checksum); JPEG payloads get a REAL SOF marker-walk metadata
+    extraction (``codec='jpeg'``, dims + components, no pixel decode —
+    that needs a DCT codec, declared out of scope); unknown formats
+    get the deterministic byte fingerprint (``codec='raw'``); corrupt
+    known-magic payloads yield ``codec='error'`` with null features.
+    Batch-at-a-time keeps peak memory bounded regardless of corpus
+    size."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -447,18 +503,19 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
     dims (MEDIA_SCHEMA in, MEDIA_SCHEMA + width/height out).
 
     PNG payloads get a REAL nearest-neighbor resample (decode →
-    sample → re-encode, pure stdlib); other formats get the
-    deterministic byte-stream stretch/shrink to ``target_w × target_h
-    // 64`` bytes (the former stub, kept so non-image payloads still
-    flow). The Spark plumbing (binary in/out through Arrow, bounded
-    batches, no shuffle) is identical either way.
+    sample → re-encode, pure stdlib). Formats without a real decoder
+    here (JPEG, video, arbitrary bytes) yield a NULL payload — the
+    same quarantine convention as ``decode_media``'s corrupt rows —
+    because fabricating a "resized" byte stream would hand downstream
+    consumers payloads that decode to nothing. Corrupt PNGs quarantine
+    the same way. The Spark plumbing (binary in/out through Arrow,
+    bounded batches, no shuffle) is identical either way.
     """
     out_schema = T.StructType(
         [*MEDIA_SCHEMA.fields,
          T.StructField("width", T.IntegerType(), True),
          T.StructField("height", T.IntegerType(), True)]
     )
-    out_len = max(16, target_w * target_h // 64)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def resample(p):
@@ -470,9 +527,7 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
                     return _resize_png(b, target_w, target_h)
                 except (ValueError, zlib.error, struct.error):
                     return None  # corrupt image → null payload, dims kept
-            # deterministic stretch/shrink of the byte stream to the
-            # target length — the fallback for non-PNG payloads
-            return bytes(b[i * len(b) // out_len] for i in range(out_len)) if b else b
+            return None  # no real decoder for this format → quarantine
 
         for pdf in batches:
             out = pdf.copy()
@@ -572,3 +627,289 @@ def parse_wav_header(
         F.when(is_wav, le_bytes(25, 4)).alias("sample_rate"),
         F.when(is_wav, le_bytes(35, 2).cast("int")).alias("bits_per_sample"),
     )
+
+
+def synth_jpeg_payload(seed: int) -> bytes:
+    """Deterministic JPEG header bytes for tests: SOI + APP0(JFIF) +
+    a COM segment whose length varies with the seed (so the marker
+    walk is exercised, not a fixed offset) + SOF0/SOF2 with seeded
+    dimensions + EOI. Structurally valid down to the SOF — there is
+    deliberately no entropy-coded data (metadata-only contract)."""
+    w = 16 + seed % 4096
+    h = 16 + (seed * 7) % 4096
+    sof_marker = 0xC0 if seed % 2 == 0 else 0xC2
+    comment = bytes((seed + i) % 256 for i in range(4 + seed % 16))
+    out = bytearray(b"\xff\xd8")  # SOI
+    jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(jfif) + 2) + jfif
+    out += b"\xff\xfe" + struct.pack(">H", len(comment) + 2) + comment
+    # SOF: precision 8, height, width, 3 components (each 3 bytes)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def parse_jpeg_header(
+    df: DataFrame, id_col: str, payload_col: str, max_segments: int = 32
+) -> DataFrame:
+    """REAL JPEG SOF header parsing with a JVM-side marker WALK — the
+    third member of the route-before-decode family (PNG/WAV parse at
+    fixed offsets; JPEG cannot, because APPn/COM/DQT segments of
+    arbitrary length precede the frame header).
+
+    The walk is a single codegen-free but JVM-evaluated ``aggregate``
+    fold over ``sequence(1, max_segments)``: the accumulator carries
+    (pos, sof) over the hex image of the payload; each step either
+    stops (non-marker byte, EOI, truncation), records the first SOFn
+    marker position (C0-CF minus C4/C8/CC), hops a standalone marker
+    (TEM/RSTn, no length field), or advances by the segment's
+    big-endian length. No Python, no UDF — one expression per row,
+    map-only, and column pruning still drops the payload when only
+    metadata columns are selected downstream.
+
+    Emits (media_id, is_jpeg, sof_marker, precision, width, height,
+    num_components); non-JPEG / SOF-less payloads parse as
+    ``is_jpeg = false`` with null fields, mirroring the PNG/WAV
+    parsers. Pixel decode is declared out of scope (needs a DCT
+    codec); ``decode_media`` routes JPEG payloads through the same
+    walk Python-side as ``codec='jpeg'`` metadata-only rows.
+    """
+    payload = F.col(f"`{payload_col}`")
+    hx = F.hex(payload)
+    plen = F.length(payload).cast("long")
+
+    def u8at(pos):  # 1-indexed byte offset (Column) → unsigned byte
+        return F.conv(
+            F.substring(hx, ((pos - 1) * 2 + 1).cast("int"), 2), 16, 10
+        ).cast("long")
+
+    def be_u16(pos):
+        return F.conv(
+            F.substring(hx, ((pos - 1) * 2 + 1).cast("int"), 4), 16, 10
+        ).cast("long")
+
+    sof_markers = [m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)]
+
+    def step(acc, _):
+        pos, sof = acc["pos"], acc["sof"]
+        marker = u8at(pos + 1)
+        seg_len = be_u16(pos + 2)
+        stop = F.struct(pos.alias("pos"), F.lit(-1).cast("long").alias("sof"))
+        return (
+            F.when(sof != 0, acc)  # already found or stopped
+            .when((pos + 4 > plen) | (u8at(pos) != 0xFF), stop)
+            .when(
+                marker.isin(sof_markers),
+                F.struct(pos.alias("pos"), pos.alias("sof")),
+            )
+            .when(marker == 0xD9, stop)  # EOI before SOF
+            .when(
+                (marker == 0x01) | ((marker >= 0xD0) & (marker <= 0xD7)),
+                F.struct((pos + 2).alias("pos"), F.lit(0).cast("long").alias("sof")),
+            )
+            .when(seg_len < 2, stop)
+            .otherwise(
+                F.struct(
+                    (pos + 2 + seg_len).alias("pos"),
+                    F.lit(0).cast("long").alias("sof"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"), F.lit(0).cast("long").alias("sof")
+    )
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), init, step
+    )["sof"]
+    sof = F.when(walked > 0, walked)
+    is_jpeg = (
+        (plen >= 4)
+        & (F.substring(hx, 1, 4) == "FFD8")
+        & sof.isNotNull()
+        & (sof + 9 <= plen)
+    )
+    return df.select(
+        F.col(f"`{id_col}`").alias("media_id"),
+        is_jpeg.eqNullSafe(F.lit(True)).alias("is_jpeg"),
+        F.when(is_jpeg, u8at(sof + 1).cast("int")).alias("sof_marker"),
+        F.when(is_jpeg, u8at(sof + 4).cast("int")).alias("precision"),
+        F.when(is_jpeg, be_u16(sof + 7)).alias("width"),
+        F.when(is_jpeg, be_u16(sof + 5)).alias("height"),
+        F.when(is_jpeg, u8at(sof + 9).cast("int")).alias("num_components"),
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def _ahash_png(b: bytes) -> int:
+    """64-bit average-hash of a decodable PNG: nearest-neighbor sample
+    to an 8×8 grayscale grid (channel mean; palette indices used as
+    values), threshold each cell at the grid mean. The standard cheap
+    perceptual fingerprint — invariant to uniform rescale, robust to
+    small pixel noise."""
+    w, h, ch, px = _png_pixels(b)
+    stride = w * ch
+    grid = []
+    for ty in range(8):
+        sy = ty * h // 8
+        for tx in range(8):
+            sx = tx * w // 8
+            start = sy * stride + sx * ch
+            grid.append(sum(px[start : start + ch]) // ch)
+    mean = sum(grid) / 64.0
+    bits = 0
+    for i, v in enumerate(grid):
+        if v >= mean:
+            bits |= 1 << i
+    # interpret as signed 64-bit (Spark LongType)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing: MEDIA_SCHEMA rows →
+    (media_id, ahash). Undecodable / non-PNG payloads yield a NULL
+    hash (the quarantine convention — no fabricated fingerprints);
+    map-only, zero shuffle."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p):
+            if p is None:
+                return None
+            b = bytes(p)
+            if b[:8] != _PNG_SIG:
+                return None
+            try:
+                return _ahash_png(b)
+            except (ValueError, zlib.error, struct.error):
+                return None
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by perceptual aHash: decode →
+    8×8 average-hash (``ahash_media``) → the generic pigeonhole
+    Hamming block join (``dedup.hamming_near_pairs``) — the image
+    twin of SimHash text dedup. Blocked equi-join, never all-pairs;
+    undecodable payloads never pair."""
+    from . import dedup
+
+    return dedup.hamming_near_pairs(
+        ahash_media(df), "media_id", "ahash", max_hamming
+    )
+
+
+DECIMATED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("new_rate", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("checksum_feature", T.DoubleType(), True),
+    ]
+)
+
+
+def _decimate_wav(payload: bytes, factor: int) -> tuple[int, int, int, int, float]:
+    """Integer-factor decimation of a PCM WAV: keep every ``factor``-th
+    FRAME (all channels of it), return (channels, rate, new_rate,
+    n_frames_kept, checksum-of-kept-samples). Real sample-level audio
+    processing on the stdlib decode path — the simplest resampler
+    (no anti-alias filter; a production pipeline swaps in a polyphase
+    kernel behind the same seam)."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt_body, data_body = 12, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + length + (length & 1)
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, _br, _bl, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
+    if audio_format != 1 or bits not in (8, 16) or channels == 0:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if bits == 16:
+        count = len(data_body) // 2
+        samples = [
+            s + 32768
+            for s in struct.unpack(f"<{count}h", data_body[: 2 * count])
+        ]
+    else:
+        samples = list(data_body)
+    frames = len(samples) // channels
+    total = 0
+    kept = 0
+    for f in range(0, frames, factor):
+        base = f * channels
+        total += sum(samples[base : base + channels])
+        kept += 1
+    return (
+        channels,
+        rate,
+        rate // factor,
+        kept,
+        (total % _CHECKSUM_MOD) / _CHECKSUM_MOD,
+    )
+
+
+def decimate_media(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Arrow-batched audio decimation: MEDIA_SCHEMA rows →
+    DECIMATED_SCHEMA rows. Non-WAV / corrupt payloads yield null
+    fields (quarantine convention). Map-only, zero shuffle; peak
+    memory is one Arrow batch of payloads."""
+
+    def decimate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(p):
+            if p is None:
+                return (None,) * 5
+            b = bytes(p)
+            try:
+                return _decimate_wav(b, factor)
+            except (ValueError, struct.error):
+                return (None,) * 5
+
+        for pdf in batches:
+            recs = [
+                {"media_id": mid, "channels": c, "sample_rate": r,
+                 "new_rate": nr, "n_frames": k, "checksum_feature": cs}
+                for mid, (c, r, nr, k, cs) in (
+                    (m, one(p)) for m, p in zip(pdf["media_id"], pdf["payload"])
+                )
+            ]
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in DECIMATED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(decimate_batches, schema=DECIMATED_SCHEMA)

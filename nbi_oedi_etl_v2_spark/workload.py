@@ -876,6 +876,14 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "similarity_topk_ivf",
     "streaming_hourly_downsample",
     "multimodal_decode",
+    # NEW — operators added in round 4
+    "multimodal_jpeg_headers",
+    "events_heavy_hitters",
+    "events_interval_attribution",
+    "orders_moving_range_avg",
+    "text_compressibility",
+    "multimodal_image_near_dups",
+    "multimodal_audio_decimate",
     # KEEP — family coverage re-verification
     "similarity_topk",
     "multimodal_decode_png",
@@ -883,21 +891,14 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "multimodal_png_headers",
     "multimodal_wav_headers",
     "corpus_contamination",
-    "corpus_quality_sample",
     "events_funnel",
     "events_cohort_retention",
     "part_copurchase_pagerank",
     "text_bm25_topk",
     "text_inverted_index",
-    "orders_cube",
     "asof_last_order_per_event",
-    "q1_pricing_summary",
     "q18_large_volume_customers",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "corpus_pack_ffd",
-    "corpus_incremental_dedup",
-    "embedding_quantize",
 })
 
 

@@ -1451,6 +1451,60 @@ def q_multimodal_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_headers",
+    # synthesis + marker-walk parse round-trips, so the oracle is the
+    # closed form of the synthesis parameters; the walk itself is
+    # additionally proven against struct-packed JPEG bytes (variable
+    # COM lengths, standalone markers, truncations) in pytest
+    oracle="""
+    SELECT doc_id AS media_id,
+           doc_id % 10 <> 0 AS is_jpeg,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(
+             CASE WHEN doc_id % 2 = 0 THEN 192 ELSE 194 END AS INTEGER)
+           END AS sof_marker,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(8 AS INTEGER) END AS precision,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + doc_id % 4096 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + (doc_id * 7) % 4096 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(3 AS INTEGER) END AS num_components
+    FROM documents
+    """,
+    doc="REAL JPEG SOF parsing with a JVM-side marker WALK (aggregate "
+        "fold over the segment chain — APPn/COM segments of varying "
+        "length precede the frame header, so fixed offsets cannot "
+        "work): SOF0/SOF2 detection, big-endian dims, precision, "
+        "component count. The synthesized payloads carry a COM "
+        "segment whose length varies per doc so every row exercises "
+        "a different walk. Every 10th payload is text and parses "
+        "is_jpeg=false. Pixel decode stays declared out of scope "
+        "(DCT codec); decode_media routes JPEGs as codec='jpeg' "
+        "metadata-only.",
+)
+def q_multimodal_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 4096).cast("long")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 4096).cast("long")
+    sof = F.when(F.col("doc_id") % 2 == 0, F.lit("C0")).otherwise(F.lit("C2"))
+    com_len = (F.lit(4) + F.col("doc_id") % 16).cast("int")  # content bytes
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                                    # SOI
+        F.lit("FFE0"), F.lit("0010"),                     # APP0, len 16
+        F.lit("4A46494600010200000100010000"),            # JFIF body (14B)
+        F.lit("FFFE"), F.lpad(F.hex(com_len + 2), 4, "0"),  # COM, var len
+        F.repeat(F.lit("00"), com_len),
+        F.lit("FF"), sof, F.lit("0011"),                  # SOFn, len 17
+        F.lit("08"), F.lpad(F.hex(h), 4, "0"), F.lpad(F.hex(w), 4, "0"),
+        F.lit("03"),                                      # 3 components
+        F.lit("012200021101031101"),                      # component specs
+        F.lit("FFD9"),                                    # EOI
+    )
+    payload = F.when(
+        F.col("doc_id") % 10 == 0, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.unhex(jpeg_hex))
+    media = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.parse_jpeg_header(media, "doc_id", "payload")
+
+
+@query(
     "corpus_pack_ffd",
     # FFD is deterministic given (shard, tokens-desc/id-asc order), so
     # the oracle replays the exact greedy: a recursive CTE steps one
@@ -2756,3 +2810,218 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: bounded-memory frequency, bucketed interval join,
+# time-RANGE window frames, compressibility quality signal.
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_heavy_hitters",
+    # the oracle runs the full GROUP BY + HAVING — the MG-candidates +
+    # exact-verify pipeline must reproduce it EXACTLY (the summary
+    # only chooses what to count, never what to report)
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM events),
+    c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY user_id)
+    SELECT key, cnt,
+           round(CAST(cnt AS DOUBLE) / total, 7) AS share
+    FROM c CROSS JOIN t
+    WHERE cnt >= 0.005 * total
+    """,
+    doc="Exact phi-heavy hitters (count >= phi*N, phi=0.005) at "
+        "bounded memory: per-Arrow-batch Misra-Gries summaries "
+        "(ceil(1/phi) counters, mapInPandas, zero shuffle) form a "
+        "guaranteed candidate SUPERSET by pigeonhole; one exact count "
+        "over the broadcast candidate set + the broadcast total "
+        "scalar verifies. Output is deterministic under any "
+        "partitioning and identical to the full GROUP BY the oracle "
+        "runs — but at 100 TB the hash aggregate touches only "
+        "candidate keys, not the key space (operators/frequency.py).",
+)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import frequency
+
+    ev = load_table(spark, sf_dir, "events")
+    return frequency.heavy_hitters(ev, "user_id", phi=0.005)
+
+
+@query(
+    "events_interval_attribution",
+    # independent derivation: the quadratic theta join the bucketed
+    # equi-join formulation must reproduce exactly
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS c_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT p.p_id, p.user_id, p.p_ts,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_prior
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+     AND c.c_ts <  p.p_ts
+    GROUP BY p.p_id, p.user_id, p.p_ts
+    """,
+    doc="Time-range attribution: clicks/views by the same user in the "
+        "hour before each purchase. The oracle runs the theta join; "
+        "the Spark plan buckets time into lookback-width epochs so it "
+        "runs as a plain shuffled EQUI-join on (user, bucket) with "
+        "the range as residual — <=2x probe replication, no "
+        "per-key cross product, no broadcast nested loop "
+        "(operators/intervals.py; plan pinned in "
+        "tests/test_plan_quality.py).",
+)
+def q_events_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = intervals.interval_join(
+        p, c, "user_id", "p_ts", "c_ts", lookback_s=3600
+    )
+    counted = pairs.groupBy("p_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        p.join(counted, "p_id", "left")
+        .select(
+            "p_id", "user_id", "p_ts",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_prior"),
+        )
+    )
+
+
+@query(
+    "orders_moving_range_avg",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER w
+                 AS VARCHAR) AS DOUBLE) / COUNT(*) OVER w, 7)
+             AS avg_trailing_price
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate
+      RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Time-RANGE window frame: per customer, trailing-90-day order "
+        "count and exact-decimal average price. Unlike ROWS frames "
+        "(orders_window_suite) the frame bound is a time interval — "
+        "Spark orders by epoch seconds with rangeBetween(-90 days, "
+        "0), DuckDB by RANGE INTERVAL; ties inside a frame make no "
+        "difference because RANGE frames include all peer rows. One "
+        "hash exchange on o_custkey + one in-partition sort.",
+)
+def q_orders_moving_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    from .functions import SUM_DECIMAL
+
+    return o.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(SUM_DECIMAL)).over(w)
+            .cast("double")
+            / F.count(F.lit(1)).over(w),
+            7,
+        ).alias("avg_trailing_price"),
+    )
+
+
+@query(
+    "text_compressibility",
+    oracle=None,  # no SQL zlib; exact bit-for-bit pytest vs stdlib
+    doc="zlib compressibility quality signal per document "
+        "(operators/text.py compressibility_scores): DEFLATE at a "
+        "fixed level is deterministic, so the Arrow-batched pandas "
+        "UDF is reproducible across partitionings; rows-only driver "
+        "check with an exact pytest against direct zlib.compress "
+        "(tests/test_extensions.py).",
+)
+def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.compressibility_scores(docs, "doc_id", "text")
+
+
+@query(
+    "multimodal_image_near_dups",
+    oracle=None,  # perceptual hash has no SQL twin; planted-pair
+                  # invariants are pinned in tests/test_extensions.py
+    doc="Near-duplicate image detection: real PNG decode -> 8x8 "
+        "average-hash (perceptual fingerprint, Arrow-batched, "
+        "map-only) -> generic pigeonhole Hamming block join "
+        "(dedup.hamming_near_pairs — the same machinery as SimHash "
+        "text dedup). Undecodable payloads quarantine as NULL hashes "
+        "and never pair. Rows-only driver check; perturbed-copy/"
+        "distinct-image/corrupt invariants proven in pytest.",
+)
+def q_multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.attach_synth_media(docs, "media_id", kind="png")
+    return multimodal.image_near_dup_pairs(media, max_hamming=6)
+
+
+@query(
+    "multimodal_audio_decimate",
+    # attach_synth_media payloads are closed-form in doc_id, so the
+    # decimated PCM checksum is too — the oracle recomputes the exact
+    # kept-sample sum arithmetically (same analytic-oracle pattern as
+    # multimodal_decode_wav, but over the RESAMPLED stream)
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+             50 + doc_id % 50 AS frames
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, ch, rate, frames,
+             unnest(generate_series(0, frames - 1, 4)) AS f
+      FROM m
+    ), sm AS (
+      SELECT doc_id, ch, rate, f, unnest(generate_series(0, ch - 1)) AS c
+      FROM fr
+    ), agg AS (
+      SELECT doc_id,
+             SUM((doc_id * 7 + (f * ch + c) * 13) % 65536) AS tot,
+             CAST(COUNT(DISTINCT f) AS BIGINT) AS kept
+      FROM sm GROUP BY doc_id
+    )
+    SELECT m.doc_id AS media_id, m.ch AS channels, m.rate AS sample_rate,
+           CAST(m.rate // 4 AS BIGINT) AS new_rate, a.kept AS n_frames,
+           CAST((a.tot % 9973) AS DOUBLE) / 9973.0 AS checksum_feature
+    FROM m JOIN agg a USING (doc_id)
+    """,
+    doc="Sample-level audio processing on the real stdlib WAV decode "
+        "path: integer-factor decimation (keep every 4th frame, all "
+        "channels) with the kept-sample checksum hash-matched against "
+        "an analytic closed-form oracle over the synthesized PCM — "
+        "proving the operator touches the actual samples, not just "
+        "headers. Arrow-batched mapInPandas, map-only, zero shuffle; "
+        "corrupt/non-WAV payloads quarantine as null rows "
+        "(operators/multimodal.py decimate_media).",
+)
+def q_multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.attach_synth_media(docs, "media_id", kind="wav")
+    return multimodal.decimate_media(media, factor=4)

@@ -270,19 +270,19 @@ def test_multimodal_decode_shapes(docs):
 
 
 def test_multimodal_resize_shapes(docs):
+    """Non-PNG payloads must quarantine (NULL payload) rather than
+    fabricate a stretched byte stream — VERDICT r3 item 6; the dims
+    and passthrough columns survive so routing still works."""
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     resized = multimodal.resize_media(media, 224, 224)
     rows = resized.limit(20).collect()
     assert rows and resized.columns == [
         "media_id", "payload", "media_type", "source_uri", "width", "height"
     ]
-    expect_len = 224 * 224 // 64
     for r in rows:
         assert r["width"] == 224 and r["height"] == 224
-        assert len(r["payload"]) == expect_len
-    # determinism
-    again = {r["media_id"]: bytes(r["payload"]) for r in resized.limit(20).collect()}
-    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+        assert r["payload"] is None  # text bytes are not a resizable image
+        assert r["media_type"] is not None
 
 
 def test_multimodal_metadata_only_scan_prunes_payload(docs):
@@ -582,3 +582,173 @@ def test_hll_rollup_composes_hierarchically(spark, sf_dir):
         for r in sketches.rollup_sketches(daily, ["event_type"]).collect()
     }
     assert via_monthly == direct
+
+
+def test_jpeg_header_walk_real_bytes(spark):
+    """The JVM marker walk must agree with the Python walk on real
+    struct-packed JPEG bytes (variable-length COM segments, both
+    SOF0/SOF2), and reject non-JPEG / SOF-less / truncated streams."""
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    rows = [
+        (s, bytearray(multimodal.synth_jpeg_payload(s)), "image", f"s://{s}")
+        for s in (0, 1, 8, 17, 100, 4095)
+    ]
+    rows += [
+        (9001, bytearray(b"definitely not a jpeg"), "image", "s://x"),
+        (9002, bytearray(b"\xff\xd8\xff\xd9"), "image", "s://y"),  # no SOF
+        (9003, bytearray(b"\xff\xd8\xff\xe0\x00\x04\x00"), "image", "s://z"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.parse_jpeg_header(df, "media_id", "payload").collect()
+    }
+    for s in (0, 1, 8, 17, 100, 4095):
+        m, p, h, w, nc = multimodal._jpeg_sof(multimodal.synth_jpeg_payload(s))
+        got = out[s]
+        assert got["is_jpeg"] is True
+        assert (got["sof_marker"], got["precision"]) == (m, p)
+        assert (got["width"], got["height"], got["num_components"]) == (w, h, nc)
+    for bad in (9001, 9002, 9003):
+        assert out[bad]["is_jpeg"] is False and out[bad]["width"] is None
+
+
+def test_decode_media_routes_jpeg_metadata_only(spark):
+    """decode_media must emit codec='jpeg' with dims but a NULL
+    checksum_feature (no fabricated pixel features), and corrupt
+    JPEG-magic payloads must quarantine as codec='error'."""
+    from nbi_oedi_etl_v2_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(multimodal.synth_jpeg_payload(17)), "image", "s://1"),
+        (2, bytearray(b"\xff\xd8\xff\xd9"), "image", "s://2"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r.asDict() for r in multimodal.decode_media(df).collect()}
+    _, _, h, w, nc = multimodal._jpeg_sof(multimodal.synth_jpeg_payload(17))
+    assert out[1]["codec"] == "jpeg"
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (w, h, nc)
+    assert out[1]["checksum_feature"] is None
+    assert out[2]["codec"] == "error" and out[2]["width"] is None
+
+
+def test_compressibility_matches_stdlib_zlib(docs):
+    """The pandas-UDF compressed length must equal direct
+    zlib.compress bit-for-bit, and the ratio must actually separate
+    repetitive text from prose."""
+    import zlib
+
+    from nbi_oedi_etl_v2_spark.operators import text as text_ops
+
+    got = {
+        r["id"]: (r["n_bytes"], r["n_compressed"], r["compress_ratio"])
+        for r in text_ops.compressibility_scores(docs, "doc_id", "text")
+        .limit(200).collect()
+    }
+    raw = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").limit(200).collect()
+    }
+    for did, t in raw.items():
+        b = t.encode("utf-8")
+        nb, nc, ratio = got[did]
+        assert nb == len(b)
+        assert nc == len(zlib.compress(b, 6))
+        if nb > 0:
+            assert ratio == round(nc / nb, 7)
+
+
+def test_compressibility_separates_repetition_from_prose(spark):
+    from nbi_oedi_etl_v2_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 500),
+         (2, "A quaint village nestled between misty hills hosted a "
+             "curious market where travelers exchanged maps, spices, "
+             "and improbable stories about distant storms.")],
+        ["doc_id", "text"],
+    )
+    got = {r["id"]: r["compress_ratio"] for r in
+           text_ops.compressibility_scores(df, "doc_id", "text").collect()}
+    assert got[1] < 0.05 < got[2] < 1.0
+
+
+def _encode_png_gray(pixels, w, h):
+    """Minimal filter-0 grayscale PNG encoder for test fixtures."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += bytes(pixels[y * w : (y + 1) * w])
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    for chunk in (
+        b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0),
+        b"IDAT" + zlib.compress(bytes(raw)),
+        b"IEND",
+    ):
+        out += struct.pack(">I", len(chunk) - 4)
+        out += chunk
+        out += struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def test_image_ahash_near_dup_pairs(spark):
+    """A perturbed copy must land within the Hamming radius of its
+    original; a structurally different image must not. Undecodable
+    payloads must never pair."""
+    w = h = 32
+    base = [(x * 13 + y * 29) % 251 for y in range(h) for x in range(w)]
+    # small local perturbation: a near-duplicate (e.g. re-encode noise)
+    near = list(base)
+    for i in range(0, 40):
+        near[i * 7 % (w * h)] = (near[i * 7 % (w * h)] + 3) % 251
+    # different structure entirely
+    other = [((x // 4 + y // 4) % 2) * 255 for y in range(h) for x in range(w)]
+    rows = [
+        (1, bytearray(_encode_png_gray(base, w, h)), "image", "s://a"),
+        (2, bytearray(_encode_png_gray(near, w, h)), "image", "s://b"),
+        (3, bytearray(_encode_png_gray(other, w, h)), "image", "s://c"),
+        (4, bytearray(b"not an image"), "image", "s://d"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["ahash"] for r in multimodal.ahash_media(df).collect()}
+    assert hashes[4] is None
+    assert hashes[1] is not None and hashes[3] is not None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
+    """Misra-Gries candidate sets vary with batch boundaries, but the
+    verified output must not: repartitioned input → identical rows."""
+    from nbi_oedi_etl_v2_spark.operators import frequency
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = {
+        (r["key"], r["cnt"], r["share"])
+        for r in frequency.heavy_hitters(ev, "user_id", 0.005).collect()
+    }
+    shuffled = {
+        (r["key"], r["cnt"], r["share"])
+        for r in frequency.heavy_hitters(
+            ev.repartition(37), "user_id", 0.005
+        ).collect()
+    }
+    assert base and base == shuffled
+    # and it really is the exact GROUP BY answer
+    total = ev.count()
+    exact = {
+        (r["user_id"], r["cnt"])
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 0.005 * total).collect()
+    }
+    assert {(k, c) for k, c, _ in base} == exact

@@ -428,3 +428,44 @@ def test_skipping_index_scan_is_pruned(spark, tmp_path):
     scan = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "a#" in scan
     assert "b#" not in scan and "c#" not in scan
+
+
+def test_rank_topk_operators_use_window_group_limit(spark, sf_dir):
+    """rank≤k must run as per-partition top-k heaps, never full group
+    sorts: Spark's WindowGroupLimit (grouped) or TakeOrderedAndProject
+    (global, k-row merge) must appear in the physical plan, so a Spark
+    upgrade or expression change can't silently revert to sorting
+    whole groups (VERDICT r3 item 7)."""
+    from nbi_oedi_etl_v2_spark.operators import curation
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    for name in ("topk_per_segment", "corpus_weighted_reservoir"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, name
+    docs = load_table(spark, sf_dir, "documents")
+    global_plan = (
+        curation.weighted_reservoir_sample(
+            docs, "doc_id", "n_chars", k=10, group_col=None
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ungrouped: Catalyst collapses the single-partition window into
+    # TakeOrderedAndProject — per-partition heaps, k-row driver merge
+    assert "TakeOrderedAndProject" in global_plan
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The bucketed time-range join must run as a shuffled equi-join
+    on (key, bucket) — never a cartesian product or broadcast
+    nested-loop theta join."""
+    plan = plan_of(spark, sf_dir, "events_interval_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_aggregates_candidates_only(spark, sf_dir):
+    """The exact verify pass must semi-join against the broadcast
+    candidate set (bounded key space), not hash-aggregate the raw
+    key column unrestricted."""
+    plan = plan_of(spark, sf_dir, "events_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

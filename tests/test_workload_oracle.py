@@ -84,6 +84,17 @@ def test_driver_export_fills_cap_exactly():
         assert pinned in q, f"parity trio member {pinned} rotated out"
     for promoted in NEVER_VERIFIED_THROUGH_R3:
         assert promoted in q, promoted
+    # NEW — every operator added in round 4 gets its first driver row
+    for new_r4 in (
+        "multimodal_jpeg_headers",
+        "events_heavy_hitters",
+        "events_interval_attribution",
+        "orders_moving_range_avg",
+        "text_compressibility",
+        "multimodal_image_near_dups",
+        "multimodal_audio_decimate",
+    ):
+        assert new_r4 in q, new_r4
     # each family keeps at least one driver row after the demotions
     families = {
         "etl": ["etl_hourly_downsample", "etl_gapfill_interp"],
