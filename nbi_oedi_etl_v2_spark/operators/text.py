@@ -453,3 +453,66 @@ def compressibility_scores(
             F.round(F.col("n_compressed") / F.col("n_bytes"), 7),
         ),
     )
+
+
+def compressibility_invariants(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Driver-verifiable form of :func:`compressibility_scores`: DEFLATE
+    output bytes have no SQL twin, so emit per-document invariants a
+    SQL oracle CAN hash-match — (id, n_bytes, roundtrip_ok,
+    bounded_ok) where
+
+    - ``roundtrip_ok``: ``zlib.decompress(zlib.compress(b)) == b``
+      (losslessness — proves the UDF really compressed the text);
+    - ``bounded_ok``: compressed size ≤ zlib's own ``compressBound``
+      (``n + n/4096 + n/16384 + n/33554432 + 13`` — a hard DEFLATE
+      format guarantee at any level).
+
+    Same Arrow-batched map-only shape as the scored variant.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_compressed:long, roundtrip_ok:boolean>")
+    def _roundtrip(s: pd.Series) -> pd.DataFrame:
+        def one(t):
+            if t is None:
+                return (None, None)
+            b = t.encode("utf-8")
+            z = zlib.compress(b, level)
+            return (len(z), zlib.decompress(z) == b)
+
+        pairs = s.map(one)
+        return pd.DataFrame(
+            {
+                "n_compressed": pd.array(
+                    [p[0] for p in pairs], dtype="Int64"
+                ),
+                "roundtrip_ok": pd.array(
+                    [p[1] for p in pairs], dtype="boolean"
+                ),
+            }
+        )
+
+    n = F.length(F.encode(F.col(f"`{text_col}`"), "UTF-8")).cast("long")
+    rt = _roundtrip(F.col(f"`{text_col}`"))
+    nb = F.col("n_bytes")
+    bound = (
+        nb
+        + F.shiftright(nb, 12)
+        + F.shiftright(nb, 14)
+        + F.shiftright(nb, 25)
+        + F.lit(13)
+    )
+    return df.select(
+        F.col(f"`{id_col}`").alias("id"),
+        n.alias("n_bytes"),
+        rt.alias("_rt"),
+    ).select(
+        "id",
+        "n_bytes",
+        F.col("_rt.roundtrip_ok").alias("roundtrip_ok"),
+        (F.col("_rt.n_compressed") <= bound).alias("bounded_ok"),
+    )

@@ -301,25 +301,29 @@ def test_frame_sample_plan(spark, docs):
 
 
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    # raw aggregate (the registered spec now emits the invariant form
+    # — exact count + boolean — so the tolerance is asserted here on
+    # the underlying sketch aggregate itself)
     from nbi_oedi_etl_v2_spark import workload
     from nbi_oedi_etl_v2_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in workload.all_specs()["approx_distinct_users"].fn(spark, sf_dir).collect()
-    }
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
         .collect()
-    }
-    assert set(approx) == set(exact)
-    for k in exact:
+    )
+    assert rows
+    for r in rows:
         # rsd=0.01 → generous 5-sigma acceptance; catches a broken
         # sketch, not estimator noise
-        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, k
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r
+    # and the driver invariant form must hold its booleans
+    inv = workload.all_specs()["approx_distinct_users"].fn(spark, sf_dir)
+    assert all(r["within_5pct"] for r in inv.collect())
 
 
 def test_parse_png_header_on_real_png_bytes(spark):
