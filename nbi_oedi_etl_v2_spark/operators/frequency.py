@@ -1,23 +1,22 @@
-"""Bounded-memory heavy hitters: Misra-Gries candidates + exact verify.
+"""Bounded-memory heavy hitters: per-batch frequency summaries + exact verify.
 
 The naive φ-heavy-hitter query (``GROUP BY key HAVING count ≥ φ·N``)
 hash-aggregates EVERY distinct key — at 100 TB with a high-cardinality
 key (URLs, n-grams, user agents) that is a shuffle of the full key
-space to find a handful of rows. The classic streaming answer is the
-Misra-Gries summary: ``k = ⌈1/φ⌉`` counters, decrement-all on
-overflow, with the guarantee that any key whose frequency exceeds
-``n/(k+1)`` survives the summary.
+space to find a handful of rows. The streaming literature answers with
+summary structures (Misra-Gries, SpaceSaving); distributed over Arrow
+batches the same pigeonhole argument admits a fully VECTORIZED summary:
 
-Distributed formulation (candidates + exact verify — the same
-superset-then-verify shape as the dedup family):
-
-1. **Candidates**: each Arrow batch runs Misra-Gries locally
-   (``mapInPandas``, O(k) state, zero shuffle). Pigeonhole: a key with
-   global count ≥ φ·N has count ≥ φ·n_b in at least one batch b, and
-   MG with ⌈1/φ⌉ counters never evicts a key above that bar — so the
-   union of batch summaries is a SUPERSET of the true heavy hitters.
-   The union is ≤ k·#batches keys, orders of magnitude smaller than
-   the key space.
+1. **Candidates**: each Arrow batch keeps the keys whose in-batch count
+   reaches ``φ·n_b`` (one ``value_counts`` per batch — numpy-speed, no
+   per-row Python). Pigeonhole: a key with global count ≥ φ·N must hit
+   that bar in at least one batch (if ``count_b < φ·n_b`` for every b,
+   summing gives ``count < φ·N``), so the union of batch survivors is a
+   SUPERSET of the true heavy hitters — and a *subset* of what
+   Misra-Gries with ⌈1/φ⌉ counters would keep (MG's survival bar is
+   ``n_b/(k+1) < φ·n_b``), with the same ≤ ⌈1/φ⌉-per-batch size bound.
+   Zero shuffle until the final distinct; the union is ≤ ⌈1/φ⌉·#batches
+   keys, orders of magnitude smaller than the key space.
 2. **Verify**: one exact count restricted to candidate keys (semi-join
    → hash agg over the shrunk key set), filtered against the exact
    global total (broadcast scalar, never collected). Output is EXACT —
@@ -25,6 +24,19 @@ superset-then-verify shape as the dedup family):
    deterministic under any partitioning, row order, or batch split,
    because every true heavy hitter is counted exactly and every
    reported key passed the exact bar.
+
+Candidate-set size guard (ADVICE r4): the union grows as
+⌈1/φ⌉·#batches — bounded in φ and batch count, NOT in input size — so
+``heavy_hitters`` counts the (candidate-sized, cheap) set first and
+falls back from a broadcast semi-join to a shuffled semi-join above
+``broadcast_limit``. Realistic skewed data stays far below the limit;
+the guard keeps the worst case (adversarially uniform keys, millions
+of batches) from exceeding executor memory.
+
+NULL contract: NULL keys are never reported (and are filtered before
+the Arrow boundary — a NULL in an int64 batch would coerce the whole
+batch to float64 and corrupt keys above 2^53, ADVICE r4). The share
+denominator still counts ALL rows, including NULL-keyed ones.
 """
 
 from __future__ import annotations
@@ -37,8 +49,79 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _misra_gries(values: Iterator, k: int) -> dict:
-    """Textbook MG summary with k counters (decrement-all overflow)."""
+def heavy_hitter_candidates(
+    df: DataFrame, key_col: str, phi: float
+) -> DataFrame:
+    """Distinct candidate keys from per-batch frequency summaries —
+    a guaranteed superset of the φ-heavy hitters (see module doc).
+    Arrow-batched, one vectorized ``value_counts`` per batch, at most
+    ⌈1/φ⌉ survivors per batch, no shuffle until the final distinct.
+    NULL keys are excluded (see module NULL contract)."""
+    if not 0 < phi < 1:
+        raise ValueError("phi must be in (0, 1)")
+    keyed = df.select(F.col(f"`{key_col}`").alias("key")).where(
+        F.col("key").isNotNull()
+    )
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf["key"].value_counts()  # vectorized exact batch counts
+            bar = phi * len(pdf)
+            yield pd.DataFrame({"key": vc.index[vc >= bar]})
+
+    cand = keyed.mapInPandas(summarize, schema=keyed.schema)
+    return cand.distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    broadcast_limit: int = 200_000,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (count ≥ φ·N) at bounded memory:
+    per-batch candidates, then one exact count over candidate keys
+    only. Returns (key, cnt, share) — deterministic, engine-portable,
+    and identical to the full ``GROUP BY key HAVING`` answer (over
+    non-NULL keys), which is exactly what the DuckDB oracle runs.
+
+    The candidate set is materialized (persisted — it is
+    ≤ ⌈1/φ⌉·#batches rows) and counted; at or below
+    ``broadcast_limit`` the verify pass is a broadcast semi-join
+    (default path, plan-pinned in tests), above it a shuffled
+    semi-join, so an adversarial key distribution can never push an
+    unbounded set through the broadcast channel (ADVICE r4)."""
+    keyed = df.select(F.col(f"`{key_col}`").alias("key")).where(
+        F.col("key").isNotNull()
+    )
+    cand = heavy_hitter_candidates(df, key_col, phi).persist()
+    n_cand = cand.count()
+    build = F.broadcast(cand) if n_cand <= broadcast_limit else cand
+    counted = (
+        keyed.join(build, "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(phi) * F.col("_total"))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 7).alias("share"),
+        )
+    )
+
+
+def misra_gries(values: Iterator, k: int) -> dict:
+    """Textbook Misra-Gries summary with ``k`` counters (decrement-all
+    on overflow) — kept as the sequential reference implementation the
+    vectorized per-batch threshold is proven against in tests: every
+    key the threshold keeps, MG keeps too (its survival bar
+    ``n/(k+1)`` is strictly below ``φ·n`` for ``k = ⌈1/φ⌉``)."""
     counters: dict = {}
     for v in values:
         if v in counters:
@@ -54,49 +137,8 @@ def _misra_gries(values: Iterator, k: int) -> dict:
     return counters
 
 
-def heavy_hitter_candidates(
-    df: DataFrame, key_col: str, phi: float
-) -> DataFrame:
-    """Distinct candidate keys from per-batch Misra-Gries summaries —
-    a guaranteed superset of the φ-heavy hitters (see module doc).
-    Arrow-batched, O(⌈1/φ⌉) state per batch, no shuffle until the
-    final distinct."""
+def mg_counter_budget(phi: float) -> int:
+    """The ⌈1/φ⌉ counter budget shared by MG and the per-batch bar."""
     if not 0 < phi < 1:
         raise ValueError("phi must be in (0, 1)")
-    k = math.ceil(1.0 / phi)
-    keyed = df.select(F.col(f"`{key_col}`").alias("key"))
-
-    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            counters = _misra_gries(iter(pdf["key"]), k)
-            yield pd.DataFrame({"key": list(counters.keys())})
-
-    cand = keyed.mapInPandas(summarize, schema=keyed.schema)
-    return cand.distinct()
-
-
-def heavy_hitters(
-    df: DataFrame, key_col: str, phi: float
-) -> DataFrame:
-    """EXACT φ-heavy hitters (count ≥ φ·N) at bounded memory:
-    MG candidates, then one exact count over candidate keys only.
-    Returns (key, cnt, share) — deterministic, engine-portable, and
-    identical to the full ``GROUP BY key HAVING`` answer, which is
-    exactly what the DuckDB oracle runs."""
-    keyed = df.select(F.col(f"`{key_col}`").alias("key"))
-    cand = heavy_hitter_candidates(df, key_col, phi)
-    counted = (
-        keyed.join(F.broadcast(cand), "key", "left_semi")
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .where(F.col("cnt") >= F.lit(phi) * F.col("_total"))
-        .select(
-            "key",
-            "cnt",
-            F.round(F.col("cnt") / F.col("_total"), 7).alias("share"),
-        )
-    )
+    return math.ceil(1.0 / phi)

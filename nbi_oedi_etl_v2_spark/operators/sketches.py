@@ -50,7 +50,14 @@ def rollup_sketches(
     merged sketch itself, so rollups compose hierarchically
     (day → week → month each re-aggregates the previous level's
     ``sketch`` column, never the finest table). Input is the
-    #groups-sized sketch table, so this never touches raw data."""
+    #groups-sized sketch table, so this never touches raw data.
+
+    Determinism caveat (ADVICE r4): HLL sketch BYTES depend on merge
+    order, so the ``sketch`` column is not stable across partitionings
+    — consumers that hash or compare whole rows must ``.drop("sketch")``
+    first (the registered workload query does exactly that and
+    compares only the estimate). ``approx_distinct`` and ``n_rows``
+    are order-independent."""
     merged = F.hll_union_agg("sketch")
     return sketches.groupBy(*group_cols).agg(
         merged.alias("sketch"),

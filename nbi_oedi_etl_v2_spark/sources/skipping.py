@@ -30,10 +30,44 @@ file — never skip what you cannot prove.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FILE_COL = "_file"
+
+# a whole directory segment of the form key=value (Hive partition dir)
+_HIVE_SEGMENT = re.compile(r"^[^/=]+=[^/]*$")
+
+
+def _strip_scheme(p: str) -> str:
+    """Normalize a path or URI to a bare absolute path: drop the
+    scheme//authority prefix (``file:///x``, ``hdfs://nn/x``) or a
+    schemeless ``file:/x`` form, and any trailing slash — so index
+    entries (qualified URIs from ``_metadata.file_path``) and caller
+    paths (often bare) compare in the same namespace (ADVICE r4)."""
+    if "://" in p:
+        p = p.split("://", 1)[1]
+        # keep hdfs://host/path host out of the path part
+        if not p.startswith("/"):
+            p = p[p.index("/"):] if "/" in p else "/"
+    elif p.startswith("file:/"):
+        p = p[len("file:"):]
+    return "/" + p.strip("/")
+
+
+def _partition_dir_segments(file_path: str, root: str) -> list[str]:
+    """Directory segments strictly between the table root and the leaf
+    file name. If the file doesn't align under the root (relative vs
+    absolute, different mount spellings) fall back to every directory
+    segment of the file path — still leaf-name-exclusive, so a legal
+    ``=`` in a FILE name never trips the Hive guard."""
+    f, r = _strip_scheme(file_path), _strip_scheme(root)
+    if f.startswith(r + "/"):
+        rel = f[len(r) + 1:]
+        return rel.split("/")[:-1]
+    return f.split("/")[1:-1]
 
 
 def build_skipping_index(
@@ -115,7 +149,11 @@ def read_with_skipping(
     schema, so downstream code never branches.
     """
     files = prune_files(index, ranges)
-    if any("=" in f[len(path):] for f in files):
+    if any(
+        _HIVE_SEGMENT.match(seg)
+        for f in files
+        for seg in _partition_dir_segments(f, path)
+    ):
         raise ValueError(
             "read_with_skipping requires a flat (non-partitioned) "
             "parquet directory; Hive-partitioned layouts would lose "

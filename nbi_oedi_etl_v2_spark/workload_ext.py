@@ -2980,18 +2980,21 @@ def q_events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT COUNT(*) AS total FROM events),
     c AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM events GROUP BY user_id)
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
     SELECT key, cnt,
            round(CAST(cnt AS DOUBLE) / total, 7) AS share
     FROM c CROSS JOIN t
     WHERE cnt >= 0.005 * total
     """,
     doc="Exact phi-heavy hitters (count >= phi*N, phi=0.005) at "
-        "bounded memory: per-Arrow-batch Misra-Gries summaries "
-        "(ceil(1/phi) counters, mapInPandas, zero shuffle) form a "
-        "guaranteed candidate SUPERSET by pigeonhole; one exact count "
-        "over the broadcast candidate set + the broadcast total "
-        "scalar verifies. Output is deterministic under any "
+        "bounded memory: per-Arrow-batch vectorized frequency "
+        "summaries (value_counts threshold at phi*n_b — the same "
+        "pigeonhole superset guarantee as ceil(1/phi)-counter "
+        "Misra-Gries, mapInPandas, zero shuffle) form a guaranteed "
+        "candidate SUPERSET; one exact count over the (size-guarded) "
+        "broadcast candidate set + the broadcast total scalar "
+        "verifies. NULL keys never report; the share denominator "
+        "counts all rows. Output is deterministic under any "
         "partitioning and identical to the full GROUP BY the oracle "
         "runs — but at 100 TB the hash aggregate touches only "
         "candidate keys, not the key space (operators/frequency.py).",

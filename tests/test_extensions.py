@@ -730,8 +730,54 @@ def test_image_ahash_near_dup_pairs(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_heavy_hitters_shuffled_fallback_still_exact(spark, sf_dir):
+    """broadcast_limit=0 forces the shuffled semi-join fallback (the
+    ADVICE-r4 guard against an unbounded candidate broadcast); the
+    answer must be identical to the default broadcast path."""
+    from nbi_oedi_etl_v2_spark.operators import frequency
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = lambda df: {(r["key"], r["cnt"], r["share"]) for r in df.collect()}
+    default = rows(frequency.heavy_hitters(ev, "user_id", 0.005))
+    fallback = frequency.heavy_hitters(
+        ev, "user_id", 0.005, broadcast_limit=0
+    )
+    plan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert default and rows(fallback) == default
+    # the guard really changed the join strategy
+    assert "BroadcastHashJoin" not in plan or "LeftSemi" not in plan.split(
+        "BroadcastHashJoin"
+    )[0]
+
+
+def test_batch_threshold_is_subset_of_misra_gries():
+    """The vectorized per-batch bar keeps a SUBSET of what the
+    reference Misra-Gries summary keeps (its survival bar n/(k+1) is
+    strictly below phi*n for k=ceil(1/phi)) — so the superset
+    guarantee transfers."""
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators import frequency
+
+    rng = random.Random(7)
+    phi = 0.05
+    k = frequency.mg_counter_budget(phi)
+    for _ in range(20):
+        batch = [rng.randint(0, 40) for _ in range(rng.randint(1, 500))]
+        bar = phi * len(batch)
+        counts: dict = {}
+        for v in batch:
+            counts[v] = counts.get(v, 0) + 1
+        kept = {v for v, c in counts.items() if c >= bar}
+        mg = set(frequency.misra_gries(iter(batch), k))
+        # threshold bar phi*n strictly exceeds MG's survival bar
+        # n/(k+1), so every threshold survivor must be an MG survivor
+        assert kept <= mg, (kept - mg, len(batch))
+
+
 def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
-    """Misra-Gries candidate sets vary with batch boundaries, but the
+    """Per-batch candidate sets vary with batch boundaries, but the
     verified output must not: repartitioned input → identical rows."""
     from nbi_oedi_etl_v2_spark.operators import frequency
     from nbi_oedi_etl_v2_spark.tables import load_table

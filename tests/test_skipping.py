@@ -124,3 +124,40 @@ def test_partitioned_layout_is_rejected(spark, tmp_path):
     idx = skipping.build_skipping_index(spark, path, ["k"])
     with pytest.raises(ValueError, match="flat"):
         skipping.read_with_skipping(spark, path, idx, {"k": (0, 50)})
+
+
+def test_guard_path_normalization(spark, tmp_path):
+    """ADVICE r4: the Hive guard must align the index's qualified
+    file URIs (file:///…) with however the caller spells the root —
+    trailing slash, bare path — and must ignore '=' in LEAF file
+    names (only directory segments are partition evidence)."""
+    import os
+    import shutil
+
+    import pytest
+
+    path = str(tmp_path / "flat")
+    spark.range(0, 50).select(F.col("id").alias("k")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    # rename the single data file to contain '=' — legal in a flat dir
+    part = next(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    shutil.move(
+        os.path.join(path, part), os.path.join(path, "a=b.parquet")
+    )
+    idx = skipping.build_skipping_index(spark, path, ["k"])
+    # trailing slash on the root must not break alignment either
+    got = skipping.read_with_skipping(spark, path + "/", idx, {"k": (0, 10)})
+    assert got.count() == 11
+
+    # and a REAL partition dir still trips the guard under the same
+    # qualified-vs-bare spelling
+    ppath = str(tmp_path / "part2")
+    spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    ).write.partitionBy("p").mode("overwrite").parquet(ppath)
+    pidx = skipping.build_skipping_index(spark, ppath, ["k"])
+    with pytest.raises(ValueError, match="flat"):
+        skipping.read_with_skipping(spark, ppath + "/", pidx, {"k": (0, 50)})
