@@ -61,10 +61,15 @@ def _samples(run, label: str) -> list[float]:
     return out
 
 
-def _load_reference() -> dict[str, float]:
+def _load_reference(sf: str) -> dict[str, float]:
+    """Reference medians, but only when recorded at THIS scale factor
+    — gating an sf0.01 smoke run against sf0.1 medians would flag
+    every query."""
     try:
         with open(REFERENCE_PATH) as f:
             ref = json.load(f)
+        if str(ref.get("sf")) != sf:
+            return {}
         return {k: float(v) for k, v in ref.get("queries", {}).items()}
     except (OSError, ValueError):
         return {}
@@ -86,7 +91,7 @@ def main() -> None:
     # streaming regression — steady-state RocksDB ≈ heap provider).
     workload.all_specs()["streaming_hourly_downsample"].fn(spark, SF_DIR).count()
 
-    reference = _load_reference()
+    reference = _load_reference(sf)
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     drift: dict[str, dict[str, object]] = {}
