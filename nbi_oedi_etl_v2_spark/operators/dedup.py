@@ -515,6 +515,7 @@ def hamming_near_pairs(
     id_col: str = "doc",
     hash_col: str = "h",
     max_hamming: int = 3,
+    exact_star_limit: int | None = None,
 ) -> DataFrame:
     """Generic near-dup pairs over any 64-bit signature column
     (SimHash, image aHash, audio fingerprints…): block the signature
@@ -522,24 +523,61 @@ def hamming_near_pairs(
     Hamming radius agrees on ≥1 whole block), equi-join per block,
     verify with exact popcount on xor. NULL signatures (undecodable
     payloads upstream) never pair. Scale shape: (blocks)× replication
-    on an 8-byte key, never all-pairs."""
+    on an 8-byte key, never all-pairs across DISTINCT signatures.
+
+    Within one signature VALUE the pair list is inherently quadratic
+    (a boilerplate corpus — blank thumbnails, template pages — can put
+    10⁶ items on one hash ⇒ 10¹² pairs). ``exact_star_limit`` bounds
+    it: identical-signature groups larger than the limit emit a STAR
+    (every member ↔ the group's min id, hamming 0) and only the
+    representative enters the block join. This is LOSSLESS for
+    clustering: members share the representative's exact signature, so
+    any outside pair (x, member) has the same Hamming distance as the
+    emitted (x, rep), and within-group connectivity is preserved
+    through the star — the output is a compressed encoding of the
+    same near-dup graph (components and inter-node distances intact),
+    not an approximation. ``None`` (default) keeps the full pair list
+    — the oracle-friendly form."""
     blocks = max_hamming + 1
     width = 64 // blocks
-    blocked = sigs.where(F.col(f"`{hash_col}`").isNotNull()).select(
-        F.col(f"`{id_col}`").alias("doc"),
-        F.col(f"`{hash_col}`").alias("_h"),
+    base = sigs.where(F.col(f"`{hash_col}`").isNotNull()).select(
+        F.col(f"`{id_col}`").alias("doc"), F.col(f"`{hash_col}`").alias("_h")
+    )
+
+    star_pairs = None
+    if exact_star_limit is not None:
+        grp = Window.partitionBy("_h")
+        sized = base.withColumn("_n", F.count(F.lit(1)).over(grp)).withColumn(
+            "_rep", F.min("doc").over(grp)
+        )
+        big = sized.where(F.col("_n") > exact_star_limit)
+        star_pairs = big.where(F.col("doc") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"),
+            F.col("doc").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+        base = (
+            sized.where(
+                (F.col("_n") <= exact_star_limit)
+                | (F.col("doc") == F.col("_rep"))
+            ).select("doc", "_h")
+        )
+
+    blocked = base.select(
+        "doc",
+        "_h",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {blocks - 1}), "
                 f"b -> struct(b AS blk, "
-                f"(shiftright(`{hash_col}`, b * {width}) & {(1 << width) - 1}) AS bits))"
+                f"(shiftright(_h, b * {width}) & {(1 << width) - 1}) AS bits))"
             )
         ).alias("blk"),
     ).select("doc", "_h", "blk.blk", "blk.bits")
 
     a = blocked.select(F.col("doc").alias("id_a"), F.col("_h").alias("h_a"), "blk", "bits")
     b = blocked.select(F.col("doc").alias("id_b"), F.col("_h").alias("h_b"), "blk", "bits")
-    return (
+    pairs = (
         a.join(b, ["blk", "bits"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -547,6 +585,9 @@ def hamming_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    return pairs
 
 
 def simhash_near_pairs(

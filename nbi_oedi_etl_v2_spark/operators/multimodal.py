@@ -804,16 +804,32 @@ def ahash_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
 
 
-def image_near_dup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    exact_star_limit: int | None = 64,
+) -> DataFrame:
     """Near-duplicate image pairs by perceptual aHash: decode →
     8×8 average-hash (``ahash_media``) → the generic pigeonhole
     Hamming block join (``dedup.hamming_near_pairs``) — the image
     twin of SimHash text dedup. Blocked equi-join, never all-pairs;
-    undecodable payloads never pair."""
+    undecodable payloads never pair.
+
+    Image corpora are pathologically duplicate-heavy at the aHash
+    level (blank thumbnails, template frames: a 50k-doc corpus can
+    hold 11k copies of one hash → 86M identical pairs), so
+    ``exact_star_limit`` defaults ON: identical-hash groups above the
+    limit emit a representative star instead of the quadratic clique
+    (see :func:`dedup.hamming_near_pairs` for the losslessness
+    argument). ``None`` restores the full pair list."""
     from . import dedup
 
     return dedup.hamming_near_pairs(
-        ahash_media(df), "media_id", "ahash", max_hamming
+        ahash_media(df),
+        "media_id",
+        "ahash",
+        max_hamming,
+        exact_star_limit=exact_star_limit,
     )
 
 

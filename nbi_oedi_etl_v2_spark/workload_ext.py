@@ -3131,14 +3131,19 @@ def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_image_near_dups",
-    # FULL per-pair oracle (VERDICT r4 item 1): the synthetic PNG
+    # Per-pair oracle (VERDICT r4 item 1): the synthetic PNG
     # pixels are closed-form in doc_id (multimodal.synth_png_payload:
     # w=1+id%8, h=1+(id//8)%8, px(r,c)=(id*31+r*7+c*3)%256), so the
     # 8×8 average-hash itself is SQL-expressible — the oracle
     # recomputes every aHash arithmetically (never touching PNG
-    # bytes), brute-force pairs them with bit_count(xor) Hamming, and
-    # hash-matches the complete 30k-row pair list produced by the
-    # REAL decode → aHash → pigeonhole block join pipeline.
+    # bytes) and mirrors the exact_star_limit=64 representative-star
+    # encoding (identical-hash groups >64 emit member↔min-id stars
+    # and only the representative enters the brute-force pair scan
+    # — the r5 guard against the 86M-identical-pair blowup measured
+    # at sf1), then hash-matches the full pair list produced by the
+    # REAL decode → aHash → pigeonhole block join pipeline. Both
+    # branches are exercised at sf0.01: one 113-member group stars,
+    # 67 smaller groups take the pairwise path.
     oracle="""
     WITH g AS (
       SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 8 AS h
@@ -3162,21 +3167,37 @@ def q_text_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN v >= m AND i >= 32
                   THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
       FROM withmean GROUP BY doc_id
+    ), grp AS (
+      SELECT lo, hi, MIN(doc_id) AS rep, COUNT(*) AS n
+      FROM hashed GROUP BY lo, hi
+    ), sized AS (
+      SELECT h.doc_id, h.lo, h.hi, g.rep, g.n
+      FROM hashed h JOIN grp g ON h.lo = g.lo AND h.hi = g.hi
+    ), star AS (
+      SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+      FROM sized WHERE n > 64 AND doc_id <> rep
+    ), kept AS (
+      SELECT doc_id, lo, hi FROM sized WHERE n <= 64 OR doc_id = rep
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.lo, b.lo))
                 + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
-    FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+    UNION ALL SELECT id_a, id_b, hamming FROM star
     """,
     doc="Near-duplicate image detection: real PNG decode -> 8x8 "
         "average-hash (perceptual fingerprint, Arrow-batched, "
         "map-only) -> generic pigeonhole Hamming block join "
         "(dedup.hamming_near_pairs — the same machinery as SimHash "
-        "text dedup). Undecodable payloads quarantine as NULL hashes "
-        "and never pair. Hash-matched per-pair against a closed-form "
-        "analytic aHash oracle; perturbed-copy/distinct-image/corrupt "
-        "invariants additionally proven in pytest.",
+        "text dedup) with the exact-duplicate star guard "
+        "(identical-hash groups >64 compress to representative "
+        "stars; lossless for the near-dup graph). Undecodable "
+        "payloads quarantine as NULL hashes and never pair. "
+        "Hash-matched per-pair against a closed-form analytic aHash "
+        "oracle mirroring the star encoding; perturbed-copy/"
+        "distinct-image/corrupt invariants additionally proven in "
+        "pytest.",
 )
 def q_multimodal_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(

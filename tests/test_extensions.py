@@ -730,6 +730,56 @@ def test_image_ahash_near_dup_pairs(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_hamming_star_guard_lossless(spark):
+    """exact_star_limit compresses identical-signature groups above
+    the limit to a representative star. The encoding must be lossless:
+    expanding stars (rep's pairs apply to every member; the group is a
+    hamming-0 clique) must reconstruct exactly the unguarded output."""
+    rows = (
+        [(i, 0x0F0F0F0F0F0F0F0F) for i in range(1, 11)]  # big group, 10 members
+        + [(20, 0x0F0F0F0F0F0F0F0E), (21, 0x0F0F0F0F0F0F0F0E)]  # near, small
+        + [(30, 0x123456789ABCDEF0)]  # far: never pairs
+        + [(40, None)]  # NULL sig: never pairs
+    )
+    sigs = spark.createDataFrame(rows, "doc long, h long")
+    full = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.hamming_near_pairs(
+            sigs, "doc", "h", max_hamming=3, exact_star_limit=None
+        ).collect()
+    }
+    guarded = dedup.hamming_near_pairs(
+        sigs, "doc", "h", max_hamming=3, exact_star_limit=4
+    ).collect()
+    # reconstruct: group members from star edges, then expand
+    members = {}  # rep -> set of all group members incl. rep
+    pair_rows = {}
+    for r in guarded:
+        a, b, d = r["id_a"], r["id_b"], r["hamming"]
+        if d == 0 and a == 1 and 2 <= b <= 10:  # star edge of the big group
+            members.setdefault(a, {a}).add(b)
+        else:
+            pair_rows[(a, b)] = d
+    assert members == {1: set(range(1, 11))}
+    expanded = {}
+    for (a, b), d in pair_rows.items():
+        for ea in sorted(members.get(a, {a})):
+            for eb in sorted(members.get(b, {b})):
+                lo, hi = min(ea, eb), max(ea, eb)
+                expanded[(lo, hi)] = d
+    for rep, mem in members.items():
+        for ea in mem:
+            for eb in mem:
+                if ea < eb:
+                    expanded[(ea, eb)] = 0
+    assert expanded == full
+    # only the representative of the big group appears in non-star pairs
+    assert not any(
+        2 <= a <= 10 or 2 <= b <= 10 for (a, b) in pair_rows
+    )
+    assert not any(40 in p for r in guarded for p in [(r["id_a"], r["id_b"])])
+
+
 def test_heavy_hitters_shuffled_fallback_still_exact(spark, sf_dir):
     """broadcast_limit=0 forces the shuffled semi-join fallback (the
     ADVICE-r4 guard against an unbounded candidate broadcast); the
