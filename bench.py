@@ -19,6 +19,13 @@ drifts ±25% on untouched queries cannot police the 2× bar):
   {ref, first, final, verdict} per flagged query — ``"noise"`` when
   the rerun recovers to within 15%, ``"regression"`` when it repeats.
   Update BENCH_REFERENCE.json only on adjudicated changes.
+- queries are forced through the ``noop`` batch sink, not
+  ``count()``: count() lets Catalyst prune every computed column, so
+  a map-only query (text scores, window deltas) would time a bare
+  parquet row count — measured at sf1, ``text_compressibility`` is
+  0.3 s under count() at EVERY scale vs a real 0.7→1.4 s sf0.1→sf1
+  under noop. The noop sink consumes whole rows (no pruning, no
+  driver collect), which is exactly what a downstream writer pays.
 
 The session is created once and reused (BASELINE.md notes per-query
 JVM startup is the main local-mode risk).
@@ -47,6 +54,13 @@ DRIFT_BAR = 1.15  # >15% above reference median → rerun once
 REFERENCE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
 )
+
+
+def _force(df) -> None:
+    """Fully materialize a DataFrame executor-side: the noop sink
+    consumes every column of every row (count() would let Catalyst
+    prune computed columns — see module docstring)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _samples(run, label: str) -> list[float]:
@@ -83,13 +97,13 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the query, not session warm-up.
     warm = workload.REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR)
-    warm.count()
+    _force(warm)
     # …and the streaming path once: the RocksDB state store pays a
     # one-time native-library + state-dir init (~0.5 s) on its first
     # micro-batch, which otherwise lands in the first timed sample and
     # skews the median (this was most of BENCH_r03's apparent
     # streaming regression — steady-state RocksDB ≈ heap provider).
-    workload.all_specs()["streaming_hourly_downsample"].fn(spark, SF_DIR).count()
+    _force(workload.all_specs()["streaming_hourly_downsample"].fn(spark, SF_DIR))
 
     reference = _load_reference(sf)
     timings: dict[str, float] = {}
@@ -107,7 +121,7 @@ def main() -> None:
 
     headline = workload.headline_queries()
     for name, fn in headline.items():
-        record(name, _samples(lambda: fn(spark, SF_DIR).count(), name))
+        record(name, _samples(lambda: _force(fn(spark, SF_DIR)), name))
 
     # drift gate: medians >15% above the committed reference get ONE
     # fresh rerun; a recovery within the bar is recorded as noise,
@@ -118,7 +132,7 @@ def main() -> None:
             continue
         first = timings[name]
         rerun = _samples(
-            lambda: fn(spark, SF_DIR).count(), f"{name}[drift-rerun]"
+            lambda: _force(fn(spark, SF_DIR)), f"{name}[drift-rerun]"
         )
         rerun_med = round(statistics.median(rerun), 4)
         if rerun_med < first:
@@ -149,11 +163,11 @@ def main() -> None:
     try:
         for _label, _cls in _PROVIDERS.items():
             spark.conf.set(_SS_KEY, _cls)
-            _stream_fn(spark, SF_DIR).count()  # provider init outside timer
+            _force(_stream_fn(spark, SF_DIR))  # provider init outside timer
             state_store_ab[_label] = round(
                 statistics.median(
                     _samples(
-                        lambda: _stream_fn(spark, SF_DIR).count(),
+                        lambda: _force(_stream_fn(spark, SF_DIR)),
                         f"streaming_hourly_downsample[{_label}]",
                     )
                 ),
