@@ -539,15 +539,40 @@ def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> Dat
     return df.mapInPandas(resize_batches, schema=out_schema)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(
+    df: DataFrame, every_n: int = 10, default_frames: int | None = 101
+) -> DataFrame:
     """Frame-sampling *plan* for video payloads: emits (media_id,
-    frame_index) rows without decoding — the downstream decode then
-    touches only sampled frames. Demonstrates the partition-preserving
-    explode pattern used for real codecs."""
-    return df.where(F.col("media_type") == "video").select(
+    frame_index) rows without decoding frames — the downstream decode
+    then touches only sampled frames (the partition-preserving explode
+    pattern used for real codecs).
+
+    The frame count is REAL where the payload allows: ISO-BMFF
+    payloads run the ``parse_mp4_header`` box walk inline (same rows,
+    no join, still map-only) and sample ``0, every_n, … < n_frames``
+    from the track's ``stts`` sample-count sum. Payloads that don't
+    parse fall back to ``default_frames`` total frames
+    (``None`` → excluded from the plan entirely)."""
+    staged = _with_mp4_meta(
+        df.where(F.col("media_type") == "video"), "payload", 32, 64
+    )
+    n = F.col("_mp4_frames")
+    if default_frames is not None:
+        n = F.coalesce(n, F.lit(default_frames).cast("long"))
+    # no Filter on the derived count: a predicate would be pushed down
+    # through the staged projections and PushDownPredicate re-inlines
+    # the box-walk folds without a cost guard (the exponential-tree
+    # trap _with_mp4_meta exists to avoid). explode() of a NULL
+    # sequence emits zero rows, which is the same semantics for free.
+    return staged.select("media_id", n.alias("_n")).select(
         "media_id",
         F.explode(
-            F.sequence(F.lit(0), F.lit(100), F.lit(every_n))
+            F.when(
+                F.col("_n") > 0,
+                F.sequence(
+                    F.lit(0), (F.col("_n") - 1).cast("int"), F.lit(every_n)
+                ),
+            )
         ).alias("frame_index"),
     )
 
@@ -738,6 +763,203 @@ def parse_jpeg_header(
         F.when(is_jpeg, be_u16(sof + 7)).alias("width"),
         F.when(is_jpeg, be_u16(sof + 5)).alias("height"),
         F.when(is_jpeg, u8at(sof + 9).cast("int")).alias("num_components"),
+    )
+
+
+def synth_mp4_payload(seed: int) -> bytes:
+    """Deterministic minimal ISO-BMFF (MP4) byte stream for tests:
+    ``ftyp`` (major brand ``isom``) + a ``free`` box whose length
+    varies with the seed (so the top-level box walk is exercised, not
+    a fixed offset) + ``moov`` containing a version-0 ``mvhd``
+    (seeded timescale/duration), another seed-length ``free``, and a
+    ``trak``→``mdia``→``minf``→``stbl``→``stts`` chain whose
+    sample-count entries are seeded — the frame count is closed-form
+    in the seed: ``sum(10 + (seed + i*7) % 90 for i in
+    range(1 + seed % 3))``. Structurally valid boxes throughout;
+    there is deliberately no ``mdat`` (metadata-only contract)."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    timescale = 1000 * (1 + seed % 3)
+    duration = (seed * 37) % 100000
+    n_entries = 1 + seed % 3
+    entries = b"".join(
+        struct.pack(">II", 10 + (seed + i * 7) % 90, 100)
+        for i in range(n_entries)
+    )
+    stts = box(
+        b"stts", struct.pack(">II", 0, n_entries) + entries
+    )
+    trak = box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stts))))
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration))
+    inner_free = box(b"free", bytes((seed * 3) % 12))
+    moov = box(b"moov", mvhd + inner_free + trak)
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 0))
+        + box(b"free", bytes(seed % 16))
+        + moov
+    )
+
+
+def _be_u32at(pos):  # 1-indexed byte offset (Column) → big-endian u32
+    return F.conv(
+        F.substring(F.col("_hx"), ((pos - 1) * 2 + 1).cast("int"), 8), 16, 10
+    ).cast("long")
+
+
+def _u8at(pos):
+    return F.conv(
+        F.substring(F.col("_hx"), ((pos - 1) * 2 + 1).cast("int"), 2), 16, 10
+    ).cast("long")
+
+
+def _fourcc_hex(pos):  # hex string of the 4 bytes at pos
+    return F.substring(F.col("_hx"), ((pos - 1) * 2 + 1).cast("int"), 8)
+
+
+def _find_box(start, end, target_hex: str, max_boxes: int):
+    """Position (1-indexed, at the size field) of the first child box
+    of four-char-code ``target_hex`` in the sibling chain [start, end)
+    of the ``_hx`` hex column, walked with one ``aggregate`` fold (the
+    JPEG marker-walk pattern): each step matches, stops on a malformed
+    size (<8, would loop) or truncation, or hops ``size`` bytes. NULL
+    when absent — and NULL start/end propagate to NULL."""
+
+    def step(acc, _):
+        pos, found = acc["pos"], acc["found"]
+        size = _be_u32at(pos)
+        stop = F.struct(pos.alias("pos"), F.lit(-1).cast("long").alias("found"))
+        return (
+            F.when(found != 0, acc)
+            .when((pos + 8 > end) | (pos + 8 > F.col("_plen") + 1), stop)
+            .when(
+                _fourcc_hex(pos + 4) == target_hex,
+                F.struct(pos.alias("pos"), pos.alias("found")),
+            )
+            .when(size < 8, stop)
+            .otherwise(
+                F.struct(
+                    (pos + size).alias("pos"),
+                    F.lit(0).cast("long").alias("found"),
+                )
+            )
+        )
+
+    init = F.struct(
+        start.cast("long").alias("pos"), F.lit(0).cast("long").alias("found")
+    )
+    res = F.aggregate(F.sequence(F.lit(1), F.lit(max_boxes)), init, step)[
+        "found"
+    ]
+    return F.when(res > 0, res)
+
+
+def _with_mp4_meta(
+    df: DataFrame, payload_col: str, max_boxes: int, max_stts_entries: int
+) -> DataFrame:
+    """Stage the ISO-BMFF descent as successive projections — each
+    level's box position becomes a COLUMN the next level references as
+    an attribute. Nesting the folds as one expression duplicates every
+    inner fold subtree at each reference (6 levels deep ≈ exponential
+    tree growth: the driver OOMs analyzing the plan before a single
+    row moves); staged columns are referenced, not copied, and
+    CollapseProject keeps non-cheap multi-referenced projections
+    staged. Adds _mp4_is/_mp4_brand/_mp4_timescale/_mp4_duration/
+    _mp4_frames; callers select and drop what they need."""
+    mb = max_boxes
+    d = df.withColumns(
+        {
+            "_hx": F.hex(F.col(f"`{payload_col}`")),
+            "_plen": F.length(F.col(f"`{payload_col}`")).cast("long"),
+        }
+    )
+    top_end = F.col("_plen") + 1
+    d = d.withColumns(
+        {
+            "_ftyp": _find_box(F.lit(1), top_end, "66747970", mb),
+            "_moov": _find_box(F.lit(1), top_end, "6D6F6F76", mb),
+        }
+    )
+    moov, moov_end = F.col("_moov"), F.col("_moov") + _be_u32at(F.col("_moov"))
+    d = d.withColumns(
+        {
+            "_mvhd": _find_box(moov + 8, moov_end, "6D766864", mb),
+            "_trak": _find_box(moov + 8, moov_end, "7472616B", mb),
+        }
+    )
+    for child, parent, cc in (
+        ("_mdia", "_trak", "6D646961"),
+        ("_minf", "_mdia", "6D696E66"),
+        ("_stbl", "_minf", "7374626C"),
+        ("_stts", "_stbl", "73747473"),
+    ):
+        p = F.col(parent)
+        d = d.withColumn(child, _find_box(p + 8, p + _be_u32at(p), cc, mb))
+
+    stts, mvhd, ftyp = F.col("_stts"), F.col("_mvhd"), F.col("_ftyp")
+    entry_count = _be_u32at(stts + 12)
+    entries_ok = (
+        (entry_count >= 1)
+        & (entry_count <= max_stts_entries)
+        & (stts + 16 + entry_count * 8 <= stts + _be_u32at(stts))
+    )
+    is_mp4 = (F.col("_plen") >= 16) & ftyp.isNotNull()
+    mvhd_v0 = _u8at(mvhd + 8) == 0
+    d = d.withColumns(
+        {
+            "_mp4_is": is_mp4.eqNullSafe(F.lit(True)),
+            "_mp4_brand": F.when(
+                is_mp4, F.decode(F.unhex(_fourcc_hex(ftyp + 8)), "UTF-8")
+            ),
+            "_mp4_timescale": F.when(mvhd_v0, _be_u32at(mvhd + 20)),
+            "_mp4_duration": F.when(mvhd_v0, _be_u32at(mvhd + 24)),
+            "_mp4_frames": F.when(
+                entries_ok,
+                F.aggregate(
+                    F.sequence(F.lit(0), (entry_count - 1).cast("int")),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc
+                    + _be_u32at(stts + 16 + i.cast("long") * 8),
+                ),
+            ),
+        }
+    )
+    return d
+
+
+def parse_mp4_header(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_boxes: int = 32,
+    max_stts_entries: int = 64,
+) -> DataFrame:
+    """REAL MP4/ISO-BMFF header parsing with a JVM-side box WALK — the
+    video member of the route-before-decode family. Boxes are a
+    length-prefixed tree (u32 size + four-char code), so each level is
+    one ``aggregate`` fold over the sibling chain (the
+    ``parse_jpeg_header`` marker-walk pattern): top level finds
+    ``ftyp``/``moov``, then the fixed descent moov → mvhd (version-0
+    timescale/duration) and moov → trak → mdia → minf → stbl → stts,
+    whose (sample_count, delta) entries are summed — again with an
+    ``aggregate`` fold — into the track's real frame count. No
+    Python, no UDF; map-only and codegen-pruned like the PNG/WAV/JPEG
+    parsers.
+
+    Emits (media_id, is_mp4, major_brand, timescale, duration,
+    n_frames). Non-BMFF payloads parse as ``is_mp4 = false``;
+    version-1 ``mvhd`` (64-bit times) and ``stts`` tables above
+    ``max_stts_entries`` yield NULL fields rather than wrong numbers.
+    Codec (``mdat``) decode is out of scope, matching JPEG."""
+    staged = _with_mp4_meta(df, payload_col, max_boxes, max_stts_entries)
+    return staged.select(
+        F.col(f"`{id_col}`").alias("media_id"),
+        F.col("_mp4_is").alias("is_mp4"),
+        F.col("_mp4_brand").alias("major_brand"),
+        F.col("_mp4_timescale").alias("timescale"),
+        F.col("_mp4_duration").alias("duration"),
+        F.col("_mp4_frames").alias("n_frames"),
     )
 
 

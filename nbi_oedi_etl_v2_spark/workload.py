@@ -837,20 +837,22 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-slot rotation (round 4).
+# Driver-slot rotation (round 5).
 #
 # The verification driver records at most DRIVER_QUERY_CAP correctness
-# rows per round, but the registry holds 119+ specs — so each round
+# rows per round, but the registry holds 126+ specs — so each round
 # exports a rotation chosen here, in ONE place (the per-spec `driver=`
 # kwarg is overridden by membership below; pytest still oracles every
-# spec via all_specs()). Round-4 policy, per VERDICT r3:
-#   PIN   — the reference saved-query parity trio
-#           (sql/saved-queries.sql:10-45) never rotates out again;
-#   NEW20 — the 20 round-3 specs that have never earned a driver row
-#           (closing the 119/119-verified-at-least-once goal);
-#   TOUCH — specs whose operator code changes this round (a driver row
-#           re-proves them post-change);
-#   KEEP  — family-coverage re-verifications filling to the cap.
+# spec via all_specs()). Round-5 policy, per VERDICT r4:
+#   PIN     — the reference saved-query parity trio
+#             (sql/saved-queries.sql:10-45) never rotates out;
+#   INV8    — the 8 formerly-no-oracle sketch/approx specs, now
+#             restructured to emit in-plan invariant columns DuckDB
+#             can hash-match (VERDICT r4 item 1: their first-ever
+#             hash-matched driver rows close the 126/126 goal);
+#   TOUCH   — specs whose operator code changed this round;
+#   NEW     — operators added this round;
+#   KEEP    — family-coverage re-verifications filling to the cap.
 # ---------------------------------------------------------------------------
 
 DRIVER_EXPORT: frozenset[str] = frozenset({
@@ -858,57 +860,57 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "segment_active_customers",
     "customers_per_segment",
     "topk_per_segment",
-    # NEW20 — never driver-verified through r3
-    "corpus_weighted_reservoir",
-    "customer_fuzzy_name_pairs",
-    "dq_profile_orders",
-    "embedding_semantic_dedup",
-    "etl_gapfill_interp",
-    "etl_incremental_agg_merge",
-    "events_anomaly_zscore",
+    # INV8 — invariant-oracled this round; first possible hash-match
+    "approx_distinct_users",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "events_hll_daily_rollup",
-    "events_json_roundtrip",
-    "events_orc_roundtrip",
-    "events_pattern_users",
-    "lineitem_price_trend",
-    "orders_cdc_merge",
-    "orders_scd2_priority",
-    "orders_skipping_scan",
-    "orders_skyline",
-    "orders_window_suite",
-    "part_copurchase_triangles",
-    "text_token_pmi",
-    "text_vocabulary",
-    # TOUCH — operator code changed in round 4
+    "multimodal_image_near_dups",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "text_compressibility",
+    # TOUCH — operator code changed in round 5
+    "events_heavy_hitters",        # vectorized candidates + fallback
+    "orders_skipping_scan",        # path-normalized guard
+    "customer_fuzzy_name_pairs",   # r4 rework, r5 soak
+    # NEW — operators added in round 5
+    "multimodal_mp4_headers",
+    # KEEP — family coverage re-verification (r1–r4 green rows)
     "etl_hourly_downsample",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "similarity_topk_ivf",
+    "similarity_topk",
     "streaming_hourly_downsample",
     "multimodal_decode",
-    # NEW — operators added in round 4
     "multimodal_jpeg_headers",
-    "events_heavy_hitters",
-    "events_interval_attribution",
-    "orders_moving_range_avg",
-    "text_compressibility",
-    "multimodal_image_near_dups",
-    "multimodal_audio_decimate",
-    # KEEP — family coverage re-verification
-    "similarity_topk",
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
     "multimodal_png_headers",
     "multimodal_wav_headers",
+    "multimodal_audio_decimate",
+    "events_interval_attribution",
+    "orders_moving_range_avg",
+    "embedding_semantic_dedup",
     "corpus_contamination",
-    "events_funnel",
-    "events_cohort_retention",
+    "corpus_weighted_reservoir",
+    "corpus_pack_ffd",
+    "events_anomaly_zscore",
+    "events_pattern_users",
+    "events_json_roundtrip",
+    "events_orc_roundtrip",
     "part_copurchase_pagerank",
+    "part_copurchase_triangles",
     "text_bm25_topk",
     "text_inverted_index",
+    "text_token_pmi",
+    "text_vocabulary",
     "asof_last_order_per_event",
     "q18_large_volume_customers",
-    "corpus_pack_ffd",
+    "orders_cdc_merge",
+    "orders_scd2_priority",
+    "orders_skyline",
+    "orders_window_suite",
+    "lineitem_price_trend",
+    "dq_profile_orders",
+    "etl_gapfill_interp",
+    "etl_incremental_agg_merge",
 })
 
 

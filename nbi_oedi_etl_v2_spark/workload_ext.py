@@ -1637,6 +1637,100 @@ def q_multimodal_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_headers",
+    # synthesis + box-walk parse round-trips, so the oracle is the
+    # closed form of the synthesis parameters (same pattern as the
+    # JPEG spec); the walk itself is additionally proven against
+    # struct-packed ISO-BMFF bytes (variable free-box lengths, nested
+    # containers, truncations, non-BMFF payloads) in pytest
+    oracle="""
+    SELECT doc_id AS media_id,
+           doc_id % 10 <> 0 AS is_mp4,
+           CASE WHEN doc_id % 10 <> 0 THEN 'isom' END AS major_brand,
+           CASE WHEN doc_id % 10 <> 0
+                THEN CAST(1000 * (1 + doc_id % 3) AS BIGINT) END AS timescale,
+           CASE WHEN doc_id % 10 <> 0
+                THEN CAST((doc_id * 37) % 100000 AS BIGINT) END AS duration,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(
+             (10 + doc_id % 90)
+             + CASE WHEN doc_id % 3 >= 1 THEN 10 + (doc_id + 7) % 90 ELSE 0 END
+             + CASE WHEN doc_id % 3 >= 2 THEN 10 + (doc_id + 14) % 90 ELSE 0 END
+           AS BIGINT) END AS n_frames
+    FROM documents
+    """,
+    doc="REAL MP4/ISO-BMFF header parsing with a JVM-side box WALK: "
+        "boxes are a length-prefixed tree, so each level is one "
+        "aggregate fold over the sibling chain (top level finds "
+        "ftyp/moov, then moov->mvhd for version-0 timescale/duration "
+        "and moov->trak->mdia->minf->stbl->stts, whose sample-count "
+        "entries are summed into the track's real frame count — this "
+        "is what frame_sample_plan now derives its sampling from "
+        "instead of a hardcoded count). The synthesized payloads "
+        "carry seed-length free boxes at two nesting levels so every "
+        "row walks a different offset chain. Every 10th payload is "
+        "text and parses is_mp4=false. mdat codec decode stays out "
+        "of scope, matching JPEG.",
+)
+def q_multimodal_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def be32(col):  # big-endian u32 hex
+        return F.lpad(F.hex(col.cast("long")), 8, "0")
+
+    n_entries = (F.lit(1) + did % 3).cast("long")
+    entries = F.concat(
+        *[
+            F.when(
+                F.lit(i) < n_entries,
+                F.concat(
+                    be32(F.lit(10) + (did + i * 7) % 90), F.lit("00000064")
+                ),
+            ).otherwise(F.lit(""))
+            for i in range(3)
+        ]
+    )
+    stts_size = F.lit(16) + n_entries * 8
+    stts = F.concat(
+        be32(stts_size), F.lit("73747473"), F.lit("00000000"),
+        be32(n_entries), entries,
+    )
+    # trak -> mdia -> minf -> stbl each add an 8-byte box header
+    stbl = F.concat(be32(stts_size + 8), F.lit("7374626C"), stts)
+    minf = F.concat(be32(stts_size + 16), F.lit("6D696E66"), stbl)
+    mdia = F.concat(be32(stts_size + 24), F.lit("6D646961"), minf)
+    trak = F.concat(be32(stts_size + 32), F.lit("7472616B"), mdia)
+    mvhd = F.concat(
+        F.lit("0000001C"), F.lit("6D766864"), F.lit("00000000"),
+        F.lit("00000000"), F.lit("00000000"),
+        be32(F.lit(1000) * (F.lit(1) + did % 3)),
+        be32((did * 37) % 100000),
+    )
+    inner_free_len = ((did * 3) % 12).cast("int")
+    inner_free = F.concat(
+        be32(inner_free_len + 8), F.lit("66726565"),
+        F.repeat(F.lit("00"), inner_free_len),
+    )
+    moov = F.concat(
+        be32(F.lit(8 + 28 + 8) + inner_free_len + (stts_size + 32)),
+        F.lit("6D6F6F76"), mvhd, inner_free, trak,
+    )
+    top_free_len = (did % 16).cast("int")
+    mp4_hex = F.concat(
+        F.lit("00000010"), F.lit("66747970"), F.lit("69736F6D"),
+        F.lit("00000000"),                       # ftyp isom, minor 0
+        be32(top_free_len + 8), F.lit("66726565"),
+        F.repeat(F.lit("00"), top_free_len),     # seed-length free box
+        moov,
+    )
+    payload = F.when(
+        did % 10 == 0, F.encode(F.col("text"), "UTF-8")
+    ).otherwise(F.unhex(mp4_hex))
+    media = docs.select("doc_id", payload.alias("payload"))
+    return multimodal.parse_mp4_header(media, "doc_id", "payload")
+
+
+@query(
     "corpus_pack_ffd",
     # FFD is deterministic given (shard, tokens-desc/id-asc order), so
     # the oracle replays the exact greedy: a recursive CTE steps one

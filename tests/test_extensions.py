@@ -293,11 +293,66 @@ def test_multimodal_metadata_only_scan_prunes_payload(docs):
 
 
 def test_frame_sample_plan(spark, docs):
+    # non-BMFF payloads fall back to default_frames (old contract)
     media = multimodal.attach_binary_payload(docs, "doc_id", "text", media_type="video")
     plan_df = multimodal.frame_sample_plan(media, every_n=10)
     first = plan_df.where(F.col("media_id") == plan_df.select(F.min("media_id")).first()[0])
     idxs = sorted(r["frame_index"] for r in first.collect())
     assert idxs == list(range(0, 101, 10))
+
+
+def test_mp4_box_walk_roundtrip(spark):
+    """parse_mp4_header must recover the synthesis parameters from
+    struct-packed ISO-BMFF bytes (seed-length free boxes at two
+    nesting levels exercise a different walk per seed), reject
+    non-BMFF and truncated payloads as is_mp4=false, and NULL the
+    frame count when the stts table is malformed."""
+    rows = [
+        (s, bytearray(multimodal.synth_mp4_payload(s)), "video", f"s://{s}")
+        for s in range(24)
+    ]
+    full = multimodal.synth_mp4_payload(3)
+    rows += [
+        (100, bytearray(b"definitely not an mp4 file......"), "video", "x"),
+        (101, bytearray(b"tiny"), "video", "y"),
+        (102, bytearray(full[: len(full) // 2]), "video", "z"),  # truncated
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.parse_mp4_header(df, "media_id", "payload").collect()
+    }
+    for s in range(24):
+        r = out[s]
+        exp_frames = sum(10 + (s + i * 7) % 90 for i in range(1 + s % 3))
+        assert r["is_mp4"] and r["major_brand"] == "isom"
+        assert r["timescale"] == 1000 * (1 + s % 3)
+        assert r["duration"] == (s * 37) % 100000
+        assert r["n_frames"] == exp_frames
+    assert not out[100]["is_mp4"] and not out[101]["is_mp4"]
+    # truncation cuts inside moov: ftyp still present (is_mp4 true is
+    # acceptable) but the stts walk must not invent a frame count
+    assert out[102]["n_frames"] is None
+
+
+def test_frame_sample_plan_real_counts(spark):
+    """MP4 payloads drive the sampling plan from the track's real
+    stts sample-count sum, not a hardcoded frame count; non-parsing
+    payloads are excluded when default_frames=None."""
+    rows = [
+        (s, bytearray(multimodal.synth_mp4_payload(s)), "video", f"s://{s}")
+        for s in range(8)
+    ] + [(100, bytearray(b"not mp4"), "video", "x")]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    plan = multimodal.frame_sample_plan(df, every_n=10, default_frames=None)
+    got = {
+        r["media_id"]: r["n"]
+        for r in plan.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    for s in range(8):
+        exp_frames = sum(10 + (s + i * 7) % 90 for i in range(1 + s % 3))
+        assert got[s] == (exp_frames + 9) // 10
+    assert 100 not in got
 
 
 def test_approx_distinct_within_rsd_bound(spark, sf_dir):

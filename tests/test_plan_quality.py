@@ -144,6 +144,17 @@ def test_balanced_shards_one_shuffle_no_gather(spark, sf_dir):
     assert "ExistingRDD" not in plan
 
 
+def test_mp4_box_walk_map_only_no_python(spark, sf_dir):
+    # the ISO-BMFF box walk is pure JVM expressions (aggregate folds
+    # over the hex image): no shuffle, no Python worker — and the
+    # staged projections must not have been re-inlined into one
+    # exponential expression tree (plan string stays bounded)
+    plan = plan_of(spark, sf_dir, "multimodal_mp4_headers")
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert len(plan) < 2_000_000
+
+
 def test_multimodal_decode_map_only(spark, sf_dir):
     # Arrow-batched mapInPandas over the media rows — payloads must
     # never shuffle; any Exchange here moves the (multi-MB) binary
