@@ -249,6 +249,440 @@ def _jpeg_sof(b: bytes, max_segments: int = 64) -> tuple[int, int, int, int, int
     raise ValueError("no SOF within segment budget")
 
 
+# Raster index of the i-th coefficient in JPEG zigzag scan order
+# (ITU-T T.81 figure 5 — public spec constant).
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _huffman_decode_map(bits: list[int], values: bytes) -> dict:
+    """Canonical Huffman (code_length, code) → symbol map from a DHT
+    segment's BITS/HUFFVAL arrays (T.81 annex C code assignment)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy-coded data with 0xFF00
+    byte-stuffing removal; stops at any real marker (RSTn handled by
+    the caller via ``at_marker``)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.bit = buf, pos, 0
+
+    def at_marker(self) -> int | None:
+        b = self.buf
+        if self.bit == 0 and self.pos + 1 < len(b) and b[self.pos] == 0xFF:
+            nxt = b[self.pos + 1]
+            if nxt != 0x00:
+                return nxt
+        return None
+
+    def read_bit(self) -> int:
+        b = self.buf
+        if self.pos >= len(b):
+            raise ValueError("entropy data truncated")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(b) or b[self.pos + 1] != 0x00:
+                raise ValueError("marker inside entropy segment")
+        bit = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 2 if byte == 0xFF else 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_to_marker(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.buf[self.pos] == 0xFF else 1
+
+    def read_huffman(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map a ``size``-bit magnitude to its signed value."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _idct_block(coef):
+    """Float64 2-D inverse DCT of one dequantized 8×8 block (separable
+    basis-matrix product), level-shifted +128 and clamped to [0, 255].
+    numpy-vectorized — this runs per block inside Arrow batches."""
+    import numpy as np
+
+    global _IDCT_BASIS
+    try:
+        basis = _IDCT_BASIS
+    except NameError:
+        i = np.arange(8).reshape(8, 1)
+        j = np.arange(8).reshape(1, 8)
+        basis = 0.5 * np.cos((2 * i + 1) * j * np.pi / 16)
+        basis[:, 0] *= 1 / np.sqrt(2)
+        _IDCT_BASIS = basis
+    spatial = basis @ coef @ basis.T
+    return np.clip(np.round(spatial + 128), 0, 255).astype(np.int64)
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL baseline JPEG pixel decode, stdlib + numpy — no codec
+    library: segment walk collects DQT (8-bit) and DHT (canonical
+    Huffman) tables, SOF0 dimensions, then the SOS entropy-coded scan
+    is Huffman-decoded MCU by MCU (DC predictor + EXTEND, AC
+    run/size with EOB/ZRL, 0xFF00 byte-stuffing, DRI/RSTn restart
+    handling), dequantized, zigzag-reordered, and inverse-DCT'd
+    (float64 separable basis, +128 level shift, clamp).
+
+    Supported subset (declared): baseline sequential SOF0, 8-bit,
+    single interleaved scan, 1 or 3 components with NO chroma
+    subsampling (all sampling factors 1×1). Progressive (SOF2),
+    subsampled, or multi-scan streams raise ``ValueError`` — callers
+    route those to the metadata-only path rather than fabricate
+    pixels.
+
+    Returns (width, height, channels, checksum) where ``checksum``
+    sums every decoded component sample (cropped to the true
+    width×height) mod 9973, normalized — the same convention as
+    ``decode_png``/``decode_wav``, reproducible by an analytic oracle
+    over synthetic DC-only streams (quantizer 8 makes each block's
+    IDCT an exact integer)."""
+    b = bytes(payload)
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    pos = 2
+    while True:
+        if pos + 4 > len(b) or b[pos] != 0xFF:
+            raise ValueError("marker walk fell off the segment chain")
+        marker = b[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        seg_len = (b[pos + 2] << 8) | b[pos + 3]
+        if seg_len < 2 or pos + 2 + seg_len > len(b):
+            raise ValueError("bad segment length")
+        body = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(body[o + 1 : o + 65])
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                nvals = sum(bits)
+                vals = body[o + 17 : o + 17 + nvals]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huffman_decode_map(
+                    bits, vals
+                )
+                o += 17 + nvals
+        elif marker in _JPEG_SOF_MARKERS:
+            if marker != 0xC0:
+                raise ValueError("only baseline SOF0 is pixel-decoded")
+            precision, h, w, ncomp = (
+                body[0],
+                (body[1] << 8) | body[2],
+                (body[3] << 8) | body[4],
+                body[5],
+            )
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("unsupported precision/component count")
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comps.append({"id": cid, "tq": tq})
+            sof = (w, h, comps)
+        elif marker == 0xDD:  # DRI
+            restart_interval = (body[0] << 8) | body[1]
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            w, h, comps = sof
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans unsupported")
+            scan_tables = {}
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tables[cs] = (tables >> 4, tables & 0x0F)
+            scan_start = pos + 2 + seg_len
+            return _decode_jpeg_scan(
+                b, scan_start, w, h, comps, scan_tables, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        pos += 2 + seg_len
+
+
+def _decode_jpeg_scan(
+    b, pos, w, h, comps, scan_tables, qt, huff_dc, huff_ac, restart_interval
+):
+    import numpy as np
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    n_mcus = bx * by
+    planes = [np.zeros((by * 8, bx * 8), dtype=np.int64) for _ in comps]
+    reader = _BitReader(b, pos)
+    pred = [0] * len(comps)
+    mcus_done = 0
+    for mcu in range(n_mcus):
+        if restart_interval and mcus_done == restart_interval:
+            reader.sync_to_marker()
+            m = reader.at_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("expected restart marker")
+            reader.pos += 2
+            pred = [0] * len(comps)
+            mcus_done = 0
+        my, mx = divmod(mcu, bx)
+        for ci, comp in enumerate(comps):
+            dc_t, ac_t = scan_tables[comp["id"]]
+            quant = qt.get(comp["tq"])
+            if quant is None:
+                raise ValueError("missing quant table")
+            coef = np.zeros(64, dtype=np.int64)
+            size = reader.read_huffman(huff_dc[dc_t])
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            pred[ci] += diff
+            coef[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = reader.read_huffman(huff_ac[ac_t])
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                coef[k] = _extend(reader.read_bits(size), size)
+                k += 1
+            deq = coef * np.asarray(quant, dtype=np.int64)
+            block = np.zeros((8, 8), dtype=np.float64)
+            block.flat[list(_ZIGZAG)] = deq
+            planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = _idct_block(
+                block
+            )
+        mcus_done += 1
+    total = sum(int(p[:h, :w].sum()) for p in planes)
+    return w, h, len(comps), (total % _CHECKSUM_MOD) / _CHECKSUM_MOD
+
+
+def _canonical_huffman_encode_map(symbols: list[int]) -> tuple[list[int], bytes, dict]:
+    """(BITS, HUFFVAL, symbol → (length, code)) for a canonical table
+    that assigns every symbol one fixed-length code, length chosen so
+    the code space is not over-full and the all-ones code stays
+    unused (T.81 requires it reserved). Both sides read the table
+    from the DHT segment, so any valid canonical table round-trips."""
+    n = len(symbols)
+    length = 1
+    while (1 << length) < n + 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    table = {
+        sym: (length, code) for code, sym in enumerate(sorted(symbols))
+    }
+    return bits, bytes(sorted(symbols)), table
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF00 stuffing (encoder twin of
+    ``_BitReader``; test fixtures and the synthesizer share it)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    return size
+
+
+def encode_jpeg_blocks(
+    w: int,
+    h: int,
+    component_coeffs: list[list[list[int]]],
+    quant: list[int],
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a REAL baseline JPEG stream from per-component
+    per-block ZIGZAG-ORDER quantized coefficients (test fixture and
+    synthetic-corpus generator — the decode twin is
+    :func:`decode_jpeg`). One shared 8-bit quant table, canonical
+    Huffman tables built from the symbols actually emitted, single
+    interleaved scan, no subsampling; ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers with DC-predictor resets (so the
+    decoder's restart path is testable)."""
+    ncomp = len(component_coeffs)
+    n_blocks = ((w + 7) // 8) * ((h + 7) // 8)
+    # gather symbols per table; DC carries every category 0..11 up
+    # front — restart-marker predictor resets change the diffs, so
+    # deriving categories from the no-restart walk would under-build
+    # the table
+    dc_syms, ac_syms = set(range(12)), set()
+    for blocks in component_coeffs:
+        assert len(blocks) == n_blocks
+        pred = 0
+        for blk in blocks:
+            dc_syms.add(_dc_category(blk[0] - pred))
+            pred = blk[0]
+            run = 0
+            for v in blk[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    run -= 16
+                ac_syms.add((run << 4) | _dc_category(v))
+                run = 0
+            ac_syms.add(0x00)  # EOB (emitted whenever trailing zeros exist)
+    dc_bits, dc_vals, dc_map = _canonical_huffman_encode_map(sorted(dc_syms))
+    ac_bits, ac_vals, ac_map = _canonical_huffman_encode_map(sorted(ac_syms))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(quant)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for blk_i in range(n_blocks):
+        if restart_interval and blk_i and blk_i % restart_interval == 0:
+            out += wtr.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            wtr = _BitWriter()
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            blk = component_coeffs[ci][blk_i]
+            diff = blk[0] - preds[ci]
+            preds[ci] = blk[0]
+            cat = _dc_category(diff)
+            length, code = dc_map[cat]
+            wtr.write(code, length)
+            if cat:
+                wtr.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            nz = [k for k in range(1, 64) if blk[k]]
+            last_nz = nz[-1] if nz else 0
+            for k in range(1, last_nz + 1):
+                v = blk[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_map[0xF0]
+                    wtr.write(code, length)
+                    run -= 16
+                size = _dc_category(v)
+                length, code = ac_map[(run << 4) | size]
+                wtr.write(code, length)
+                wtr.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                length, code = ac_map[0x00]
+                wtr.write(code, length)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg_coded_payload(seed: int) -> bytes:
+    """Deterministic REAL baseline JPEG with entropy-coded pixel data:
+    grayscale, ``width = 8*(1 + seed % 6)``, ``height =
+    8*(1 + (seed // 6) % 4)``, DC-only blocks (block ``b`` carries DC
+    delta ``((seed + 3*b) % 9) - 4``) under quantizer 8 — the IDCT of
+    a DC-only block with q=8 is the exact integer ``cum_dc + 128``
+    everywhere, so the decoded checksum is closed-form in the seed:
+    ``sum over blocks of 64 * (cum_dc_b + 128)``. The decoder earns
+    it: real Huffman decode, EXTEND, dequant, IDCT — nothing about
+    the pipeline knows the blocks are flat."""
+    bx = 1 + seed % 6
+    by = 1 + (seed // 6) % 4
+    n_blocks = bx * by
+    quant = [8] + [16] * 63
+    blocks, dc = [], 0
+    for blk in range(n_blocks):
+        dc += ((seed + 3 * blk) % 9) - 4
+        blocks.append([dc] + [0] * 63)
+    return encode_jpeg_blocks(bx * 8, by * 8, [blocks], quant)
+
+
 def _fingerprint_payload(payload: bytes) -> tuple[int, int, float]:
     """Unknown-format fallback (the former stub codec, retained as the
     deterministic byte fingerprint for payloads that are neither PNG
@@ -370,13 +804,19 @@ def synth_wav_payload(seed: int) -> bytes:
 def attach_synth_media(
     df: DataFrame, id_col: str, kind: str = "png"
 ) -> DataFrame:
-    """Fixture-payload generator: one real PNG or WAV per row, derived
-    deterministically from the id (``synth_png_payload`` /
-    ``synth_wav_payload``). Arrow-batched; this is the test harness'
-    stand-in for reading payload parquet — production pipelines load
-    real bytes and never run this."""
-    media_type = "image" if kind == "png" else "audio"
-    synth = synth_png_payload if kind == "png" else synth_wav_payload
+    """Fixture-payload generator: one real PNG / WAV / entropy-coded
+    JPEG / ISO-BMFF MP4 per row, derived deterministically from the id
+    (``synth_png_payload`` / ``synth_wav_payload`` /
+    ``synth_jpeg_coded_payload`` / ``synth_mp4_payload``).
+    Arrow-batched; this is the test harness' stand-in for reading
+    payload parquet — production pipelines load real bytes and never
+    run this."""
+    media_type, synth = {
+        "png": ("image", synth_png_payload),
+        "wav": ("audio", synth_wav_payload),
+        "jpeg": ("image", synth_jpeg_coded_payload),
+        "mp4": ("video", synth_mp4_payload),
+    }[kind]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -426,16 +866,24 @@ def _decode_one(payload, media_type: str) -> dict:
             out["codec"] = "error"
         return out
     if b[:2] == b"\xff\xd8":
-        # JPEG: metadata-only route — SOF marker walk gives dims and
-        # component count; pixel decode needs a DCT codec and stays
-        # out of scope (declared). checksum_feature stays null so no
-        # fabricated feature leaks downstream.
+        # JPEG: real baseline pixel decode first (decode_jpeg —
+        # Huffman + dequant + IDCT, r5). Streams outside the declared
+        # subset (progressive SOF2, chroma subsampling, multi-scan) or
+        # with no scan at all keep the r4 metadata-only contract:
+        # codec='jpeg', dims from the SOF walk, NULL checksum — never
+        # fabricated pixels. Streams whose SOF itself is unreadable
+        # are codec='error'.
         try:
-            _, _, h, w, ncomp = _jpeg_sof(b)
-            out.update(codec="jpeg", width=w, height=h,
-                       channels=_JPEG_COMPONENTS.get(ncomp, ncomp))
-        except ValueError:
-            out["codec"] = "error"
+            w, h, ch, checksum = decode_jpeg(b)
+            out.update(codec="jpeg", width=w, height=h, channels=ch,
+                       checksum_feature=checksum)
+        except (ValueError, struct.error, IndexError):
+            try:
+                _, _, h, w, ncomp = _jpeg_sof(b)
+                out.update(codec="jpeg", width=w, height=h,
+                           channels=_JPEG_COMPONENTS.get(ncomp, ncomp))
+            except ValueError:
+                out["codec"] = "error"
         return out
     w, h, checksum = _fingerprint_payload(b)
     out.update(codec="raw", width=w, height=h, checksum_feature=checksum)

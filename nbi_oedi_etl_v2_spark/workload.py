@@ -875,6 +875,7 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "customer_fuzzy_name_pairs",   # r4 rework, r5 soak
     # NEW — operators added in round 5
     "multimodal_mp4_headers",
+    "multimodal_decode_jpeg",
     # KEEP — family coverage re-verification (r1–r4 green rows)
     "etl_hourly_downsample",
     "dedup_ngram_jaccard",
@@ -891,7 +892,6 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "corpus_contamination",
     "corpus_weighted_reservoir",
     "corpus_pack_ffd",
-    "events_anomaly_zscore",
     "events_pattern_users",
     "events_json_roundtrip",
     "events_orc_roundtrip",
@@ -1086,12 +1086,17 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     doc="TPC-H Q18 shape: HAVING-filtered self-aggregation of the "
-        "fact feeding a left-semi join. The big-order keyset is a "
-        "small but SF-proportional fraction of orders (~0.3% here), "
-        "so the semi-join strategy is left to AQE — broadcast at "
-        "bench SF, shuffle at 100 TB where the keyset is itself "
-        "huge. The lineitem pre-aggregation is map-side partial "
-        "before its one shuffle on l_orderkey.",
+        "fact. r5 rework (the r3 soak's 4x-at-10x-data entry, 9.4x "
+        "under honest noop forcing): the per-order quantity sum IS "
+        "the output aggregate — every other group key is "
+        "functionally dependent on o_orderkey — so lineitem is "
+        "scanned and shuffled ONCE (map-side partial into the "
+        "l_orderkey agg), the HAVING filter keeps the decimal sum, "
+        "and the orders/customer joins touch only the ~0.3% "
+        "surviving keyset instead of every lineitem row. The old "
+        "shape re-joined FULL lineitem through a semi-join and "
+        "re-aggregated it post-join — 2 fact scans and a "
+        "fact-sized 3-way join for nothing.",
     driver=False,
 )
 def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,14 +1107,15 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(SUM_DECIMAL)).alias("_sq"))
         .where(F.col("_sq") > 300)
-        .select("l_orderkey")
     )
     return (
-        l.join(big, "l_orderkey", "left_semi")
-        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(dsum(F.col("l_quantity")), 7).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("_sq").cast("double"), 7).alias("sum_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

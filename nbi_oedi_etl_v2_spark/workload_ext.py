@@ -790,6 +790,74 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_decode_jpeg",
+    headline=True,
+    # the REAL baseline JPEG decoder (r5 — closes the last declared
+    # decode gap): segment walk → DQT/DHT parse → Huffman-decoded
+    # entropy scan (DC predictor + EXTEND, AC run/size, byte
+    # stuffing) → dequant → zigzag → float IDCT. The synthetic
+    # streams are DC-only under quantizer 8, so each block's IDCT is
+    # the exact integer cum_dc + 128 and the pixel-sum checksum is
+    # closed-form in doc_id — but the decoder doesn't know that: it
+    # runs the full entropy pipeline. Every 10th payload is FFD8 +
+    # garbage (no valid segment chain) and must come out
+    # codec='error' with NULL fields. Nonzero-AC, 3-component,
+    # restart-marker, and truncation behavior are additionally
+    # pytest-proven against an independent numpy IDCT reference.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 6 AS bx, 1 + (doc_id // 6) % 4 AS by
+      FROM documents
+    ), blocks AS (
+      SELECT doc_id, bx, by, t.i AS i,
+             ((doc_id + 3 * t.i) % 9) - 4 AS d
+      FROM g, unnest(generate_series(0, bx * by - 1)) AS t(i)
+    ), cums AS (
+      SELECT doc_id, bx, by,
+             SUM(d) OVER (PARTITION BY doc_id ORDER BY i) AS cum
+      FROM blocks
+    ), sums AS (
+      SELECT doc_id, MAX(bx) AS bx, MAX(by) AS by,
+             SUM(64 * (cum + 128)) AS total
+      FROM cums GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'error' ELSE 'jpeg' END AS codec,
+           CASE WHEN doc_id % 10 <> 0
+                THEN CAST(bx * 8 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 10 <> 0
+                THEN CAST(by * 8 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 10 <> 0 THEN CAST(1 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 10 <> 0
+                THEN CAST(total % 9973 AS DOUBLE) / 9973.0
+           END AS checksum_feature
+    FROM sums
+    """,
+    doc="REAL baseline JPEG pixel decode (stdlib+numpy: Huffman scan "
+        "decode, dequant, zigzag, IDCT — no codec library) over "
+        "entropy-coded synthetic streams; the oracle reproduces the "
+        "decoded pixel-sum checksum analytically. Corrupt payloads "
+        "decode as codec='error'.",
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = multimodal.attach_synth_media(docs, "media_id", kind="jpeg")
+    corrupt = F.unhex(F.lit("FFD8" + "00" * 16))
+    media = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") % 10 == 0, corrupt).otherwise(
+            F.col("payload")
+        ),
+    )
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "channels",
+        "checksum_feature",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus curation: the pipeline steps after pair generation (cluster
 # resolution), plus deterministic splitting/sharding. The DuckDB twin
@@ -1638,6 +1706,7 @@ def q_multimodal_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_mp4_headers",
+    headline=True,
     # synthesis + box-walk parse round-trips, so the oracle is the
     # closed form of the synthesis parameters (same pattern as the
     # JPEG spec); the walk itself is additionally proven against
@@ -3027,6 +3096,45 @@ def q_orders_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 datetime.datetime(1995, 7, 1),
             ),
         },
+    )
+
+
+@query(
+    "orders_skipping_bloom_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+    """,
+    doc="End-to-end Bloom-index data-skipping scan: hash-partition "
+        "orders by o_custkey into a 16-file layout — every file's "
+        "[min, max] custkey interval spans the whole domain, so zone "
+        "maps prune NOTHING — then build per-file Bloom bitsets "
+        "(sources/skipping.py: k=2 seeded xxhash64 positions OR-"
+        "folded into 4096 bits by plain bit_or aggregates, the "
+        "manifest-level filter Delta/Iceberg attach to data files) "
+        "and read only files whose bitset admits the probed custkey. "
+        "Hash partitioning puts each custkey in exactly one file, so "
+        "pruning reaches ~1/16 of the data where range stats reach "
+        "16/16 (efficacy pinned in tests/test_skipping.py). "
+        "Conservative-superset + residual row filter, so the result "
+        "hash-matches the plain filtered scan the oracle runs.",
+    driver=False,
+)
+def q_orders_skipping_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import skipping
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    target = o.agg(F.min("o_custkey")).first()[0]  # one scalar, driver-safe
+    path = _scratch_dir("skipbloom", sf_dir)
+    o.repartition(16, "o_custkey").write.mode("overwrite").parquet(path)
+    idx = skipping.build_skipping_index(
+        spark, path, [], bloom_cols=["o_custkey"]
+    )
+    return skipping.read_with_skipping(
+        spark, path, idx, {}, equals={"o_custkey": int(target)}
     )
 
 

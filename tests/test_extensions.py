@@ -301,6 +301,114 @@ def test_frame_sample_plan(spark, docs):
     assert idxs == list(range(0, 101, 10))
 
 
+def test_jpeg_decode_dc_only_closed_form():
+    """The real baseline decoder (Huffman scan + dequant + IDCT) must
+    reproduce the closed-form pixel sums of DC-only streams exactly —
+    quantizer 8 makes each block's IDCT the integer cum_dc + 128."""
+    for seed in range(30):
+        p = multimodal.synth_jpeg_coded_payload(seed)
+        w, h, ch, cks = multimodal.decode_jpeg(p)
+        bx, by = 1 + seed % 6, 1 + (seed // 6) % 4
+        dc, total = 0, 0
+        for b in range(bx * by):
+            dc += ((seed + 3 * b) % 9) - 4
+            total += 64 * (dc + 128)
+        assert (w, h, ch) == (bx * 8, by * 8, 1)
+        assert cks == (total % 9973) / 9973
+
+
+def test_jpeg_decode_nonzero_ac_vs_numpy_reference():
+    """Random nonzero-AC blocks (runs, ZRL, negative coefficients)
+    encoded with encode_jpeg_blocks must decode to the same pixels as
+    an independent numpy dequant+IDCT of the source coefficients —
+    the Huffman layer round-trips losslessly and the IDCT agrees."""
+    import random
+
+    import numpy as np
+
+    i = np.arange(8).reshape(8, 1)
+    j = np.arange(8).reshape(1, 8)
+    basis = 0.5 * np.cos((2 * i + 1) * j * np.pi / 16)
+    basis[:, 0] *= 1 / np.sqrt(2)
+
+    def ref_checksum(blocks, quant, w, h):
+        bx = (w + 7) // 8
+        img = np.zeros(((h + 7) // 8 * 8, bx * 8))
+        for bi, blk in enumerate(blocks):
+            deq = np.asarray(blk) * np.asarray(quant)
+            B = np.zeros((8, 8))
+            B.flat[list(multimodal._ZIGZAG)] = deq
+            my, mx = divmod(bi, bx)
+            img[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = np.clip(
+                np.round(basis @ B @ basis.T + 128), 0, 255
+            )
+        return (int(img[:h, :w].sum()) % 9973) / 9973
+
+    rng = random.Random(7)
+    for _ in range(15):
+        w, h = 8 * rng.randint(1, 4), 8 * rng.randint(1, 3)
+        nb = (w // 8) * (h // 8)
+        quant = [rng.randint(1, 32) for _ in range(64)]
+        blocks = [
+            [rng.randint(-40, 40)]
+            + [
+                rng.randint(-15, 15) if rng.random() < 0.2 else 0
+                for _ in range(63)
+            ]
+            for _ in range(nb)
+        ]
+        payload = multimodal.encode_jpeg_blocks(w, h, [blocks], quant)
+        assert multimodal.decode_jpeg(payload) == (
+            w, h, 1, ref_checksum(blocks, quant, w, h)
+        )
+
+
+def test_jpeg_decode_color_restarts_and_rejects():
+    """3-component 4:4:4 decode; DRI/RSTn restart markers must not
+    change the answer; header-only streams, progressive SOF2, and
+    truncated entropy data must raise (route to metadata fallback),
+    and decode_media must surface real JPEG checksums while keeping
+    codec='jpeg'/NULL-checksum for the metadata-only subset."""
+    import random
+
+    rng = random.Random(3)
+    w, h = 24, 16
+    nb = 6
+    quant = [rng.randint(1, 24) for _ in range(64)]
+    comps = [
+        [
+            [rng.randint(-30, 30)]
+            + [rng.randint(-9, 9) if rng.random() < 0.1 else 0 for _ in range(63)]
+            for _ in range(nb)
+        ]
+        for _ in range(3)
+    ]
+    base = multimodal.encode_jpeg_blocks(w, h, comps, quant)
+    out = multimodal.decode_jpeg(base)
+    assert out[:3] == (w, h, 3)
+    for interval in (1, 2, 5):
+        rst = multimodal.encode_jpeg_blocks(
+            w, h, comps, quant, restart_interval=interval
+        )
+        assert multimodal.decode_jpeg(rst) == out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # header-only (no SOS)
+        multimodal.decode_jpeg(multimodal.synth_jpeg_payload(4))
+    with _pytest.raises(ValueError):  # progressive SOF2
+        multimodal.decode_jpeg(multimodal.synth_jpeg_payload(5))
+    with _pytest.raises(ValueError):  # truncated mid-entropy
+        multimodal.decode_jpeg(base[: len(base) - 8])
+    decoded = multimodal._decode_one(bytearray(base), "image")
+    assert decoded["codec"] == "jpeg" and decoded["checksum_feature"] == out[3]
+    meta = multimodal._decode_one(
+        bytearray(multimodal.synth_jpeg_payload(4)), "image"
+    )
+    assert meta["codec"] == "jpeg" and meta["checksum_feature"] is None
+    err = multimodal._decode_one(bytearray(b"\xff\xd8" + b"\x00" * 16), "image")
+    assert err["codec"] == "error"
+
+
 def test_mp4_box_walk_roundtrip(spark):
     """parse_mp4_header must recover the synthesis parameters from
     struct-packed ISO-BMFF bytes (seed-length free boxes at two

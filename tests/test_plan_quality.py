@@ -203,11 +203,16 @@ def test_q5_pushdown_and_no_cartesian(spark, sf_dir):
     assert "partial_sum" in plan  # map-side combine on revenue
 
 
-def test_q18_semi_join_and_topk(spark, sf_dir):
-    # HAVING pre-agg feeds a left-semi join; top-100 must use per-
-    # partition heaps, not a global sort; quantity pre-agg is partial
+def test_q18_single_fact_scan_and_topk(spark, sf_dir):
+    # r5 rework: the per-order HAVING aggregate IS the output
+    # aggregate (group keys are functionally dependent on orderkey),
+    # so lineitem is scanned ONCE with a map-side partial sum and the
+    # joins touch only the surviving keyset — the old semi-join shape
+    # scanned the fact twice and re-aggregated it post-join (9.4x at
+    # 10x data under honest forcing; 1.0x now). Top-100 must use
+    # per-partition heaps, not a global sort.
     plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1  # one fact scan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "partial_sum" in plan

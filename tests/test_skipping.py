@@ -161,3 +161,74 @@ def test_guard_path_normalization(spark, tmp_path):
     pidx = skipping.build_skipping_index(spark, ppath, ["k"])
     with pytest.raises(ValueError, match="flat"):
         skipping.read_with_skipping(spark, ppath + "/", pidx, {"k": (0, 50)})
+
+
+def _write_hash_clustered(spark, tmp_path, n=8000, files=16):
+    """n rows hash-partitioned by a high-cardinality key into `files`
+    files: every file's [min, max] key interval spans the whole
+    domain, so zone maps prune nothing — the Bloom index's case."""
+    path = str(tmp_path / "btbl")
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 500).alias("key"),
+        F.concat(F.lit("u"), (F.col("id") % 500).cast("string")).alias("name"),
+    )
+    df.repartition(files, "key").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_bloom_prunes_where_zone_maps_cannot(spark, tmp_path):
+    path = _write_hash_clustered(spark, tmp_path)
+    idx = skipping.build_skipping_index(
+        spark, path, ["key"], bloom_cols=["key"]
+    ).cache()
+    n_files = idx.count()
+    # zone maps alone: every file overlaps key=137's point range
+    zone_only = skipping.prune_files(idx, {"key": (137, 137)})
+    assert len(zone_only) == n_files  # the motivating failure
+    # bloom: hash partitioning puts key=137 in exactly one file; the
+    # only extra survivors are bloom false positives (rare at 4096
+    # bits / ~32 distinct keys per file)
+    bloomed = skipping.prune_files(idx, {}, equals={"key": 137})
+    assert 1 <= len(bloomed) <= max(2, n_files // 4)
+    # absent key must prune everything (no hash can be present)
+    assert skipping.prune_files(idx, {}, equals={"key": 999999}) == []
+
+
+def test_bloom_read_is_exact_and_string_typed(spark, tmp_path):
+    path = _write_hash_clustered(spark, tmp_path)
+    idx = skipping.build_skipping_index(
+        spark, path, [], bloom_cols=["key", "name"]
+    ).cache()
+    got = skipping.read_with_skipping(
+        spark, path, idx, {}, equals={"key": 137}
+    )
+    rows = sorted(r["k"] for r in got.collect())
+    assert rows == sorted(range(137, 8000, 500))  # zero false negatives
+    by_name = skipping.read_with_skipping(
+        spark, path, idx, {}, equals={"name": "u41"}
+    )
+    assert sorted(r["k"] for r in by_name.collect()) == sorted(
+        range(41, 8000, 500)
+    )
+
+
+def test_bloom_missing_index_and_null_values(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "nulls")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 7).alias("key"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    idx = skipping.build_skipping_index(spark, path, [], bloom_cols=["key"])
+    with pytest.raises(ValueError):
+        skipping.prune_files(idx, {}, equals={"k": 1})  # k has no bloom
+    # null rows never create false negatives for real values
+    got = skipping.read_with_skipping(
+        spark, path, idx, {}, equals={"key": 3}
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        i for i in range(0, 100, 2) if i % 7 == 3
+    )

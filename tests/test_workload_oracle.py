@@ -36,41 +36,29 @@ def test_entry_contract(spark):
     assert df.count() > 0
 
 
-# The 20 round-3 specs that had never earned a driver row through
-# CORRECTNESS_r03 — round 4's rotation must verify every one, closing
-# the "119/119 specs driver-verified at least once" goal (VERDICT r3
-# next-round item 1).
-NEVER_VERIFIED_THROUGH_R3 = (
-    "corpus_weighted_reservoir",
-    "customer_fuzzy_name_pairs",
-    "dq_profile_orders",
-    "embedding_semantic_dedup",
-    "etl_gapfill_interp",
-    "etl_incremental_agg_merge",
-    "events_anomaly_zscore",
+# Round-5 rotation contract (VERDICT r4 item 1): the 8 specs DuckDB
+# could never oracle (xxhash64/HLL/zlib-based) were restructured this
+# round to emit in-plan invariant columns the oracle CAN hash-match —
+# all 8 must hold a driver slot so each earns its first hash-matched
+# row, closing the 126/126-verified goal.
+INVARIANT_ORACLED_R5 = (
+    "approx_distinct_users",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "events_hll_daily_rollup",
-    "events_json_roundtrip",
-    "events_orc_roundtrip",
-    "events_pattern_users",
-    "lineitem_price_trend",
-    "orders_cdc_merge",
-    "orders_scd2_priority",
-    "orders_skipping_scan",
-    "orders_skyline",
-    "orders_window_suite",
-    "part_copurchase_triangles",
-    "text_token_pmi",
-    "text_vocabulary",
+    "multimodal_image_near_dups",
+    "similarity_topk_ivf",
+    "similarity_topk_lsh",
+    "text_compressibility",
 )
 
 
 def test_driver_export_fills_cap_exactly():
     """The driver records rows for at most DRIVER_QUERY_CAP queries.
-    Exporting exactly the cap means no driver slot is wasted.  Round-4
-    policy (workload.DRIVER_EXPORT is the single source of truth):
+    Policy (workload.DRIVER_EXPORT is the single source of truth):
     the reference saved-query parity trio is pinned permanently, the
-    20 never-verified round-3 specs all get their first driver row,
-    specs whose operators changed this round are re-proved, and no
+    8 newly invariant-oracled sketch/approx specs all get a slot,
+    operators added or reworked this round are (re-)proved, and no
     operator family loses its last driver row."""
     q = workload.queries()
     assert len(q) == workload.DRIVER_QUERY_CAP
@@ -82,25 +70,23 @@ def test_driver_export_fills_cap_exactly():
         "topk_per_segment",
     ):
         assert pinned in q, f"parity trio member {pinned} rotated out"
-    for promoted in NEVER_VERIFIED_THROUGH_R3:
+    for promoted in INVARIANT_ORACLED_R5:
         assert promoted in q, promoted
-    # NEW — every operator added in round 4 gets its first driver row
-    for new_r4 in (
-        "multimodal_jpeg_headers",
+    # NEW/TOUCH — operators added or changed in round 5
+    for new_r5 in (
+        "multimodal_mp4_headers",
+        "multimodal_decode_jpeg",
         "events_heavy_hitters",
-        "events_interval_attribution",
-        "orders_moving_range_avg",
-        "text_compressibility",
-        "multimodal_image_near_dups",
-        "multimodal_audio_decimate",
+        "orders_skipping_scan",
+        "customer_fuzzy_name_pairs",
     ):
-        assert new_r4 in q, new_r4
+        assert new_r5 in q, new_r5
     # each family keeps at least one driver row after the demotions
     families = {
         "etl": ["etl_hourly_downsample", "etl_gapfill_interp"],
         "tpch": ["q1_pricing_summary", "q18_large_volume_customers"],
         "grouping": ["orders_cube", "orders_skyline"],
-        "window": ["orders_window_suite", "events_cohort_retention"],
+        "window": ["orders_window_suite", "orders_moving_range_avg"],
         "dedup": ["dedup_ngram_jaccard", "dedup_minhash_lsh",
                   "embedding_semantic_dedup"],
         "similarity": ["similarity_topk", "similarity_topk_ivf"],
@@ -109,8 +95,8 @@ def test_driver_export_fills_cap_exactly():
         "streaming": ["streaming_hourly_downsample"],
         "curation": ["corpus_contamination", "corpus_weighted_reservoir"],
         "packing": ["corpus_pack_ffd"],
-        "multimodal": ["multimodal_decode_png", "multimodal_decode_wav",
-                       "multimodal_decode"],
+        "multimodal": ["multimodal_decode", "multimodal_decode_jpeg",
+                       "multimodal_mp4_headers"],
         "graph": ["part_copurchase_pagerank", "part_copurchase_triangles"],
         "sketch": ["dedup_minhash_lsh", "events_hll_daily_rollup"],
         "history": ["orders_scd2_priority", "orders_cdc_merge"],
