@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def build_sketches(
@@ -66,3 +67,168 @@ def rollup_sketches(
         "approx_distinct",
         F.hll_sketch_estimate("sketch").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable QUANTILE sketches — the order-statistics sibling of the
+# HLL distinct-count sketches above. Same materialize-once / roll-up-
+# forever pattern: one equi-weight centroid summary per (day, dim),
+# a few hundred (mean, weight) pairs each; any later percentile
+# question at any coarser grouping merges summaries, never rescans
+# raw events. The summary is the equi-depth-histogram simplification
+# of a t-digest: rank error after a build is ≤ 1/max_centroids (the
+# returned value is a mean of one equal-count chunk, whose ranks span
+# one chunk), and each merge level re-compresses weighted centroids
+# into equi-weight chunks adding ≤ 1/max_centroids more — so a
+# two-level day→month rollup holds |rank(est_q) − q| ≲ 3/max_centroids.
+# The registered workload query pins that bound IN-PLAN against the
+# raw data (invariant-oracle pattern) and pytest asserts it directly.
+# ---------------------------------------------------------------------------
+
+QUANTILE_CENTROID = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("m", T.DoubleType(), False),
+            T.StructField("w", T.LongType(), False),
+        ]
+    )
+)
+
+
+def _compress(means, weights, max_centroids):
+    """Weighted equi-weight re-compression: centroids sorted by mean
+    are greedily accumulated into ~equal-weight chunks."""
+    import numpy as np
+
+    order = np.argsort(means, kind="stable")
+    means, weights = np.asarray(means)[order], np.asarray(weights)[order]
+    total = int(weights.sum())
+    if len(means) <= max_centroids:
+        return list(zip(means.tolist(), weights.tolist()))
+    target = total / max_centroids
+    out, cm, cw = [], 0.0, 0
+    for m, w in zip(means.tolist(), weights.tolist()):
+        cm += m * w
+        cw += w
+        if cw >= target:
+            out.append((cm / cw, cw))
+            cm, cw = 0.0, 0
+    if cw:
+        out.append((cm / cw, cw))
+    return out
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    max_centroids: int = 128,
+) -> DataFrame:
+    """One quantile summary of ``value_col`` per group: values sorted
+    and cut into ``max_centroids`` equal-count chunks, each emitted as
+    (mean, count). Arrow-batched ``applyInPandas`` per group; the
+    output is #groups rows of a KB-sized array column that parquets /
+    shuffles / broadcasts like any column. NULL values are excluded
+    (they carry no rank)."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("sketch", QUANTILE_CENTROID, False),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+    def build(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        vals = np.sort(pdf[value_col].dropna().to_numpy(dtype="float64"))
+        n = len(vals)
+        if n == 0:
+            sketch = []
+        else:
+            chunks = np.array_split(vals, min(max_centroids, n))
+            sketch = [
+                {"m": float(c.mean()), "w": int(len(c))}
+                for c in chunks
+                if len(c)
+            ]
+        return pd.DataFrame(
+            [[*key, sketch, n]], columns=[*group_cols, "sketch", "n_rows"]
+        )
+
+    return df.groupBy(*group_cols).applyInPandas(build, schema=out_schema)
+
+
+def quantile_sketch_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    max_centroids: int = 128,
+) -> DataFrame:
+    """Re-aggregate materialized summaries to a coarser grouping:
+    concatenate centroid lists, sort by mean, re-compress to
+    equi-weight chunks — associative/commutative up to the bounded
+    re-compression error, exactly like ``rollup_sketches`` for HLL.
+    Input is the #groups-sized sketch table; raw data is never
+    touched. The merged ``sketch`` column composes hierarchically
+    (day → week → month)."""
+    out_schema = T.StructType(
+        [sketches.schema[c] for c in group_cols]
+        + [
+            T.StructField("sketch", QUANTILE_CENTROID, False),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+    def merge(key, pdf):
+        import pandas as pd
+
+        means, weights = [], []
+        for sk in pdf["sketch"]:
+            for cent in sk:
+                means.append(cent["m"])
+                weights.append(cent["w"])
+        merged = (
+            _compress(means, weights, max_centroids) if means else []
+        )
+        return pd.DataFrame(
+            [[
+                *key,
+                [{"m": m, "w": int(w)} for m, w in merged],
+                int(sum(weights)),
+            ]],
+            columns=[*group_cols, "sketch", "n_rows"],
+        )
+
+    return sketches.groupBy(*group_cols).applyInPandas(
+        merge, schema=out_schema
+    )
+
+
+def quantile_sketch_value(sketch: Column, q: float) -> Column:
+    """Estimated ``q``-quantile from a summary — a pure JVM
+    ``aggregate`` fold over the centroid array (no Python): walk
+    centroids in order, return the mean of the first centroid whose
+    cumulative weight reaches ``q × total``. NULL for an empty
+    sketch."""
+    total = F.aggregate(
+        sketch, F.lit(0).cast("long"), lambda acc, x: acc + x["w"]
+    )
+    target = total.cast("double") * F.lit(float(q))
+
+    def step(acc, x):
+        hit = (acc["cum"] + x["w"]).cast("double") >= target
+        return F.struct(
+            (acc["cum"] + x["w"]).alias("cum"),
+            F.coalesce(
+                acc["ans"], F.when(hit, x["m"])
+            ).alias("ans"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("ans"),
+    )
+    return F.aggregate(sketch, init, step)["ans"]

@@ -3049,6 +3049,75 @@ def q_events_hll_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_quantile_sketch_rollup",
+    # Invariant-oracle pattern (like the HLL rollup above): the
+    # centroid summary itself is engine-specific, so the driver form
+    # emits oracle-computable columns plus an in-plan RANK bound on
+    # the day→month MERGED sketch's p50 estimate, checked against the
+    # raw values in the same plan. The bound is the summary's
+    # guarantee (≲3/max_centroids after one merge level) widened to
+    # 5% + 1/n for tiny groups.
+    oracle="""
+    SELECT date_trunc('month', ts) AS month,
+           CAST(COUNT(value) AS BIGINT) AS n_values,
+           TRUE AS p50_rank_ok
+    FROM events GROUP BY date_trunc('month', ts)
+    ORDER BY month
+    """,
+    doc="Mergeable QUANTILE sketches — the order-statistics sibling "
+        "of the HLL rollup: one equi-weight centroid summary of "
+        "`value` per (month, day) (applyInPandas build, KB-sized "
+        "array column), merged day→month by weighted re-compression "
+        "(never rescanning events), p50 read out by a pure-JVM "
+        "aggregate fold over the centroid array. Driver form: counts "
+        "+ an in-plan rank-error bound on the merged estimate vs the "
+        "raw month values, hash-matched. At 100 TB the daily sketch "
+        "table is thousands of KB-sized rows; any later percentile "
+        "question at any grouping merges summaries.",
+    driver=False,
+)
+def q_events_quantile_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+    )
+    daily = sketches.quantile_sketch_build(ev, ["month", "day"], "value")
+    monthly = sketches.quantile_sketch_merge(daily, ["month"])
+    est = monthly.select(
+        "month",
+        sketches.quantile_sketch_value(F.col("sketch"), 0.5).alias("p50_est"),
+    )
+    ranked = (
+        ev.join(F.broadcast(est), "month")
+        .groupBy("month")
+        .agg(
+            F.count("value").cast("bigint").alias("n_values"),
+            F.sum(
+                F.when(F.col("value") <= F.col("p50_est"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+    )
+    bound = F.lit(0.05) + F.lit(1.0) / F.col("n_values")
+    return ranked.select(
+        "month",
+        "n_values",
+        F.when(F.col("n_values") == 0, F.lit(True))
+        .otherwise(
+            F.abs(
+                F.col("n_le").cast("double") / F.col("n_values") - F.lit(0.5)
+            )
+            <= bound
+        )
+        .alias("p50_rank_ok"),
+    ).orderBy("month")
+
+
+@query(
     "orders_skipping_scan",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate

@@ -301,6 +301,52 @@ def test_frame_sample_plan(spark, docs):
     assert idxs == list(range(0, 101, 10))
 
 
+def test_quantile_sketch_rank_bound_and_merge(spark):
+    """Build-level rank error must stay within 1/max_centroids-ish;
+    a day→all merge must stay within the 3/max_centroids merge bound;
+    empty and all-null groups produce empty sketches (NULL estimate)."""
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators import sketches
+
+    rng = random.Random(42)
+    rows = [
+        (i % 8, rng.gauss(100 * (1 + i % 3), 25)) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double")
+    sk = sketches.quantile_sketch_build(df, ["g"], "v", max_centroids=64)
+    merged = sketches.quantile_sketch_merge(
+        sk.withColumn("all", F.lit(1)), ["all"], max_centroids=64
+    )
+    for q in (0.1, 0.5, 0.9):
+        est_rows = sk.select(
+            "g", sketches.quantile_sketch_value(F.col("sketch"), q).alias("e")
+        ).collect()
+        per_g = {}
+        for g, v in rows:
+            per_g.setdefault(g, []).append(v)
+        for r in est_rows:
+            vals = sorted(per_g[r["g"]])
+            rank = sum(1 for v in vals if v <= r["e"]) / len(vals)
+            assert abs(rank - q) <= 2 / 64 + 0.01, (r["g"], q, rank)
+        m = merged.select(
+            sketches.quantile_sketch_value(F.col("sketch"), q).alias("e")
+        ).first()["e"]
+        allv = sorted(v for _, v in rows)
+        rank = sum(1 for v in allv if v <= m) / len(allv)
+        assert abs(rank - q) <= 3 / 64 + 0.01, (q, rank)
+    # all-null group → empty sketch, NULL estimate
+    nulls = spark.createDataFrame(
+        [(1, None), (1, None)], "g int, v double"
+    )
+    nsk = sketches.quantile_sketch_build(nulls, ["g"], "v")
+    row = nsk.select(
+        "n_rows",
+        sketches.quantile_sketch_value(F.col("sketch"), 0.5).alias("e"),
+    ).first()
+    assert row["n_rows"] == 0 and row["e"] is None
+
+
 def test_jpeg_decode_dc_only_closed_form():
     """The real baseline decoder (Huffman scan + dequant + IDCT) must
     reproduce the closed-form pixel sums of DC-only streams exactly —
