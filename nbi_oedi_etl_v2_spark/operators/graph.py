@@ -208,3 +208,71 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.explode(F.array("x", "y", "z")).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Multi-source BFS shortest-hop distances: (node, dist) for every
+    node reachable from ``sources`` (a one-column ``node`` DataFrame,
+    dist 0) within ``max_depth`` hops — distances are exact hop counts
+    (min over all paths) because a node joins the result the FIRST
+    round it is reached and is excluded (left-anti) ever after.
+
+    Scale shape per round: one equi-join frontier→edges on src, one
+    distinct, one left-anti join against the accumulated result — all
+    keyed shuffles; the frontier is the only growing driver of cost
+    and it never exceeds the reachable set. The loop stops early when
+    a frontier comes back empty (the convergence probe is a boolean
+    ``isEmpty``, not data). ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates lineage so the plan does not
+    deepen with the graph's diameter.
+    """
+    dist = sources.select(F.col("node").cast("long").alias("node")).distinct()
+    dist = dist.withColumn("dist", F.lit(0).cast("int"))
+    frontier = dist.select("node")
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        if depth % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist
+
+
+def bfs_oracle_sql(max_depth: int = 6) -> str:
+    """DuckDB mirror of ``bfs_levels`` over the lineitem co-purchase
+    graph, sourced at the minimum part key: a bounded recursive CTE
+    (UNION dedups (node, dist) pairs; cycles cannot recurse past
+    ``max_depth``), then MIN(dist) per node."""
+    return f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    walk(node, dist) AS (
+      SELECT (SELECT MIN(l_partkey) FROM lineitem), 0
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < {max_depth}
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """

@@ -2553,6 +2553,46 @@ def q_part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_copurchase_bfs",
+    # bounded recursive CTE (UNION dedups (node, dist); cycles cannot
+    # recurse past max_depth) + MIN(dist) — an independent derivation
+    # of the same shortest-hop labels
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    walk(node, dist) AS (
+      SELECT (SELECT MIN(l_partkey) FROM lineitem), 0
+      UNION
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 4
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc="Multi-source BFS shortest-hop distances over the co-purchase "
+        "graph (graph.bfs_levels): frontier-expansion DataFrame loop — "
+        "per round one frontier→edges equi-join, one distinct, one "
+        "left-anti against the settled set; first-touch = minimum "
+        "hops, early-exit on an empty frontier (boolean probe, not "
+        "data), localCheckpoint lineage truncation. Oracle: bounded "
+        "recursive CTE + MIN(dist) — independently derived, identical "
+        "labels. pytest-oracled; r6 rotation candidate.",
+    driver=False,
+)
+def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.copurchase_edges(li)
+    src = li.agg(F.min("l_partkey").alias("node"))
+    return graph.bfs_levels(edges, src, max_depth=4)
+
+
+@query(
     "events_json_roundtrip",
     # the oracle aggregates the original table directly: a correct JSON
     # encode/decode must be invisible in the result

@@ -58,3 +58,36 @@ def test_copurchase_edges_symmetric_distinct(spark):
     )
     e = {(r["src"], r["dst"]) for r in graph.copurchase_edges(li).collect()}
     assert e == {(10, 11), (11, 10), (10, 12), (12, 10)}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_levels_chain_and_depth_cap(spark):
+    # directed chain 1→2→…→8: exact hop counts, capped at max_depth
+    chain = _edges_df(spark, [(i, i + 1) for i in range(1, 8)])
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           graph.bfs_levels(chain, src, max_depth=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}  # 6..8 beyond the cap
+
+
+def test_bfs_levels_min_dist_on_cycles_and_multipath(spark):
+    # diamond + cycle: a node reached twice keeps its FIRST (minimum)
+    # distance; the cycle back-edge must not relabel or loop
+    e = _edges_df(
+        spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (4, 5)]
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           graph.bfs_levels(e, src, max_depth=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_bfs_levels_multi_source(spark):
+    e = _edges_df(spark, [(1, 2), (2, 3), (9, 3)])
+    src = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           graph.bfs_levels(e, src, max_depth=5).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 1}  # 3 via 9 beats 1→2→3
