@@ -144,6 +144,17 @@ def test_balanced_shards_one_shuffle_no_gather(spark, sf_dir):
     assert "ExistingRDD" not in plan
 
 
+def test_quantile_rollup_broadcasts_estimates(spark, sf_dir):
+    # the per-month estimate table is #months-sized — joining it back
+    # to raw events for the in-plan rank check must broadcast, never
+    # shuffle the fact side; sketch build/merge are the only
+    # applyInPandas stages
+    plan = plan_of(spark, sf_dir, "events_quantile_sketch_rollup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mp4_box_walk_map_only_no_python(spark, sf_dir):
     # the ISO-BMFF box walk is pure JVM expressions (aggregate folds
     # over the hex image): no shuffle, no Python worker — and the
