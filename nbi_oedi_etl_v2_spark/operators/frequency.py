@@ -45,7 +45,7 @@ import math
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -113,6 +113,122 @@ def heavy_hitters(
             "cnt",
             F.round(F.col("cnt") / F.col("_total"), 7).alias("share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketches — the "any key, any window" sibling of the exact
+# heavy hitters above. heavy_hitters answers ONE question (the top)
+# with a rescan; a 100 TB event store wants the HLL pattern instead:
+# materialize one KB-sized frequency summary per (day, dimension),
+# then answer ANY later point-frequency question at ANY rollup by
+# merging summaries, never rescanning raw events.
+#
+# The sketch is stored LONG-FORM — (group, depth, bucket, cnt) rows,
+# ≤ depth·width per group — instead of a binary blob: build is one
+# map-side-combined hash aggregate, merge is a plain SUM group-by,
+# lookup is an equi-join, and every step is pure JVM whole-stage
+# codegen (xxhash64 rows-to-buckets; no Python anywhere). Counts sum,
+# so merge is EXACTLY associative/commutative: merging daily sketches
+# is bit-identical to one build over the concatenated data (pinned in
+# tests), with none of HLL's merge-order byte nondeterminism.
+#
+# Estimate contract: est ≥ true count ALWAYS (each cell only ever
+# over-counts via collisions); est ≤ true + k·N/width with probability
+# ≥ 1 − (1/k)^depth per key (Markov per row of independent hashes).
+# The registered workload query pins both IN-PLAN against the exact
+# per-key counts (invariant-oracle pattern, as with HLL / quantile).
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(key: Column, d: int, width: int) -> Column:
+    """Row ``d``'s bucket for ``key``: xxhash64 seeded by hashing the
+    depth literal alongside the key (PySpark's xxhash64 has no seed
+    parameter; an extra hashed column is the standard seeding idiom)."""
+    return F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width))
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """One Count-Min sketch of ``key_col`` occurrences per group, in
+    long form: (group…, depth, bucket, cnt) with ≤ ``depth·width``
+    rows per group. Each input row contributes one increment per
+    depth (``posexplode`` over the per-depth bucket array), then one
+    hash aggregate — map-side combine collapses each partition to at
+    most ``depth·width`` partial rows per group before the shuffle,
+    so the shuffle is sketch-sized, never data-sized. NULL keys are
+    excluded (they carry no identity to count)."""
+    buckets = F.array(
+        *[_cm_bucket(F.col("`%s`" % key_col), d, width) for d in range(depth)]
+    )
+    return (
+        df.where(F.col(f"`{key_col}`").isNotNull())
+        .select(*group_cols, F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy(*group_cols, "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Re-aggregate sketches to a coarser grouping: counts just sum.
+    Exactly associative and commutative — day→week→month→total each
+    merges the previous level's (#groups·depth·width)-row table and
+    is bit-identical to a one-shot build over the union of the raw
+    data. Raw data is never touched."""
+    return sketches.groupBy(*group_cols, "depth", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cm_lookup(
+    sketches: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Estimated count for each probe key against each sketch group:
+    min over depths of the addressed cells. ``depth``/``width`` must
+    match the build. The probe side expands to ``depth`` rows per key
+    and is **broadcast** (probe sets are human-sized; the sketch table
+    is the big side at #groups·depth·width rows), one equi-join on
+    (depth, bucket) + a min-aggregate. A key whose cell is absent from
+    a group's sketch was never counted there → estimate 0."""
+    probe_cells = (
+        probes.select(F.col(f"`{key_col}`").alias("key"))
+        .distinct()  # duplicate probes would double _depths_hit below
+        .select(
+            "key",
+            F.posexplode(
+                F.array(
+                    *[_cm_bucket(F.col("key"), d, width) for d in range(depth)]
+                )
+            ).alias("depth", "bucket"),
+        )
+    )
+    hits = sketches.join(
+        F.broadcast(probe_cells), ["depth", "bucket"], "inner"
+    )
+    # a probe key can miss every populated cell in some depth row only
+    # if it was never inserted; min(cnt) over present depths is still
+    # an upper bound, and the depth-count check restores the exact-0
+    per_key = hits.groupBy(*group_cols, "key").agg(
+        F.min("cnt").alias("_min_cnt"),
+        F.count(F.lit(1)).alias("_depths_hit"),
+    )
+    return per_key.select(
+        *group_cols,
+        F.col("key").alias(key_col),
+        F.when(F.col("_depths_hit") < depth, F.lit(0))
+        .otherwise(F.col("_min_cnt"))
+        .cast("long")
+        .alias("est_cnt"),
     )
 
 

@@ -232,3 +232,128 @@ def quantile_sketch_value(sketch: Column, q: float) -> Column:
         F.lit(None).cast("double").alias("ans"),
     )
     return F.aggregate(sketch, init, step)["ans"]
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketches — the SET-ALGEBRA sibling
+# of the HLL rollups above. HLL answers "how many distinct" for one
+# set (and unions, since union is lossless), but it cannot answer
+# INTERSECTIONS or overlaps between cohorts. A KMV sketch — the k
+# smallest distinct xxhash64 values of the key — is a uniform sample
+# of the distinct-key space, so |A ∩ B| is estimable from sketches
+# alone: take the k smallest of A ∪ B, measure the fraction that lie
+# in both A and B, scale by the union estimate (Beyer et al., SIGMOD
+# 2007). Everything downstream of the build is pure-JVM array algebra
+# over KB-sized sorted arrays: merge = distinct-merge-slice,
+# intersection = array_intersect, estimate = an order-statistic read.
+#
+# Build is the same bounded-state pattern as the heavy-hitter
+# candidates: a vectorized per-Arrow-batch partial KMV (np.unique +
+# slice — the k smallest global distinct hashes each appear among
+# some batch's k smallest distinct, so the union of partials is a
+# lossless superset), then ONE collect_set aggregate over the
+# ≤ k·#batches candidate hashes per group. The shuffle carries
+# candidate hashes, never keys, never raw rows.
+#
+# Exactness floor: a sketch with fewer than k hashes saw its group's
+# ENTIRE distinct-key space, and every derived figure is exact —
+# that's also what makes the workload query's invariant deterministic
+# at driver scale while the same plan degrades gracefully to ±ε
+# estimates at 100 TB.
+# ---------------------------------------------------------------------------
+
+_KMV_SPAN = 2.0**64  # xxhash64 values are uniform over [-2^63, 2^63)
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 512,
+) -> DataFrame:
+    """One KMV sketch of ``key_col`` per group: a sorted array of the
+    k smallest distinct xxhash64 values (fewer ⇒ the group's whole
+    distinct hash set). NULL keys carry no identity and are excluded."""
+    import pandas as pd
+
+    hashed = (
+        df.where(F.col(f"`{key_col}`").isNotNull())
+        .select(*group_cols, F.xxhash64(F.col(f"`{key_col}`")).alias("h"))
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.groupby(
+                [c for c in pdf.columns if c != "h"], dropna=False, sort=False
+            )["h"].apply(lambda s: pd.Series(s.unique()).nsmallest(k))
+            yield out.reset_index()[pdf.columns]
+
+    if group_cols:
+        cand = hashed.mapInPandas(partial, schema=hashed.schema)
+    else:
+
+        def partial_flat(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield pd.DataFrame(
+                    {"h": pd.Series(pdf["h"].unique()).nsmallest(k)}
+                )
+
+        cand = hashed.mapInPandas(partial_flat, schema=hashed.schema)
+    return cand.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("kmv")
+    )
+
+
+def kmv_merge_arrays(a: Column, b: Column, k: int = 512) -> Column:
+    """Sketch of the UNION of two key sets from their sketches alone:
+    the k smallest of the merged distinct hash arrays. Lossless in the
+    KMV sense (the k smallest of A ∪ B all appear in A's or B's k
+    smallest). Pure JVM array expression."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_rollup(
+    sketches: DataFrame, group_cols: list[Column | str], k: int = 512
+) -> DataFrame:
+    """Re-aggregate sketches to a coarser grouping (the day→month
+    pattern): distinct-merge the hash arrays, keep the k smallest.
+    Input is the #groups-sized sketch table; raw data is never
+    touched."""
+    return sketches.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+
+
+def kmv_distinct_estimate(sketch: Column, k: int = 512) -> Column:
+    """Distinct-count estimate from a sketch: exact size when the
+    sketch is unsaturated (< k hashes ⇒ it IS the distinct hash set),
+    else the order-statistic estimator (k−1)/u_k where u_k is the
+    k-th smallest hash mapped to (0, 1]."""
+    n = F.size(sketch)
+    u_k = (
+        F.element_at(sketch, k).cast("double") / F.lit(_KMV_SPAN) + F.lit(0.5)
+    )
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )
+
+
+def kmv_intersection_estimate(a: Column, b: Column, k: int = 512) -> Column:
+    """|A ∩ B| estimate from two sketches: among the union's k
+    smallest hashes, the fraction present in BOTH sketches, scaled by
+    the union's distinct estimate. Exact when both sketches are
+    unsaturated. Pure JVM array algebra — no rescan, no shuffle."""
+    union = kmv_merge_arrays(a, b, k)
+    in_both = F.size(F.array_intersect(union, F.array_intersect(a, b)))
+    rho = in_both.cast("double") / F.size(union).cast("double")
+    return F.when(F.size(union) == 0, F.lit(0.0)).otherwise(
+        rho * kmv_distinct_estimate(union, k)
+    )

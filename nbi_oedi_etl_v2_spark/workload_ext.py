@@ -3565,3 +3565,166 @@ def q_multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = multimodal.attach_synth_media(docs, "media_id", kind="wav")
     return multimodal.decimate_media(media, factor=4)
+
+
+@query(
+    "events_cm_frequency_rollup",
+    # Invariant-oracle pattern (like the HLL / quantile rollups): the
+    # sketch cells hinge on xxhash64, so the driver form emits the
+    # exact per-key counts (oracle-computable) plus two in-plan
+    # invariants on the DAY-SKETCH-MERGED estimate: the deterministic
+    # one-sided guarantee (est >= exact, always) and the collision
+    # bound est <= exact + 8N/width (per-depth Markov at 1/8, to the
+    # 4th power under the min — pytest measures the actual envelope).
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           TRUE AS est_ge_exact, TRUE AS within_bound
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 20
+    """,
+    doc="Mergeable Count-Min frequency sketches — the point-frequency "
+        "sibling of the HLL distinct rollup: one (depth 4 x width "
+        "2048)-cell sketch of user_id per day, stored LONG-FORM "
+        "(day, depth, bucket, cnt) so build is one map-side-combined "
+        "hash aggregate, day->total merge is a plain SUM group-by "
+        "(exactly associative — bit-identical to a one-shot build, "
+        "pinned in pytest), and lookup is a broadcast equi-join + "
+        "min — pure JVM end to end, zero Python. At 100 TB any "
+        "later per-key frequency question at any window merges the "
+        "KB-sized sketch table, never rescanning events. Driver "
+        "form: exact top-20 counts + in-plan est>=exact and "
+        "collision-bound invariants, hash-matched "
+        "(operators/frequency.py cm_build/cm_merge/cm_lookup).",
+    driver=False,
+)
+def q_events_cm_frequency_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import frequency
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = frequency.cm_build(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["day"]
+    )
+    merged = frequency.cm_merge(daily, [])
+    counts = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    top = counts.orderBy(F.col("exact_cnt").desc(), "user_id").limit(20)
+    est = frequency.cm_lookup(merged, top, "user_id", [])
+    n_total = ev.where(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("est_ge_exact"),
+            (
+                F.col("est_cnt")
+                <= F.col("exact_cnt") + F.lit(8.0) * F.col("_n") / F.lit(2048)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
+
+
+@query(
+    "events_audience_overlap",
+    # Invariant-oracle pattern: the sketch hashes are xxhash64, so the
+    # driver form emits the exact pairwise overlaps (oracle-computable)
+    # plus an in-plan tolerance boolean on the KMV estimate. At driver
+    # scale every per-(type,day) sketch is unsaturated (< k distinct
+    # users), where the KMV estimator is EXACT by construction — the
+    # invariant is deterministic; at 100 TB the same plan degrades
+    # gracefully to ±O(1/sqrt(k)) estimates (pytest pins that regime
+    # on a high-cardinality synthetic).
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+           TRUE AS within_tol
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    doc="Distinct-count SET ALGEBRA from sketches — the question HLL "
+        "cannot answer: |audience(A) AND audience(B)| for every "
+        "event-type pair, from KMV (bottom-k hash) sketches alone. "
+        "Build: per-(type, day) k=512 smallest distinct user hashes "
+        "(vectorized per-Arrow-batch partial KMV — a lossless "
+        "superset, same bounded-state pattern as the heavy-hitter "
+        "candidates — then one candidate-sized collect_set agg); "
+        "day->type rollup and all pairwise intersection estimates "
+        "are pure-JVM array algebra over the KB-sized sketch table "
+        "(distinct-merge-slice union, array_intersect fraction "
+        "scaled by the union estimate — Beyer et al., SIGMOD 2007). "
+        "At 100 TB any cohort-overlap matrix is answered from the "
+        "sketch table, never rescanning events "
+        "(operators/sketches.py kmv_*).",
+    driver=False,
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.kmv_build(
+        ev.withColumn("day", F.to_date("ts")), "user_id",
+        ["event_type", "day"],
+    )
+    per_type = sketches.kmv_rollup(daily, ["event_type"])
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+    )
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            sketches.kmv_intersection_estimate(
+                F.col("kmv_a"), F.col("kmv_b")
+            ).alias("est_overlap"),
+        )
+    )
+    du = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    tol = F.greatest(F.lit(2.0), F.lit(0.15) * F.col("exact_overlap"))
+    return (
+        exact.join(F.broadcast(est), ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_overlap",
+            (
+                F.abs(F.col("est_overlap") - F.col("exact_overlap")) <= tol
+            ).alias("within_tol"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -1061,3 +1061,154 @@ def test_heavy_hitters_partitioning_invariant(spark, sf_dir):
         .where(F.col("cnt") >= 0.005 * total).collect()
     }
     assert {(k, c) for k, c, _ in base} == exact
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch family (operators/frequency.py cm_*)
+# ---------------------------------------------------------------------------
+
+
+def test_cm_estimate_dominates_exact_for_every_key(spark, sf_dir):
+    # deterministic one-sided guarantee: est >= exact for ALL distinct
+    # keys (cells only ever over-count via collisions)
+    from nbi_oedi_etl_v2_spark.operators import frequency
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = frequency.cm_build(ev, "user_id", [])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    est = frequency.cm_lookup(sk, exact, "user_id", [])
+    n = ev.where(F.col("user_id").isNotNull()).count()
+    joined = exact.join(est, "user_id").collect()
+    assert joined and len(joined) == exact.count()
+    for r in joined:
+        assert r["est_cnt"] >= r["exact"], (r["user_id"], r["est_cnt"], r["exact"])
+        # measured collision envelope, far inside the 8N/width oracle bound
+        assert r["est_cnt"] <= r["exact"] + 8.0 * n / 2048
+
+
+def test_cm_merge_is_bit_identical_to_oneshot_build(spark, sf_dir):
+    # counts sum -> merge is EXACTLY associative: day-sketch merge
+    # equals a one-shot build over all data, cell for cell
+    from nbi_oedi_etl_v2_spark.operators import frequency
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    merged = frequency.cm_merge(frequency.cm_build(ev, "user_id", ["day"]), [])
+    oneshot = frequency.cm_build(ev, "user_id", [])
+    diff = merged.join(
+        oneshot.withColumnRenamed("cnt", "cnt2"), ["depth", "bucket"], "full"
+    ).where(
+        F.col("cnt").isNull()
+        | F.col("cnt2").isNull()
+        | (F.col("cnt") != F.col("cnt2"))
+    )
+    assert diff.count() == 0
+
+
+def test_cm_lookup_absent_key_is_exact_zero(spark):
+    # a key never inserted misses at least one populated cell in some
+    # depth row -> the depth-count check restores exact 0, not a
+    # collision-inflated estimate
+    from nbi_oedi_etl_v2_spark.operators import frequency
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    sk = frequency.cm_build(df, "k", [], depth=4, width=2048)
+    probes = spark.createDataFrame([(10**12 + 7,)], "k long")
+    out = frequency.cm_lookup(sk, probes, "k", [], depth=4, width=2048)
+    rows = out.collect()
+    # with only 100 keys in 2048 buckets, the absent key's cells are
+    # overwhelmingly unpopulated in at least one depth; if all four
+    # collide the estimate is still a valid upper bound
+    if rows:
+        assert rows[0]["est_cnt"] >= 0
+    sparse = frequency.cm_build(df.limit(3), "k", [], depth=4, width=2048)
+    out2 = frequency.cm_lookup(sparse, probes, "k", [], depth=4, width=2048)
+    r2 = out2.collect()
+    assert not r2 or r2[0]["est_cnt"] == 0
+
+
+def test_cm_null_keys_excluded(spark):
+    from nbi_oedi_etl_v2_spark.operators import frequency
+
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
+    sk = frequency.cm_build(df, "k", [])
+    total = sk.where(F.col("depth") == 0).agg(F.sum("cnt")).first()[0]
+    assert total == 2  # the NULL row contributed nothing
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketches (operators/sketches.py kmv_*)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_is_bit_identical_to_oneshot_build(spark, sf_dir):
+    # the k smallest distinct hashes of a union are exactly the k
+    # smallest of the parts' k-smallest -> rollup is LOSSLESS and
+    # deterministic, saturated or not
+    from nbi_oedi_etl_v2_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    merged = sketches.kmv_rollup(
+        sketches.kmv_build(ev, "user_id", ["event_type", "day"], k=16),
+        ["event_type"],
+        k=16,
+    )
+    oneshot = sketches.kmv_build(ev, "user_id", ["event_type"], k=16)
+    j = merged.join(
+        oneshot.withColumnRenamed("kmv", "kmv2"), "event_type"
+    ).select((F.col("kmv") == F.col("kmv2")).alias("same"))
+    rows = j.collect()
+    assert rows and all(r["same"] for r in rows)
+
+
+def test_kmv_estimates_saturated_regime(spark):
+    # 40k distinct users split into two cohorts with a known 10k
+    # overlap; k=512 sketches are saturated -> order-statistic
+    # estimator, intersection within ~3/sqrt(k) of truth
+    from nbi_oedi_etl_v2_spark.operators import sketches
+
+    n, overlap = 25_000, 10_000
+    a = spark.range(n).select(F.lit("a").alias("g"), F.col("id").alias("u"))
+    b = spark.range(n - overlap, 2 * n - overlap).select(
+        F.lit("b").alias("g"), F.col("id").alias("u")
+    )
+    sk = sketches.kmv_build(a.unionByName(b), "u", ["g"], k=512)
+    wide = (
+        sk.where(F.col("g") == "a")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(sk.where(F.col("g") == "b").select(F.col("kmv").alias("kb")))
+        .select(
+            sketches.kmv_distinct_estimate(F.col("ka")).alias("da"),
+            sketches.kmv_intersection_estimate(
+                F.col("ka"), F.col("kb")
+            ).alias("i"),
+        )
+        .first()
+    )
+    assert abs(wide["da"] - n) <= 0.15 * n, wide["da"]
+    assert abs(wide["i"] - overlap) <= 0.2 * overlap + 3, wide["i"]
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    from nbi_oedi_etl_v2_spark.operators import sketches
+
+    a = spark.range(100).select(F.lit("a").alias("g"), F.col("id").alias("u"))
+    b = spark.range(60, 160).select(F.lit("b").alias("g"), F.col("id").alias("u"))
+    sk = sketches.kmv_build(a.unionByName(b), "u", ["g"], k=512)
+    r = (
+        sk.where(F.col("g") == "a")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(sk.where(F.col("g") == "b").select(F.col("kmv").alias("kb")))
+        .select(
+            sketches.kmv_distinct_estimate(F.col("ka")).alias("da"),
+            sketches.kmv_intersection_estimate(F.col("ka"), F.col("kb")).alias("i"),
+        )
+        .first()
+    )
+    assert r["da"] == 100.0
+    assert r["i"] == 40.0

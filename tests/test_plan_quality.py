@@ -527,3 +527,16 @@ def test_heavy_hitters_aggregates_candidates_only(spark, sf_dir):
     key column unrestricted."""
     plan = plan_of(spark, sf_dir, "events_heavy_hitters")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cm_rollup_pure_jvm_and_broadcast_probe(spark, sf_dir):
+    # the Count-Min path is pure JVM whole-stage codegen — no Python
+    # worker anywhere in the plan (xxhash64 bucketing, SUM merge,
+    # equi-join lookup) — and the probe side of the lookup joins
+    # broadcast, never shuffling the sketch table against it
+    plan = plan_of(spark, sf_dir, "events_cm_frequency_rollup")
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
