@@ -3728,3 +3728,153 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "lineitem_exact_price_quantiles",
+    # exact algorithm, exact oracle — no tolerance anywhere: the
+    # radix-select result must equal the full-sort order statistic.
+    # round() before the bigint cast on BOTH sides (Spark casts
+    # truncate, DuckDB casts round — rounding first makes the cents
+    # conversion engine-portable).
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    n AS (SELECT COUNT(*) AS c FROM s),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+    SELECT CAST(0.5 AS DOUBLE) AS quantile, MIN(v) AS value_cents
+    FROM r, n WHERE rn >= CEIL(0.5 * c)
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), MIN(v) FROM r, n WHERE rn >= CEIL(0.9 * c)
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), MIN(v) FROM r, n WHERE rn >= CEIL(0.99 * c)
+    ORDER BY quantile
+    """,
+    doc="EXACT global p50/p90/p99 of lineitem price (cents) with no "
+        "global sort and no per-executor value collection: distributed "
+        "radix quickselect — four map-only 16-bit-digit histogram "
+        "passes, each a <=65,536-cell count vector of bounded driver "
+        "state, all three ranks sharing every pass. Spark's exact "
+        "percentile() collects the whole column into one task at this "
+        "shape; approx_percentile gives up exactness; radix-select "
+        "keeps both at any N. Hash-matched against the DuckDB "
+        "window-rank order statistic (operators/order_stats.py).",
+    driver=False,
+)
+def q_lineitem_exact_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import order_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return (
+        order_stats.exact_quantiles_radix(
+            spark, cents, "cents", [0.5, 0.9, 0.99]
+        )
+        .select("quantile", F.col("value").alias("value_cents"))
+        .orderBy("quantile")
+    )
+
+
+@query(
+    "customer_entity_resolution",
+    # end-to-end composition oracle: brute-force levenshtein pairs ->
+    # recursive transitive closure -> identical survivorship rules.
+    # Every stage is independently oracled elsewhere
+    # (customer_fuzzy_name_pairs, dedup_components); this pins the
+    # COMPOSITION, singleton handling included.
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE a.c_nationkey = b.c_nationkey
+        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM p
+      UNION SELECT id_b, id_a FROM p
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    lab AS (
+      SELECT c.*, coalesce(comp.component, c.c_custkey) AS entity
+      FROM customer c LEFT JOIN comp ON c.c_custkey = comp.node
+    )
+    SELECT entity, CAST(COUNT(*) AS BIGINT) AS n_members,
+           min_by(c_name, c_custkey) AS canonical_name,
+           max(c_acctbal) AS max_acctbal,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM lab GROUP BY entity ORDER BY entity
+    """,
+    doc="End-to-end entity resolution over customers: Ed-Join q-gram "
+        "blocked fuzzy matching (operators/fuzzy.py, exact "
+        "Levenshtein<=1 pairs) -> pointer-jumping connected "
+        "components (operators/curation.py, O(log d) rounds) -> "
+        "golden-record survivorship per entity (min-key canonical "
+        "name via min_by, max account balance, member/nation "
+        "counts), singletons resolving to themselves via the "
+        "left-join coalesce. Each stage is a keyed shuffle or "
+        "bounded iteration already proven at scale; the composition "
+        "itself is what a reference user would run as their "
+        "dedupe-then-merge pipeline. Hash-matched against the "
+        "brute-force + recursive-CTE + identical-survivorship DuckDB "
+        "pipeline.",
+    driver=False,
+)
+def q_customer_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import fuzzy
+
+    c = load_table(spark, sf_dir, "customer")
+    raw_pairs = fuzzy.edit_distance_pairs(
+        c, "c_custkey", "c_name", max_dist=1, q=3
+    )
+    # blocking on the strong attribute: candidate entities must share
+    # a nation — two key-only equi-joins against the pair list
+    nat = c.select("c_custkey", "c_nationkey")
+    pairs = (
+        raw_pairs.join(
+            nat.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_nationkey").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            nat.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_nationkey").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .where(F.col("_na") == F.col("_nb"))
+        .select("id_a", "id_b")
+    )
+    comp = curation.connected_components(pairs)
+    lab = c.join(
+        comp, c["c_custkey"] == comp["node"], "left"
+    ).withColumn("entity", F.coalesce(F.col("component"), F.col("c_custkey")))
+    return (
+        lab.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        )
+        .orderBy("entity")
+    )

@@ -1,0 +1,67 @@
+"""Distributed radix quickselect (operators/order_stats.py): exact
+order statistics without a sort — property-tested against the sorted
+truth, including negatives, heavy ties, extreme ranks, and empties."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark.operators.order_stats import exact_quantiles_radix
+
+
+def _truth(vals, q):
+    k = max(1, math.ceil(q * len(vals) - 1e-9))
+    return sorted(vals)[k - 1]
+
+
+def test_radix_select_matches_sorted_truth(spark):
+    random.seed(11)
+    vals = (
+        [random.randint(-(10**14), 10**14) for _ in range(4000)]
+        + [0] * 97          # heavy tie at zero
+        + [-3] * 53         # negative tie
+        + [2**62, -(2**62)]  # extreme magnitudes
+    )
+    df = spark.createDataFrame([(x,) for x in vals], "v long")
+    qs = [0.001, 0.25, 0.5, 0.75, 0.999, 1.0]
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_radix(spark, df, "v", qs).collect()
+    }
+    for q in qs:
+        assert got[q] == _truth(vals, q), q
+
+
+def test_radix_select_single_row_and_nulls(spark):
+    df = spark.createDataFrame([(42,), (None,)], "v long")
+    rows = exact_quantiles_radix(spark, df, "v", [0.5, 1.0]).collect()
+    assert all(r["value"] == 42 for r in rows)
+
+
+def test_radix_select_empty_input(spark):
+    df = spark.createDataFrame([], "v long")
+    rows = exact_quantiles_radix(spark, df, "v", [0.5]).collect()
+    assert len(rows) == 1 and rows[0]["value"] is None
+
+
+def test_radix_select_matches_spark_percentile(spark, sf_dir):
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_radix(spark, li, "c", [0.5, 0.9]).collect()
+    }
+    # percentile_disc-style lower order statistic via a window rank
+    n = li.count()
+    for q in [0.5, 0.9]:
+        k = max(1, math.ceil(q * n - 1e-9))
+        exp = (
+            li.orderBy("c").limit(k).agg(F.max("c").alias("m")).first()["m"]
+        )
+        assert got[q] == exp, q
