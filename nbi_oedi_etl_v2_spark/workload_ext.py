@@ -3878,3 +3878,31 @@ def q_customer_entity_resolution(
         )
         .orderBy("entity")
     )
+
+
+from .operators import bpe as _bpe  # noqa: E402
+
+
+@query(
+    "documents_bpe_merges",
+    # full hash-matched oracle — no invariant fallback: the DuckDB
+    # twin unrolls the same trainer (same tokenization, same greedy
+    # left-to-right merge via delimiter-safe string replace, same
+    # (count desc, pair asc) tie-break) for the same 8 steps
+    oracle=_bpe.bpe_oracle_sql(8),
+    doc="Distributed BPE vocabulary learning — the tokenizer-training "
+        "step of an LLM pipeline: top-8 byte-pair merges over the "
+        "documents corpus. One corpus-sized shuffle total (word "
+        "counts); the working set is the vocabulary-sized distinct-"
+        "word table, so each merge step is one explode+hash-agg of "
+        "adjacent symbol pairs, a 1-row TakeOrdered argmax, and a "
+        "map-only pure-JVM aggregate-fold rewrite of the symbol "
+        "arrays (left-to-right greedy, localCheckpoint per step — "
+        "plan depth flat in N). No Python workers. Hash-matched "
+        "against the step-unrolled DuckDB twin "
+        "(operators/bpe.py).",
+    driver=False,
+)
+def q_documents_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.learn_bpe(spark, docs, "text", num_merges=8)
