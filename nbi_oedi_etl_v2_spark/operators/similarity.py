@@ -510,3 +510,186 @@ def semantic_dedup(
             F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the COMPRESSION path of ANN, complement
+# to both LSH (oblivious bucketing) and IVF (density-adaptive
+# partitioning): each vector is stored as m sub-space centroid codes
+# (m bytes vs 4·d — a 32× scan-size reduction at d=64/m=8), distances
+# are estimated from per-query lookup tables over the codes
+# (asymmetric distance computation, Jégou et al., TPAMI 2011), and
+# only the top-R ADC candidates touch their full vectors for the
+# exact re-rank. At 100 TB this is the technique that fits the scan
+# in I/O budget; composing it inside IVF cells (IVF-PQ) multiplies
+# both savings and needs no new machinery.
+#
+# Training is a bounded, deterministic driver-side k-means: the
+# ≤n_train smallest-xxhash64(id) vectors (the same hash-sample idiom
+# as the IVF seeds), numpy Lloyd per subspace, ksub centroids each —
+# FAISS trains on a sample for the same reason; the centroid tensor
+# (m·ksub·dsub doubles) then rides into the plan as a LITERAL array,
+# so encoding and ADC scoring are pure-JVM nested folds: no Python
+# workers, no linalg library, deterministic across partitionings.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 5,
+    n_train: int = 2048,
+) -> list[list[list[float]]]:
+    """(m × ksub × dsub) centroid tensor from a deterministic
+    hash-sampled training set (bounded collect ≤ ``n_train`` rows).
+    Lloyd init = first ``ksub`` sample vectors per subspace in hash
+    order; empty cells keep their previous centroid."""
+    import numpy as np
+
+    rows = (
+        with_norm(corpus, vec_col)
+        .select(F.col(f"`{id_col}`").alias("vid"), "vec")
+        .orderBy(F.xxhash64(F.col("vid")), F.col("vid"))
+        .limit(n_train)
+        .collect()
+    )
+    sample = np.asarray([r["vec"] for r in rows], dtype="float64")
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    out = []
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:ksub].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(ksub):
+                members = sub[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        out.append([[float(x) for x in c] for c in cents])
+    return out
+
+
+def _pq_cent_literal(cents: list[list[list[float]]]):
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in sub])
+            for sub in cents
+        ]
+    )
+
+
+def pq_encode(
+    cents: list[list[list[float]]],
+    vec_alias: str = "vec",
+) -> "F.Column":
+    """codes column: per subspace, the argmin-L2 centroid index — a
+    pure-JVM nested fold over the literal centroid tensor."""
+    m, ksub, dsub = len(cents), len(cents[0]), len(cents[0][0])
+    # inner: squared L2 between the subvector and centroid j of sub s
+    d2 = (
+        f"aggregate(sequence(0, {dsub - 1}), 0D, (a2, t) -> a2 + "
+        f"(element_at({vec_alias}, s * {dsub} + t + 1)"
+        f" - element_at(element_at(element_at(_cents, s + 1), j + 1), t + 1))"
+        f" * (element_at({vec_alias}, s * {dsub} + t + 1)"
+        f" - element_at(element_at(element_at(_cents, s + 1), j + 1), t + 1)))"
+    )
+    pick = (
+        f"aggregate(sequence(0, {ksub - 1}),"
+        f" struct(CAST(1e300 AS DOUBLE) AS bd, -1 AS bj),"
+        f" (acc, j) -> CASE WHEN ({d2}) < acc.bd"
+        f" THEN struct(CAST(({d2}) AS DOUBLE) AS bd, j AS bj)"
+        f" ELSE acc END)"
+    )
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), s -> ({pick}).bj)"
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 48,
+) -> DataFrame:
+    """PQ-ADC approximate top-k by cosine: encode the corpus to m
+    codes, estimate each (query, vector) dot product from the
+    query's per-subspace inner-product lookup table (computed
+    in-plan on the broadcast query side), keep the top-``rerank``
+    ADC candidates per query, exact-cosine re-rank, emit top-k.
+    Everything after training is whole-stage-codegen JVM."""
+    cents = pq_train_centroids(corpus, id_col, vec_col, m=m, ksub=ksub)
+    dsub = len(cents[0][0])
+    lit_cents = _pq_cent_literal(cents)
+    c = (
+        with_norm(corpus, vec_col)
+        .select(
+            F.col(f"`{id_col}`").alias("neighbor_id"),
+            F.col("vec").alias("c_vec"),
+            F.col("norm").alias("c_norm"),
+        )
+        .withColumn("_cents", lit_cents)
+        .withColumn("codes", pq_encode(cents, vec_alias="c_vec"))
+        .drop("_cents")
+    )
+    # per-query ADC table: tbl[s][j] = <q_s, cent[s][j]>
+    tbl = (
+        f"transform(sequence(0, {m - 1}), s ->"
+        f" transform(sequence(0, {ksub - 1}), j ->"
+        f" aggregate(sequence(0, {dsub - 1}), 0D, (a, t) -> a +"
+        f" element_at(q_vec, s * {dsub} + t + 1)"
+        f" * element_at(element_at(element_at(_cents, s + 1), j + 1),"
+        f" t + 1))))"
+    )
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(f"`{id_col}`").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+        )
+        .withColumn("_cents", lit_cents)
+        .withColumn("tbl", F.expr(tbl))
+        .drop("_cents")
+    )
+    est = (
+        "aggregate(zip_with(codes, tbl, (cd, t) -> element_at(t, cd + 1)),"
+        " 0D, (a, x) -> a + x)"
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "est_cos", F.expr(est) / (F.col("q_norm") * F.col("c_norm"))
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("est_cos").desc(), F.col("neighbor_id")
+    )
+    cand = scored.withColumn("_r", F.row_number().over(w_adc)).where(
+        F.col("_r") <= rerank
+    )
+    sim = F.expr(_dot("q_vec", "c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 7).alias("cosine"),
+            "rank",
+        )
+    )

@@ -873,18 +873,30 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "events_heavy_hitters",        # vectorized candidates + fallback
     "orders_skipping_scan",        # path-normalized guard
     "customer_fuzzy_name_pairs",   # r4 rework, r5 soak
-    # NEW — operators added in round 5
+    # NEW — operators added in round 5 (waves 5 and 6); none has ever
+    # had a driver row, so every one gets a slot this round
     "multimodal_mp4_headers",
     "multimodal_decode_jpeg",
-    # KEEP — family coverage re-verification (r1–r4 green rows)
+    "orders_skipping_bloom_scan",
+    "events_quantile_sketch_rollup",
+    "part_copurchase_bfs",
+    "events_cm_frequency_rollup",
+    "events_audience_overlap",
+    "lineitem_exact_price_quantiles",
+    "customer_entity_resolution",
+    "documents_bpe_merges",
+    "orders_ivm_join_delta",
+    "similarity_topk_pq",
+    # KEEP — family coverage re-verification (r1–r4 green rows).
+    # Demoted to make room for the 10 wave-6 slots (each keeps its
+    # earlier green row and the every-round pytest oracle):
+    # png/wav/jpeg headers, token_pmi, inverted_index, pattern_users,
+    # price_trend, window_suite, gapfill_interp, incremental_agg_merge
     "etl_hourly_downsample",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "streaming_hourly_downsample",
     "multimodal_decode",
-    "multimodal_jpeg_headers",
-    "multimodal_png_headers",
-    "multimodal_wav_headers",
     "multimodal_audio_decimate",
     "events_interval_attribution",
     "orders_moving_range_avg",
@@ -892,25 +904,18 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "corpus_contamination",
     "corpus_weighted_reservoir",
     "corpus_pack_ffd",
-    "events_pattern_users",
     "events_json_roundtrip",
     "events_orc_roundtrip",
     "part_copurchase_pagerank",
     "part_copurchase_triangles",
     "text_bm25_topk",
-    "text_inverted_index",
-    "text_token_pmi",
     "text_vocabulary",
     "asof_last_order_per_event",
     "q18_large_volume_customers",
     "orders_cdc_merge",
     "orders_scd2_priority",
     "orders_skyline",
-    "orders_window_suite",
-    "lineitem_price_trend",
     "dq_profile_orders",
-    "etl_gapfill_interp",
-    "etl_incremental_agg_merge",
 })
 
 

@@ -3567,8 +3567,24 @@ def q_multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decimate_media(media, factor=4)
 
 
+def _bench_cm_frequency_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path only — what bench.py times (the driver form adds
+    the exact per-key twin, which would dominate the measured plan)."""
+    from .operators import frequency
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = frequency.cm_build(
+        ev.withColumn("day", F.to_date("ts")), "user_id", ["day"]
+    )
+    merged = frequency.cm_merge(daily, [])
+    probes = spark.range(20).select(F.col("id").alias("user_id"))
+    return frequency.cm_lookup(merged, probes, "user_id", [])
+
+
 @query(
     "events_cm_frequency_rollup",
+    headline=True,
+    bench_fn=_bench_cm_frequency_rollup,
     # Invariant-oracle pattern (like the HLL / quantile rollups): the
     # sketch cells hinge on xxhash64, so the driver form emits the
     # exact per-key counts (oracle-computable) plus two in-plan
@@ -3732,6 +3748,7 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "lineitem_exact_price_quantiles",
+    headline=True,
     # exact algorithm, exact oracle — no tolerance anywhere: the
     # radix-select result must equal the full-sort order statistic.
     # round() before the bigint cast on BOTH sides (Spark casts
@@ -3885,6 +3902,7 @@ from .operators import bpe as _bpe  # noqa: E402
 
 @query(
     "documents_bpe_merges",
+    headline=True,
     # full hash-matched oracle — no invariant fallback: the DuckDB
     # twin unrolls the same trainer (same tokenization, same greedy
     # left-to-right merge via delimiter-safe string replace, same
@@ -3906,3 +3924,95 @@ from .operators import bpe as _bpe  # noqa: E402
 def q_documents_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _bpe.learn_bpe(spark, docs, "text", num_merges=8)
+
+
+@query(
+    "orders_ivm_join_delta",
+    # independent derivation: one single-pass join+agg over the FULL
+    # tables — the four-term delta decomposition and its per-term
+    # partial merge must be indistinguishable from it
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+    doc="Incremental JOIN-view maintenance: the segment-revenue view "
+        "over orders x customer is maintained by the textbook delta "
+        "decomposition (F ∪ ΔF)⋈(D ∪ ΔD) = F⋈D ∪ F⋈ΔD ∪ ΔF⋈D ∪ "
+        "ΔF⋈ΔD — the three delta terms broadcast their delta-sized "
+        "side so the base tables never reshuffle, then per-term "
+        "partial aggregates (exact-decimal sums) merge. Maintenance "
+        "cost tracks the change volume, not the view: the algebra a "
+        "nightly 100 TB MV refresh runs. Hash-matched against the "
+        "single-pass full recompute "
+        "(operators/history.py incremental_join_partials).",
+    driver=False,
+)
+def q_orders_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import dsum
+    from .operators import history
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    fact_base = o.where(F.col("o_orderkey") % 13 != 0)
+    fact_delta = o.where(F.col("o_orderkey") % 13 == 0)
+    dim_base = c.where(F.col("o_custkey") % 29 != 0)
+    dim_delta = c.where(F.col("o_custkey") % 29 == 0)
+    terms = history.incremental_join_partials(
+        fact_base, fact_delta, dim_base, dim_delta, "o_custkey"
+    )
+    partials = terms.groupBy("via", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("s"),
+    )
+    return (
+        partials.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.sum("s").cast("double").alias("sum_price"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _bench_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ path only — what bench.py times (the driver form adds the
+    exact brute-force twin for the recall invariant)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return similarity.pq_cosine_topk(emb, q, "vec_id", "embedding", k=5)
+
+
+@query(
+    "similarity_topk_pq",
+    headline=True,
+    bench_fn=_bench_similarity_topk_pq,
+    oracle=_ANN_INVARIANT_ORACLE,
+    doc="Product-quantization ADC approximate top-5 (Jegou et al., "
+        "TPAMI 2011) — the COMPRESSION path of ANN, complementing "
+        "LSH (oblivious buckets) and IVF (density partitions): "
+        "vectors stored as m=8 subspace centroid codes (32x smaller "
+        "scan at d=64), per-query inner-product lookup tables "
+        "computed in-plan, top-R ADC candidates exact-reranked. "
+        "Training is a bounded deterministic hash-sampled driver "
+        "k-means; encode/score are pure-JVM nested folds over the "
+        "literal centroid tensor. Driver form: recall >= 0.7 vs the "
+        "in-plan exact twin, hash-matched "
+        "(operators/similarity.py pq_cosine_topk).",
+    driver=False,
+)
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_invariant(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.pq_cosine_topk(
+            emb, q, "vec_id", "embedding", k=5
+        ),
+        floor=0.7,
+    )

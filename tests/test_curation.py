@@ -48,6 +48,37 @@ def test_connected_components_raises_when_unconverged(spark):
         curation.connected_components(pairs, max_iterations=2)
 
 
+def test_connected_components_shuffled_id_chain(spark):
+    # the case that disqualified min-label propagation: a path whose
+    # node ids are RANDOM relative to the structure, so label targets
+    # are self-labeled local minima and pointer jumping compresses
+    # nothing (propagation degrades to BFS from the global min ~
+    # O(path length) rounds). Large-star/small-star must converge in
+    # O(log n) — 12 rounds for an 800-edge shuffled path.
+    import random
+
+    rng = random.Random(17)
+    ids = list(range(5000))
+    rng.shuffle(ids)
+    pairs = _pairs(spark, [(ids[i], ids[i + 1]) for i in range(800)])
+    got = {
+        (r["node"], r["component"])
+        for r in curation.connected_components(pairs, max_iterations=12).collect()
+    }
+    path = [ids[i] for i in range(801)]
+    mn = min(path)
+    assert got == {(n, mn) for n in path}
+
+
+def test_connected_components_self_loop_only_node(spark):
+    pairs = _pairs(spark, [(5, 5), (7, 8)])
+    got = {
+        (r["node"], r["component"])
+        for r in curation.connected_components(pairs).collect()
+    }
+    assert got == {(5, 5), (7, 7), (8, 7)}
+
+
 def test_salted_join_rejects_outer(spark):
     import pytest
 

@@ -540,3 +540,39 @@ def test_cm_rollup_pure_jvm_and_broadcast_probe(spark, sf_dir):
         assert marker not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_word_table_and_fold_pure_jvm(spark, sf_dir):
+    # the BPE trainer's per-step workhorses — pair explode+agg and the
+    # merge fold — must stay whole-stage-codegen JVM: no Python worker
+    from nbi_oedi_etl_v2_spark.operators import bpe
+    from nbi_oedi_etl_v2_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    words = bpe.word_counts(load_table(spark, sf_dir, "documents"), "text")
+    pairs = words.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(syms) >= 2 THEN"
+                " transform(sequence(0, size(syms) - 2),"
+                " i -> struct(syms[i] as l, syms[i + 1] as r))"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+    ).groupBy("p.l", "p.r").agg(F.sum("cnt"))
+    merged = words.withColumn("syms", bpe._merge_fold("t", "h")(F.col("syms")))
+    for df in (pairs, merged):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan
+
+
+def test_ivm_delta_terms_broadcast(spark, sf_dir):
+    # the three delta-maintenance terms broadcast their delta-sized
+    # side; nothing in the decomposition falls back to a shuffled join
+    plan = plan_of(spark, sf_dir, "orders_ivm_join_delta")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -72,13 +72,24 @@ def test_driver_export_fills_cap_exactly():
         assert pinned in q, f"parity trio member {pinned} rotated out"
     for promoted in INVARIANT_ORACLED_R5:
         assert promoted in q, promoted
-    # NEW/TOUCH — operators added or changed in round 5
+    # NEW/TOUCH — operators added or changed in round 5 (waves 5+6);
+    # none of the wave-6 specs has ever earned a driver row
     for new_r5 in (
         "multimodal_mp4_headers",
         "multimodal_decode_jpeg",
         "events_heavy_hitters",
         "orders_skipping_scan",
         "customer_fuzzy_name_pairs",
+        "orders_skipping_bloom_scan",
+        "events_quantile_sketch_rollup",
+        "part_copurchase_bfs",
+        "events_cm_frequency_rollup",
+        "events_audience_overlap",
+        "lineitem_exact_price_quantiles",
+        "customer_entity_resolution",
+        "documents_bpe_merges",
+        "orders_ivm_join_delta",
+        "similarity_topk_pq",
     ):
         assert new_r5 in q, new_r5
     # each family keeps at least one driver row after the demotions
