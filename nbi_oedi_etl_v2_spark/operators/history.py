@@ -154,3 +154,74 @@ def incremental_join_partials(
             term(F.broadcast(fact_delta), dim_delta, "delta_newdim")
         )
     )
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    eff_from: str = "effective_from",
+    eff_to: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time (feature-store) lookup: each fact row joined to
+    the dimension version effective at its timestamp —
+    ``eff_from <= ts < eff_to`` (half-open, NULL eff_to = current),
+    left semantics (no effective version ⇒ NULL attributes).
+
+    NOT a range theta join: the union trick (the as-of join
+    formulation) runs it as ONE shuffle on the key + one sort — dim
+    version-starts and fact probes interleave in (key, time) order,
+    each probe takes the last dim payload at-or-before it
+    (``last(ignorenulls)`` over the running window; version rows sort
+    before probes at equal timestamps so ``eff_from == ts`` matches),
+    and the half-open upper bound is validated after the fact — it
+    only bites for probes before the key's first version or after a
+    closed final interval. No per-row probe, no interval explosion,
+    no broadcast requirement on either side: exactly the plan a
+    100 TB fact × SCD2-dimension lookup wants.
+    """
+    attr_cols = [
+        c for c in dim.columns if c not in (dim_key, eff_from, eff_to)
+    ]
+    payload = F.struct(
+        *[F.col(f"`{c}`").alias(c) for c in attr_cols],
+        F.col(f"`{eff_from}`").alias("_from"),
+        F.col(f"`{eff_to}`").alias("_to"),
+    )
+    d = dim.select(
+        F.col(f"`{dim_key}`").alias("_k"),
+        F.col(f"`{eff_from}`").alias("_t"),
+        F.lit(0).alias("_probe"),
+        payload.alias("_dim"),
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(c) for c in fact.columns],
+    )
+    f = fact.select(
+        F.col(f"`{fact_key}`").alias("_k"),
+        F.col(f"`{ts_col}`").alias("_t"),
+        F.lit(1).alias("_probe"),
+        F.lit(None).cast(d.schema["_dim"].dataType).alias("_dim"),
+        *fact.columns,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = f.unionByName(d.select(*f.columns)).withColumn(
+        "_eff", F.last("_dim", ignorenulls=True).over(w)
+    )
+    in_interval = (F.col("_eff._from") <= F.col("_t")) & (
+        F.col("_eff._to").isNull() | (F.col("_t") < F.col("_eff._to"))
+    )
+    matched = F.when(F.col("_eff").isNotNull() & in_interval, F.col("_eff"))
+    return (
+        carried.where(F.col("_probe") == 1)
+        .select(
+            *fact.columns,
+            *[matched[c].alias(c) for c in attr_cols],
+            matched["_from"].alias(eff_from),
+            matched["_to"].alias(eff_to),
+        )
+    )

@@ -887,6 +887,9 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "documents_bpe_merges",
     "orders_ivm_join_delta",
     "similarity_topk_pq",
+    "events_pit_priority_lookup",
+    "orders_dq_constraints",
+    "streaming_cm_sketch",
     # KEEP — family coverage re-verification (r1–r4 green rows).
     # Demoted to make room for the 10 wave-6 slots (each keeps its
     # earlier green row and the every-round pytest oracle):
@@ -896,16 +899,13 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "dedup_ngram_jaccard",
     "similarity_topk",
     "streaming_hourly_downsample",
-    "multimodal_decode",
     "multimodal_audio_decimate",
     "events_interval_attribution",
     "orders_moving_range_avg",
     "embedding_semantic_dedup",
     "corpus_contamination",
-    "corpus_weighted_reservoir",
     "corpus_pack_ffd",
     "events_json_roundtrip",
-    "events_orc_roundtrip",
     "part_copurchase_pagerank",
     "part_copurchase_triangles",
     "text_bm25_topk",

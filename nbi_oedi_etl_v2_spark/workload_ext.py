@@ -4016,3 +4016,203 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         floor=0.7,
     )
+
+
+@query(
+    "events_pit_priority_lookup",
+    # independent derivation: the interval theta join (BETWEEN
+    # semantics) the union-trick single-shuffle plan must reproduce,
+    # including pre-history probes (NULL attrs) and users with no
+    # dimension history at all
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             row_number() OVER w AS rn,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM h WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    ),
+    scd AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w2 AS effective_to
+      FROM runs
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           s.o_orderpriority AS priority_at_event,
+           s.effective_from AS since
+    FROM events e LEFT JOIN scd s
+      ON s.o_custkey = e.user_id
+     AND s.effective_from <= e.ts
+     AND (s.effective_to IS NULL OR e.ts < s.effective_to)
+    """,
+    doc="Point-in-time feature lookup — the feature-store join: every "
+        "event fetches the customer's order-priority version "
+        "effective AT the event timestamp from the SCD2 dimension "
+        "built in the same plan. The union-trick formulation runs it "
+        "as ONE shuffle on the key + one sort (version starts and "
+        "probes interleave; last(ignorenulls) carries the payload; "
+        "the half-open bound validates after), instead of the "
+        "interval theta join the oracle runs — no per-row probe, no "
+        "explosion, train/serve-skew-free lookups at 100 TB "
+        "(operators/history.py pit_join).",
+    driver=False,
+)
+def q_events_pit_priority_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import history
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = history.scd2_from_history(
+        o,
+        key_cols=["o_custkey"],
+        order_col="o_orderdate",
+        tie_col="o_orderkey",
+        tracked_cols=["o_orderpriority"],
+    ).drop("is_current")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    return history.pit_join(
+        ev, dim, "user_id", "o_custkey", "ts"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderpriority").alias("priority_at_event"),
+        F.col("effective_from").alias("since"),
+    )
+
+
+@query(
+    "orders_dq_constraints",
+    # each report row recomputed by independent plain SQL
+    oracle="""
+    WITH fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS badstatus,
+             CAST(SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS badprice
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'fk(o_custkey)' AS check_name, orphans AS observed,
+             orphans = 0 AS passed FROM fk
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)', badstatus, badstatus = 0 FROM agg
+      UNION ALL
+      SELECT 'not_null(o_custkey)', nulls, nulls = 0 FROM agg
+      UNION ALL
+      SELECT 'satisfies(price_positive)', badprice, badprice = 0 FROM agg
+      UNION ALL
+      SELECT 'unique(o_orderkey)', dup, dup = 0 FROM agg
+    ) ORDER BY check_name
+    """,
+    doc="Declarative data-quality gate (Deequ-style): a constraint "
+        "suite — key uniqueness, completeness, domain membership, "
+        "row predicates, referential integrity vs customer — "
+        "compiled to ONE aggregate scan for every row-level + "
+        "uniqueness check plus one broadcast anti-join per FK; the "
+        "report is constraint-count rows, nothing collects. "
+        "Hash-matched row for row against independent plain-SQL "
+        "recomputations (operators/quality.py).",
+    driver=False,
+)
+def q_orders_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import Suite
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        Suite(o)
+        .unique("o_orderkey")
+        .not_null("o_custkey")
+        .in_set("o_orderstatus", ["O", "F", "P"])
+        .satisfies("price_positive", F.col("o_totalprice") > 0)
+        .foreign_key("o_custkey", c, "c_custkey")
+        .run()
+    )
+
+
+@query(
+    "streaming_cm_sketch",
+    # invariant-oracle: the stream-maintained cells can't be DuckDB'd
+    # (xxhash64), but their per-depth row totals equal the non-null
+    # event count (each event increments one cell per depth), and the
+    # in-plan boolean pins cell-for-cell equality with the batch build
+    oracle="""
+    SELECT d.depth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE user_id IS NOT NULL) AS n_total,
+           TRUE AS matches_batch
+    FROM (SELECT UNNEST([0, 1, 2, 3]) AS depth) d
+    ORDER BY d.depth
+    """,
+    doc="Continuous sketch maintenance: because the Count-Min sketch "
+        "is stored LONG-FORM, keeping it fresh on a stream is a "
+        "VANILLA streaming aggregation — explode each event into its "
+        "(depth, bucket) increments, groupBy-count in complete mode, "
+        "RocksDB-backed, no custom state operator needed. The driver "
+        "form proves the stream-maintained sketch equals the batch "
+        "cm_build cell for cell (in-plan full-join comparison -> "
+        "matches_batch) and emits the oracle-computable per-depth "
+        "totals, hash-matched (operators/frequency.py + "
+        "streaming/__init__.py).",
+    driver=False,
+)
+def q_streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import frequency
+
+    ev_stream = streaming.read_table_stream(spark, sf_dir, "events")
+    cells_stream = (
+        ev_stream.where(F.col("user_id").isNotNull())
+        .select(
+            F.posexplode(
+                F.array(
+                    *[
+                        frequency._cm_bucket(F.col("user_id"), d, 2048)
+                        for d in range(4)
+                    ]
+                )
+            ).alias("depth", "bucket")
+        )
+        .groupBy("depth", "bucket")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+    streamed = streaming.run_to_memory(cells_stream, mode="complete")
+    batch = frequency.cm_build(
+        load_table(spark, sf_dir, "events"), "user_id", []
+    )
+    diff = (
+        streamed.withColumnRenamed("cnt", "s_cnt")
+        .join(batch, ["depth", "bucket"], "full")
+        .withColumn(
+            "_bad",
+            F.when(
+                F.col("s_cnt").isNull()
+                | F.col("cnt").isNull()
+                | (F.col("s_cnt") != F.col("cnt")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("depth")
+        .agg(
+            F.sum("s_cnt").cast("bigint").alias("n_total"),
+            (F.sum("_bad") == 0).alias("matches_batch"),
+        )
+    )
+    return diff.select("depth", "n_total", "matches_batch").orderBy("depth")

@@ -1212,3 +1212,73 @@ def test_kmv_unsaturated_is_exact(spark):
     )
     assert r["da"] == 100.0
     assert r["i"] == 40.0
+
+
+def test_pit_join_interval_edges(spark):
+    # boundary semantics: ts == eff_from matches that version,
+    # ts == eff_to belongs to the NEXT version (half-open), probes
+    # before the first version and keys with no history get NULLs
+    import datetime
+
+    from nbi_oedi_etl_v2_spark.operators import history
+
+    d = datetime.datetime
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", d(2024, 1, 1), d(2024, 2, 1)),
+            (1, "v2", d(2024, 2, 1), None),
+        ],
+        "k long, val string, effective_from timestamp, effective_to timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, d(2023, 12, 31)),  # pre-history -> NULL
+            (101, 1, d(2024, 1, 1)),    # == eff_from -> v1
+            (102, 1, d(2024, 1, 15)),   # inside      -> v1
+            (103, 1, d(2024, 2, 1)),    # == eff_to   -> v2 (half-open)
+            (104, 1, d(2025, 1, 1)),    # current     -> v2
+            (105, 9, d(2024, 6, 1)),    # no history  -> NULL
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    got = {
+        r["fid"]: r["val"]
+        for r in history.pit_join(fact, dim, "k", "k", "ts").collect()
+    }
+    assert got == {100: None, 101: "v1", 102: "v1", 103: "v2",
+                   104: "v2", 105: None}
+
+
+def test_dq_suite_counts_violations(spark):
+    from nbi_oedi_etl_v2_spark.operators.quality import Suite
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0),
+            (1, None, "O", 5.0),     # dup key + null custkey
+            (2, 99, "X", -3.0),      # bad status + bad price + orphan fk
+            (3, 11, "F", 0.0),       # price not > 0
+        ],
+        "k long, ck long, st string, price double",
+    )
+    dim = spark.createDataFrame([(10,), (11,)], "c long")
+    got = {
+        r["check_name"]: (r["observed"], r["passed"])
+        for r in (
+            Suite(df)
+            .unique("k")
+            .not_null("ck")
+            .in_set("st", ["O", "F", "P"])
+            .satisfies("price_positive", F.col("price") > 0)
+            .foreign_key("ck", dim, "c")
+            .run()
+            .collect()
+        )
+    }
+    assert got == {
+        "unique(k)": (1, False),
+        "not_null(ck)": (1, False),
+        "in_set(st)": (1, False),
+        "satisfies(price_positive)": (2, False),
+        "fk(ck)": (1, False),
+    }

@@ -576,3 +576,15 @@ def test_ivm_delta_terms_broadcast(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_lookup_is_join_free(spark, sf_dir):
+    # the point-in-time interval lookup runs as union + window (one
+    # keyed sort), NOT as any physical join — the theta join is only
+    # in the oracle
+    plan = plan_of(spark, sf_dir, "events_pit_priority_lookup")
+    for marker in ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+                   "CartesianProduct"):
+        assert marker not in plan
+    assert "Window" in plan

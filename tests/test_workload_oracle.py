@@ -90,6 +90,9 @@ def test_driver_export_fills_cap_exactly():
         "documents_bpe_merges",
         "orders_ivm_join_delta",
         "similarity_topk_pq",
+        "events_pit_priority_lookup",
+        "orders_dq_constraints",
+        "streaming_cm_sketch",
     ):
         assert new_r5 in q, new_r5
     # each family keeps at least one driver row after the demotions
@@ -104,14 +107,13 @@ def test_driver_export_fills_cap_exactly():
         "text": ["text_vocabulary", "text_token_pmi"],
         "retrieval": ["text_inverted_index", "text_bm25_topk"],
         "streaming": ["streaming_hourly_downsample"],
-        "curation": ["corpus_contamination", "corpus_weighted_reservoir"],
+        "curation": ["corpus_contamination"],
         "packing": ["corpus_pack_ffd"],
-        "multimodal": ["multimodal_decode", "multimodal_decode_jpeg",
-                       "multimodal_mp4_headers"],
+        "multimodal": ["multimodal_decode_jpeg", "multimodal_mp4_headers"],
         "graph": ["part_copurchase_pagerank", "part_copurchase_triangles"],
         "sketch": ["dedup_minhash_lsh", "events_hll_daily_rollup"],
         "history": ["orders_scd2_priority", "orders_cdc_merge"],
-        "formats": ["events_json_roundtrip", "events_orc_roundtrip"],
+        "formats": ["events_json_roundtrip"],
         "quality": ["dq_profile_orders"],
     }
     for fam, members in families.items():
