@@ -76,6 +76,10 @@ class Suite:
         anti-join per FK."""
         parts = []
         if self._aggs:
+            # ONE wide aggregate row, unpivoted to long form with a
+            # single explode — a union of per-constraint selects would
+            # replay the scan once per branch (measured: 6 FileScans
+            # for a 5-constraint suite before this formulation)
             wide = self.df.agg(
                 *[
                     obs.alias(f"_o{i}")
@@ -86,14 +90,21 @@ class Suite:
                     for i, (_, _obs, p) in enumerate(self._aggs)
                 ],
             )
-            for i, (name, _, _) in enumerate(self._aggs):
-                parts.append(
-                    wide.select(
+            rows = F.array(
+                *[
+                    F.struct(
                         F.lit(name).alias("check_name"),
                         F.col(f"_o{i}").alias("observed"),
                         F.col(f"_p{i}").alias("passed"),
                     )
+                    for i, (name, _, _) in enumerate(self._aggs)
+                ]
+            )
+            parts.append(
+                wide.select(F.explode(rows).alias("_r")).select(
+                    "_r.check_name", "_r.observed", "_r.passed"
                 )
+            )
         for name, col, dim, dim_col in self._fks:
             orphans = (
                 self.df.select(F.col(f"`{col}`").alias("_k"))

@@ -4216,3 +4216,50 @@ def q_streaming_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return diff.select("depth", "n_total", "matches_batch").orderBy("depth")
+
+
+@query(
+    "orders_snapshot_diff",
+    # the simulated next-day snapshot is closed-form in o_orderkey, so
+    # the oracle derives the classification arithmetically and never
+    # runs the join it verifies
+    oracle="""
+    SELECT o_orderkey, 'removed' AS change_type,
+           CAST(NULL AS VARCHAR) AS changed_cols
+    FROM orders WHERE o_orderkey % 19 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed', 'o_totalprice'
+    FROM orders WHERE o_orderkey % 19 <> 0 AND o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 1000000000, 'added', NULL
+    FROM orders WHERE o_orderkey % 23 = 0
+    ORDER BY o_orderkey, change_type
+    """,
+    doc="Snapshot-to-snapshot regression diff: one full-outer "
+        "equi-join + null-safe payload comparison classifies every "
+        "key as added/removed/changed (with the changed column list) "
+        "and drops the unchanged majority in-plan — the result is "
+        "delta-sized. Next-day snapshot simulated in-plan "
+        "(mod-19 deletes, mod-7 price bumps, mod-23 inserts); "
+        "hash-matched against the closed-form arithmetic "
+        "classification (operators/history.py snapshot_diff).",
+    driver=False,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import history
+
+    o = load_table(spark, sf_dir, "orders")
+    kept = o.where(F.col("o_orderkey") % 19 != 0)
+    bumped = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = o.where(F.col("o_orderkey") % 23 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+    )
+    new = bumped.unionByName(inserted)
+    return history.snapshot_diff(o, new, ["o_orderkey"]).orderBy(
+        "o_orderkey", "change_type"
+    )

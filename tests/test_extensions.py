@@ -1282,3 +1282,31 @@ def test_dq_suite_counts_violations(spark):
         "satisfies(price_positive)": (2, False),
         "fk(ck)": (1, False),
     }
+
+
+def test_snapshot_diff_classification_and_null_transitions(spark):
+    from nbi_oedi_etl_v2_spark.operators import history
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> dropped
+            (2, "b", 2.0),      # NULL -> value = changed(v)
+            (4, "x", None),     # two columns changed
+            (5, "new", 5.0),    # added
+        ],                       # 3 removed
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["changed_cols"])
+        for r in history.snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "v"),
+        3: ("removed", None),
+        4: ("changed", "s,v"),
+        5: ("added", None),
+    }

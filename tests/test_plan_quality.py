@@ -588,3 +588,12 @@ def test_pit_lookup_is_join_free(spark, sf_dir):
                    "CartesianProduct"):
         assert marker not in plan
     assert "Window" in plan
+
+
+def test_dq_suite_single_scan_per_role(spark, sf_dir):
+    # 5-constraint suite = exactly 3 FileScans: one wide-agg scan of
+    # the fact (all row-level + uniqueness checks share it, unpivoted
+    # by explode — the union-of-selects formulation replayed it per
+    # branch), one fact scan + one dim scan for the FK anti-join
+    plan = plan_of(spark, sf_dir, "orders_dq_constraints")
+    assert plan.count("FileScan parquet") == 3

@@ -128,3 +128,53 @@ def test_global_running_total_matches_cumsum(spark, vals):
         ref[i] = acc
         acc += v
     assert got == ref
+
+
+@FEW
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=60,
+    ),
+    qs=st.lists(
+        st.floats(min_value=0.01, max_value=1.0), min_size=1, max_size=3
+    ),
+)
+def test_radix_select_property(spark, vals, qs):
+    # exact k-th order statistic for arbitrary signed longs and ranks
+    import math
+
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        exact_quantiles_radix,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_radix(spark, df, "v", sorted(set(qs))).collect()
+    }
+    sv = sorted(vals)
+    for q in got:
+        k = max(1, math.ceil(q * len(vals) - 1e-9))
+        assert got[q] == sv[k - 1]
+
+
+@FEW
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_matches_sequential_reference(spark, texts):
+    # the Spark fold, the DuckDB replace oracle, and this sequential
+    # reference must agree on any corpus — hypothesis sweeps the
+    # adjacent-repeat and tie-break space example tests can't
+    from nbi_oedi_etl_v2_spark.operators import bpe
+    from tests.test_bpe import _ref_bpe
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in bpe.learn_bpe(spark, df, "text", 4).collect()]
+    assert got == _ref_bpe(texts, 4)
