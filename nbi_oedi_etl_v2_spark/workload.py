@@ -890,6 +890,8 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "events_pit_priority_lookup",
     "orders_dq_constraints",
     "streaming_cm_sketch",
+    "similarity_topk_ivfpq",
+    "orders_snapshot_diff",
     # KEEP — family coverage re-verification (r1–r4 green rows).
     # Demoted to make room for the 10 wave-6 slots (each keeps its
     # earlier green row and the every-round pytest oracle):
@@ -900,7 +902,6 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "similarity_topk",
     "streaming_hourly_downsample",
     "multimodal_audio_decimate",
-    "events_interval_attribution",
     "orders_moving_range_avg",
     "embedding_semantic_dedup",
     "corpus_contamination",
@@ -910,7 +911,6 @@ DRIVER_EXPORT: frozenset[str] = frozenset({
     "part_copurchase_triangles",
     "text_bm25_topk",
     "text_vocabulary",
-    "asof_last_order_per_event",
     "q18_large_volume_customers",
     "orders_cdc_merge",
     "orders_scd2_priority",

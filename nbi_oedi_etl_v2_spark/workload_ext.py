@@ -4263,3 +4263,27 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.snapshot_diff(o, new, ["o_orderkey"]).orderBy(
         "o_orderkey", "change_type"
     )
+
+
+@query(
+    "similarity_topk_ivfpq",
+    oracle=_ANN_INVARIANT_ORACLE,
+    doc="IVF-PQ composed (the FAISS billion-scale default): IVF "
+        "cells prune WHICH codes are scanned (~nprobe/nlist of the "
+        "corpus), residual PQ compresses WHAT a scan reads (m bytes "
+        "per vector, 32x at d=64); dot(q,v) decomposes exactly into "
+        "dot(q,cell) + ADC(q,residual), so ONE query-side lookup "
+        "table serves every probed cell. Top-R exact re-rank. Driver "
+        "form: recall >= 0.7 vs the in-plan exact twin, hash-matched "
+        "(operators/similarity.py ivfpq_cosine_topk).",
+    driver=False,
+)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_invariant(
+        spark,
+        sf_dir,
+        lambda emb, q: similarity.ivfpq_cosine_topk(
+            emb, q, "vec_id", "embedding", k=5
+        ),
+        floor=0.7,
+    )

@@ -1310,3 +1310,29 @@ def test_snapshot_diff_classification_and_null_transitions(spark):
         4: ("changed", "s,v"),
         5: ("added", None),
     }
+
+
+def test_ivfpq_recall_and_exact_rerank(spark, sf_dir_oracle):
+    # composed IVF-PQ: recall floor vs exact on the uniform synthetic,
+    # and every emitted cosine must be the EXACT value (the re-rank
+    # computes true dot products; only candidate selection is approx)
+    from nbi_oedi_etl_v2_spark.operators import similarity
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in exact.collect()
+    }
+    got = similarity.ivfpq_cosine_topk(emb, q, "vec_id", "embedding", k=5)
+    rows = got.collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, recall
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(r["cosine"] - exact_cos[key]) < 1e-9

@@ -597,3 +597,71 @@ def test_dq_suite_single_scan_per_role(spark, sf_dir):
     # branch), one fact scan + one dim scan for the FK anti-join
     plan = plan_of(spark, sf_dir, "orders_dq_constraints")
     assert plan.count("FileScan parquet") == 3
+
+
+def test_runtime_bloom_filter_join_injects(spark, sf_dir):
+    # Catalyst's runtime bloom-filter join (Spark 3.3+): when the
+    # creation side is selective and the application side shuffles,
+    # the optimizer injects bloom_filter_might_contain into the fact
+    # scan — rows failing a KB-sized bitset never enter the shuffle.
+    # At 100 TB this is the free semi-join reduction; the engine
+    # relies on it for selective dim joins, so pin that this Spark
+    # build actually injects it under shuffle-join conditions.
+    from nbi_oedi_etl_v2_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_dynamic_partition_pruning_injects(spark, sf_dir, tmp_path):
+    # DPP: joining a partitioned fact on its partition column against
+    # a filtered dim must add a dynamicpruningexpression to the scan's
+    # PartitionFilters — at 100 TB the fact reads only the partitions
+    # the dim's runtime values name, without a static predicate.
+    from nbi_oedi_etl_v2_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_by_prio")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "prio", F.col("o_orderpriority")
+    ).write.partitionBy("prio").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn(
+            "prio",
+            F.when(F.col("c_custkey") % 2 == 0, "1-URGENT").otherwise(
+                "2-HIGH"
+            ),
+        )
+        .where(F.col("c_mktsegment") == "BUILDING")
+    )
+    j = fact.join(dim, "prio").groupBy("prio").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()

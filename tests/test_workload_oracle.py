@@ -93,6 +93,8 @@ def test_driver_export_fills_cap_exactly():
         "events_pit_priority_lookup",
         "orders_dq_constraints",
         "streaming_cm_sketch",
+        "similarity_topk_ivfpq",
+        "orders_snapshot_diff",
     ):
         assert new_r5 in q, new_r5
     # each family keeps at least one driver row after the demotions
