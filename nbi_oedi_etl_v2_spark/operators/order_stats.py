@@ -113,3 +113,76 @@ def exact_quantiles_radix(
         [(float(q), s["prefix"]) for q, s in zip(quantiles, state)],
         "quantile double, value long",
     )
+
+
+def exact_weighted_quantiles_radix(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Weighted lower order statistics — the smallest value v whose
+    cumulative weight reaches ``ceil(q·W)`` (1-indexed over total
+    weight W) — by the same four bounded histogram passes as
+    :func:`exact_quantiles_radix`, summing WEIGHTS per digit instead
+    of counting rows. The corpus-planning question ("the
+    token-weighted median document length") at any N, exact, no
+    sort. Rows with NULL or non-positive weight carry no rank and
+    are excluded."""
+    for q in quantiles:
+        if not 0 < q <= 1:
+            raise ValueError("quantiles must be in (0, 1]")
+    v = df.select(
+        F.col(f"`{value_col}`").cast("long").alias("v"),
+        F.col(f"`{weight_col}`").cast("long").alias("w"),
+    ).where(F.col("v").isNotNull() & (F.col("w") > 0))
+    total = v.agg(F.sum("w")).first()[0]
+    if not total:
+        return spark.createDataFrame(
+            [(float(q), None) for q in quantiles],
+            "quantile double, value long",
+        )
+    state = [
+        {"k": max(1, math.ceil(q * total - 1e-9)), "prefix": 0}
+        for q in quantiles
+    ]
+    for level in range(_LEVELS):
+        shift = _DIGIT_BITS * (_LEVELS - 1 - level)
+        digit_cols = []
+        for s in state:
+            if level == 0:
+                digit_cols.append(F.shiftright(F.col("v"), shift))
+            else:
+                prev_shift = shift + _DIGIT_BITS
+                cond = F.shiftright(F.col("v"), prev_shift) == F.lit(
+                    s["prefix"]
+                )
+                digit = F.shiftright(F.col("v"), shift).bitwiseAND(
+                    F.lit(_MASK)
+                )
+                digit_cols.append(F.when(cond, digit))
+        hist = (
+            v.select(
+                "w", F.posexplode(F.array(*digit_cols)).alias("qi", "digit")
+            )
+            .where(F.col("digit").isNotNull())
+            .groupBy("qi", "digit")
+            .agg(F.sum("w").alias("cnt"))
+            .collect()
+        )
+        per_q: dict[int, list] = {}
+        for r in hist:
+            per_q.setdefault(r["qi"], []).append((r["digit"], r["cnt"]))
+        for qi, s in enumerate(state):
+            cum = 0
+            for digit, cnt in sorted(per_q.get(qi, [])):
+                if cum + cnt >= s["k"]:
+                    s["k"] -= cum
+                    s["prefix"] = s["prefix"] * (_MASK + 1) + int(digit)
+                    break
+                cum += cnt
+    return spark.createDataFrame(
+        [(float(q), s["prefix"]) for q, s in zip(quantiles, state)],
+        "quantile double, value long",
+    )

@@ -4287,3 +4287,59 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         floor=0.7,
     )
+
+
+@query(
+    "lineitem_weighted_price_quantiles",
+    # weighted order statistic via the cumulative-weight window — the
+    # independent derivation of the radix walk's answer. round() before
+    # the bigint cast on both sides (engine-portable cents).
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    t AS (SELECT SUM(w) AS tw FROM s),
+    r AS (
+      SELECT v, SUM(w) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cw
+      FROM s
+    )
+    SELECT CAST(0.5 AS DOUBLE) AS quantile, MIN(v) AS value_cents
+    FROM r, t WHERE cw >= CEIL(0.5 * tw)
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), MIN(v) FROM r, t WHERE cw >= CEIL(0.9 * tw)
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), MIN(v) FROM r, t WHERE cw >= CEIL(0.99 * tw)
+    ORDER BY quantile
+    """,
+    doc="EXACT quantity-WEIGHTED price quantiles (smallest price "
+        "whose cumulative quantity reaches ceil(q*W)) by the same "
+        "four bounded radix-histogram passes as the unweighted "
+        "radix-select — weights summed per digit instead of rows "
+        "counted; no sort, no cumulative-window shuffle, driver "
+        "state <=65,536 cells/pass. The corpus-planning shape: "
+        "token-weighted length percentiles at any N. Hash-matched "
+        "against the DuckDB cumulative-weight window "
+        "(operators/order_stats.py exact_weighted_quantiles_radix).",
+    driver=False,
+)
+def q_lineitem_weighted_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import order_stats
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        order_stats.exact_weighted_quantiles_radix(
+            spark, cents, "cents", "qty", [0.5, 0.9, 0.99]
+        )
+        .select("quantile", F.col("value").alias("value_cents"))
+        .orderBy("quantile")
+    )

@@ -65,3 +65,49 @@ def test_radix_select_matches_spark_percentile(spark, sf_dir):
             li.orderBy("c").limit(k).agg(F.max("c").alias("m")).first()["m"]
         )
         assert got[q] == exp, q
+
+
+def test_weighted_radix_matches_cumulative_truth(spark):
+    import math
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        exact_weighted_quantiles_radix,
+    )
+
+    random.seed(31)
+    rows = [
+        (random.randint(-(10**9), 10**9), random.randint(1, 50))
+        for _ in range(3000)
+    ] + [(7, 10**6)]  # one dominant weight pins the median to 7
+    df = spark.createDataFrame(rows, "v long, w long")
+    qs = [0.1, 0.5, 0.95, 1.0]
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_weighted_quantiles_radix(
+            spark, df, "v", "w", qs
+        ).collect()
+    }
+    total = sum(w for _, w in rows)
+    sorted_rows = sorted(rows)
+    for q in qs:
+        k = max(1, math.ceil(q * total - 1e-9))
+        cum = 0
+        for v, w in sorted_rows:
+            cum += w
+            if cum >= k:
+                assert got[q] == v, (q, got[q], v)
+                break
+    assert got[0.5] == 7
+
+
+def test_weighted_radix_nonpositive_weights_excluded(spark):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        exact_weighted_quantiles_radix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, None), (4, 2)], "v long, w long"
+    )
+    rows = exact_weighted_quantiles_radix(spark, df, "v", "w", [0.5]).collect()
+    assert rows[0]["value"] == 4
