@@ -186,3 +186,46 @@ def exact_weighted_quantiles_radix(
         [(float(q), s["prefix"]) for q, s in zip(quantiles, state)],
         "quantile double, value long",
     )
+
+
+def equidepth_buckets(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Equi-depth (quantile) binning at any N without a sort: the
+    ``n_buckets − 1`` interior cut points come from
+    :func:`exact_quantiles_radix` (four bounded histogram passes, all
+    cut points sharing each pass), then every row is labeled by ONE
+    map-only pass counting cut points strictly below its value — ties
+    at a cut point land in the lower bucket, the deterministic
+    convention the oracle mirrors. Returns the per-bucket summary
+    (bucket, n_rows, min_v, max_v); the labeling expression is reusable
+    for ML feature bucketization. Unlike ``ntile`` this never
+    shuffles rows — the only data-sized work is map-side."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = [
+        r["value"]
+        for r in exact_quantiles_radix(spark, df, value_col, qs)
+        .orderBy("quantile")
+        .collect()
+    ]
+    v = F.col(f"`{value_col}`").cast("long")
+    cut_arr = F.array(*[F.lit(int(c)).cast("long") for c in cuts])
+    bucket = F.aggregate(
+        cut_arr,
+        F.lit(0),
+        lambda acc, c: acc + F.when(c < v, 1).otherwise(0),
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(v.alias("_v"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+        )
+        .orderBy("bucket")
+    )

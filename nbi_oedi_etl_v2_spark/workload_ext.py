@@ -4343,3 +4343,91 @@ def q_lineitem_weighted_price_quantiles(
         .select("quantile", F.col("value").alias("value_cents"))
         .orderBy("quantile")
     )
+
+
+from .operators import stats as _stats  # noqa: E402
+
+_CORR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+@query(
+    "lineitem_correlation_matrix",
+    oracle=_stats.correlation_matrix_oracle_sql(_CORR_COLS),
+    doc="All-pairs Pearson correlation matrix over four lineitem "
+        "measures from ONE map-side-combined aggregate pass: n, four "
+        "first moments, four second moments, six cross moments — all "
+        "exact DECIMAL(38,10) sums, so the closed-form r is "
+        "bit-identical across engines; the upper triangle assembles "
+        "via the same explode-unpivot as the DQ suite (no per-pair "
+        "scans, no driver loop). At 100 TB the scan is one pass and "
+        "the shuffle carries 15 numbers per partition "
+        "(operators/stats.py correlation_matrix).",
+    driver=False,
+)
+def q_lineitem_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _stats.correlation_matrix(li, _CORR_COLS)
+
+
+@query(
+    "lineitem_equidepth_deciles",
+    # independent derivation: cut points via the window-rank order
+    # statistic, labels via the same strict-less-than counting rule
+    oracle="""
+    WITH s AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    t AS (SELECT COUNT(*) AS c FROM s),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+    cuts AS (
+      SELECT 0.1 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.1 * c)
+      UNION ALL
+      SELECT 0.2 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.2 * c)
+      UNION ALL
+      SELECT 0.3 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.3 * c)
+      UNION ALL
+      SELECT 0.4 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.4 * c)
+      UNION ALL
+      SELECT 0.5 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.5 * c)
+      UNION ALL
+      SELECT 0.6 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.6 * c)
+      UNION ALL
+      SELECT 0.7 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.7 * c)
+      UNION ALL
+      SELECT 0.8 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.8 * c)
+      UNION ALL
+      SELECT 0.9 AS q, MIN(v) AS cut FROM r, t WHERE rn >= CEIL(0.9 * c)
+    ),
+    labeled AS (
+      SELECT s.v,
+             (SELECT CAST(COUNT(*) AS INTEGER) FROM cuts WHERE cuts.cut < s.v)
+               AS bucket
+      FROM s
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM labeled GROUP BY bucket ORDER BY bucket
+""",
+    doc="Equi-depth decile binning of lineitem price (cents) with no "
+        "sort and no row shuffle: nine interior cut points from the "
+        "radix quickselect (all sharing the four bounded histogram "
+        "passes), then one map-only labeling pass counting cut "
+        "points below each value (ties to the lower bucket). ntile "
+        "shuffles and totally orders every row to do this; the "
+        "cut-point formulation is the ML feature-bucketizer shape "
+        "at 100 TB. Hash-matched per bucket "
+        "(operators/order_stats.py equidepth_buckets).",
+    driver=False,
+)
+def q_lineitem_equidepth_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import order_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return order_stats.equidepth_buckets(spark, cents, "cents", 10)

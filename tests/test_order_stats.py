@@ -111,3 +111,14 @@ def test_weighted_radix_nonpositive_weights_excluded(spark):
     )
     rows = exact_weighted_quantiles_radix(spark, df, "v", "w", [0.5]).collect()
     assert rows[0]["value"] == 4
+
+
+def test_equidepth_ties_land_in_lower_bucket(spark):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import equidepth_buckets
+
+    # 8 copies of the same value + 2 larger: the q=0.5 cut IS the tied
+    # value, and strict-less-than labeling keeps all ties in bucket 0
+    df = spark.createDataFrame([(5,)] * 8 + [(9,), (11,)], "v long")
+    rows = {r["bucket"]: r for r in equidepth_buckets(spark, df, "v", 2).collect()}
+    assert rows[0]["n_rows"] == 8 and rows[0]["max_v"] == 5
+    assert rows[1]["n_rows"] == 2 and rows[1]["min_v"] == 9
