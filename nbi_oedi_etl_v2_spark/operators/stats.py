@@ -92,3 +92,40 @@ def correlation_matrix_oracle_sql(
         f"WITH m AS (SELECT {', '.join(moments)} FROM {source})\n"
         f"    SELECT * FROM (\n      {body}\n    ) ORDER BY col_a, col_b"
     )
+
+
+def sampled_sum_estimate(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_cols: list[str],
+    denom: int = 10,
+    seed: int = 77,
+) -> DataFrame:
+    """Approximate-query-processing SUM: a deterministic 1/``denom``
+    hash sample (xxhash64 of the row key — reproducible, no RNG
+    state, pushes down as a cheap predicate) scaled by the
+    Horvitz-Thompson estimator, with a per-group variance estimate
+    ``Var ≈ ((1−p)/p²)·Σ_sample x²`` for CLT error bars. Returns
+    (group…, n_sampled, est_sum, ci_half_3sigma). At 100 TB this
+    reads 1/denom of the data and answers within ±3σ — the
+    exploratory-dashboard trade; the workload query pins the
+    estimate inside its own interval against the exact twin."""
+    p = 1.0 / denom
+    sampled = df.where(
+        F.pmod(F.xxhash64(F.col(f"`{key_col}`"), F.lit(seed)), denom) == 0
+    )
+    x = F.col(f"`{value_col}`")
+    return sampled.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        (F.sum(x.cast("decimal(38,10)")).cast("double") / F.lit(p)).alias(
+            "est_sum"
+        ),
+        (
+            F.lit(3.0)
+            * F.sqrt(
+                F.lit((1 - p) / (p * p))
+                * F.sum((x * x).cast("decimal(38,10)")).cast("double")
+            )
+        ).alias("ci_half_3sigma"),
+    )

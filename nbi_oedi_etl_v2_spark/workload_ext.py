@@ -4431,3 +4431,61 @@ def q_lineitem_equidepth_deciles(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
     return order_stats.equidepth_buckets(spark, cents, "cents", 10)
+
+
+@query(
+    "orders_aqp_revenue_estimate",
+    # oracle emits the exact per-segment sums (computable) + TRUE for
+    # the in-plan CI invariant: the 1/10-sample Horvitz-Thompson
+    # estimate must land inside its own 3-sigma interval around the
+    # exact twin computed in the same plan. Deterministic: the sample
+    # is a fixed hash predicate, not an RNG.
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           {dsum_sql('o.o_totalprice')} AS exact_sum,
+           TRUE AS within_3sigma
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY segment
+    """,
+    doc="Approximate query processing: per-segment revenue estimated "
+        "from a deterministic 1/10 hash sample (xxhash64 predicate — "
+        "reproducible, pushdown-friendly) via the Horvitz-Thompson "
+        "estimator with a CLT 3-sigma interval from the sampled "
+        "second moment. At 100 TB the dashboard reads 10% of the "
+        "fact for ±3sigma answers. Driver form: exact sums + the "
+        "in-plan estimate-inside-own-interval invariant, hash-matched "
+        "(operators/stats.py sampled_sum_estimate).",
+    driver=False,
+)
+def q_orders_aqp_revenue_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions import dsum
+    from .operators import stats as stats_ops
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = o.join(c, "o_custkey")
+    est = stats_ops.sampled_sum_estimate(
+        joined, "o_orderkey", "o_totalprice", ["segment"]
+    )
+    exact = joined.groupBy("segment").agg(
+        dsum(F.col("o_totalprice")).alias("exact_sum")
+    )
+    return (
+        exact.join(F.broadcast(est), "segment")
+        .select(
+            "segment",
+            "exact_sum",
+            (
+                F.abs(F.col("est_sum") - F.col("exact_sum"))
+                <= F.col("ci_half_3sigma")
+            ).alias("within_3sigma"),
+        )
+        .orderBy("segment")
+    )

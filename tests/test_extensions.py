@@ -1336,3 +1336,24 @@ def test_ivfpq_recall_and_exact_rerank(spark, sf_dir_oracle):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+
+
+def test_aqp_estimator_deterministic_and_calibrated(spark):
+    from nbi_oedi_etl_v2_spark.operators import stats as stats_ops
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 97).cast("double").alias("x"),
+    )
+    a = stats_ops.sampled_sum_estimate(df, "k", "x", ["g"]).collect()
+    b = stats_ops.sampled_sum_estimate(df, "k", "x", ["g"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # no RNG state
+    exact = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(F.sum("x").alias("s")).collect()
+    }
+    for r in a:
+        assert abs(r["est_sum"] - exact[r["g"]]) <= r["ci_half_3sigma"]
+        # the sample really is ~1/10
+        assert 0.05 * 20000 / 3 < r["n_sampled"] < 0.2 * 20000 / 3
