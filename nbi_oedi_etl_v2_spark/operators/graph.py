@@ -69,6 +69,17 @@ def pagerank_fixed(
             ).alias("base"),
         )
     )
+    # NOTE (measured, round 5): the static (src, dst, deg) subtree is
+    # textually replayed in every iteration's lineage (the pre-AQE plan
+    # shows 68 FileScans and zero ReusedExchange), which looks like the
+    # BFS edge-recompute bug — but it is NOT: PageRank is a SINGLE
+    # final action, and AQE's runtime exchange reuse deduplicates the
+    # identical shuffle stages during execution. Eagerly
+    # localCheckpoint-ing ed/init was A/B'd at sf0.1 and measured 2×
+    # WORSE (10.1 s vs 5.0 s median-of-3) — it pays materialization and
+    # storage-memory for stages AQE already shares — so the lazy form
+    # stays. The BFS/CC loops differ because they run per-round ACTIONS
+    # (isEmpty / convergence probes), where lineage genuinely re-executes.
     ranks = init
     ed = e.join(deg, "src")  # (src, dst, deg) — static across rounds
     for i in range(iterations):
