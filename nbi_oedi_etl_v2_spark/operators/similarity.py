@@ -629,6 +629,10 @@ def pq_cosine_topk(
     ADC candidates per query, exact-cosine re-rank, emit top-k.
     Everything after training is whole-stage-codegen JVM."""
     cents = pq_train_centroids(corpus, id_col, vec_col, m=m, ksub=ksub)
+    # a training sample smaller than ksub yields fewer centroids; the
+    # encode/ADC expressions must index the ACTUAL codebook size or
+    # element_at walks off the end and estimates go NULL
+    ksub = len(cents[0])
     dsub = len(cents[0][0])
     lit_cents = _pq_cent_literal(cents)
     c = (
@@ -741,6 +745,7 @@ def ivfpq_cosine_topk(
         m=m,
         ksub=ksub,
     )
+    ksub = len(pq_cents[0])  # actual codebook size (tiny-corpus guard)
     dsub = len(pq_cents[0][0])
     enc = (
         enc.withColumn("_cents", _pq_cent_literal(pq_cents))

@@ -1357,3 +1357,22 @@ def test_aqp_estimator_deterministic_and_calibrated(spark):
         assert abs(r["est_sum"] - exact[r["g"]]) <= r["ci_half_3sigma"]
         # the sample really is ~1/10
         assert 0.05 * 20000 / 3 < r["n_sampled"] < 0.2 * 20000 / 3
+
+
+def test_pq_tiny_corpus_smaller_than_codebook(spark):
+    # 6 vectors < ksub=16: the codebook shrinks to the sample size and
+    # encode/ADC must still produce exact-reranked results, not NULLs
+    from nbi_oedi_etl_v2_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.pq_cosine_topk(
+        emb, emb, "vec_id", "embedding", k=2, m=4, ksub=16, rerank=6
+    ).collect()
+    assert len(got) == 12  # 6 queries x top-2
+    assert all(r["cosine"] is not None for r in got)
+    got2 = similarity.ivfpq_cosine_topk(
+        emb, emb, "vec_id", "embedding", k=2, nlist=2, nprobe=2,
+        m=4, ksub=16, rerank=6,
+    ).collect()
+    assert got2 and all(r["cosine"] is not None for r in got2)
