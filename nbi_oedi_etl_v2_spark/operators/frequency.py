@@ -49,6 +49,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# candidate caches from prior heavy_hitters calls, evicted on the next
+# call (an immediate unpersist would force the join to recompute the
+# whole mapInPandas candidate pass)
+_LIVE_CANDIDATE_CACHES: list[DataFrame] = []
+
+
+def _evict_prior_candidate_caches() -> None:
+    while _LIVE_CANDIDATE_CACHES:
+        try:
+            _LIVE_CANDIDATE_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
+
 def heavy_hitter_candidates(
     df: DataFrame, key_col: str, phi: float
 ) -> DataFrame:
@@ -96,7 +110,14 @@ def heavy_hitters(
     keyed = df.select(F.col(f"`{key_col}`").alias("key")).where(
         F.col("key").isNotNull()
     )
+    # the persist serves two downstream consumers (count + join build
+    # side); it cannot be unpersisted before the caller consumes the
+    # returned lazy plan, so evict the PREVIOUS call's cache instead —
+    # repeated calls (the bench runs this 5+ times per session) then
+    # hold at most one candidate cache in executor storage (ADVICE r5).
+    _evict_prior_candidate_caches()
     cand = heavy_hitter_candidates(df, key_col, phi).persist()
+    _LIVE_CANDIDATE_CACHES.append(cand)
     n_cand = cand.count()
     build = F.broadcast(cand) if n_cand <= broadcast_limit else cand
     counted = (
@@ -200,17 +221,16 @@ def cm_lookup(
     is the big side at #groups·depth·width rows), one equi-join on
     (depth, bucket) + a min-aggregate. A key whose cell is absent from
     a group's sketch was never counted there → estimate 0."""
-    probe_cells = (
-        probes.select(F.col(f"`{key_col}`").alias("key"))
-        .distinct()  # duplicate probes would double _depths_hit below
-        .select(
-            "key",
-            F.posexplode(
-                F.array(
-                    *[_cm_bucket(F.col("key"), d, width) for d in range(depth)]
-                )
-            ).alias("depth", "bucket"),
-        )
+    probe_keys = probes.select(
+        F.col(f"`{key_col}`").alias("key")
+    ).distinct()  # duplicate probes would double _depths_hit below
+    probe_cells = probe_keys.select(
+        "key",
+        F.posexplode(
+            F.array(
+                *[_cm_bucket(F.col("key"), d, width) for d in range(depth)]
+            )
+        ).alias("depth", "bucket"),
     )
     hits = sketches.join(
         F.broadcast(probe_cells), ["depth", "bucket"], "inner"
@@ -222,10 +242,24 @@ def cm_lookup(
         F.min("cnt").alias("_min_cnt"),
         F.count(F.lit(1)).alias("_depths_hit"),
     )
-    return per_key.select(
+    # a key hitting ZERO populated cells in a group produces no hit row
+    # at all; left-join the full (group × probe) grid so fully-missing
+    # pairs still emit est_cnt = 0, matching the docstring contract
+    # (ADVICE r5). The grid is #groups × #probes — probe sets are
+    # human-sized and broadcast, so this never shuffles the sketches.
+    grid = (
+        sketches.select(*group_cols).distinct().crossJoin(
+            F.broadcast(probe_keys)
+        )
+    )
+    return grid.join(per_key, [*group_cols, "key"], "left").select(
         *group_cols,
         F.col("key").alias(key_col),
-        F.when(F.col("_depths_hit") < depth, F.lit(0))
+        F.when(
+            F.col("_depths_hit").isNull()
+            | (F.col("_depths_hit") < depth),
+            F.lit(0),
+        )
         .otherwise(F.col("_min_cnt"))
         .cast("long")
         .alias("est_cnt"),

@@ -190,10 +190,22 @@ def pit_join(
         F.col(f"`{eff_from}`").alias("_from"),
         F.col(f"`{eff_to}`").alias("_to"),
     )
-    d = dim.select(
+    # Two dim versions can legally share (key, effective_from) — e.g.
+    # scd2_from_history emits an empty [t, t) interval when two runs
+    # start on the same date. Empty intervals can never match a probe
+    # (half-open), so drop them up front; for any remaining same-_t
+    # version tie, _tie = eff_to (nulls last) makes the version
+    # effective going FORWARD sort last, so last() deterministically
+    # carries it instead of whichever row the shuffle happened to
+    # order last.
+    d = dim.where(
+        F.col(f"`{eff_to}`").isNull()
+        | (F.col(f"`{eff_from}`") != F.col(f"`{eff_to}`"))
+    ).select(
         F.col(f"`{dim_key}`").alias("_k"),
         F.col(f"`{eff_from}`").alias("_t"),
         F.lit(0).alias("_probe"),
+        F.col(f"`{eff_to}`").alias("_tie"),
         payload.alias("_dim"),
         *[F.lit(None).cast(fact.schema[c].dataType).alias(c) for c in fact.columns],
     )
@@ -201,12 +213,15 @@ def pit_join(
         F.col(f"`{fact_key}`").alias("_k"),
         F.col(f"`{ts_col}`").alias("_t"),
         F.lit(1).alias("_probe"),
+        F.lit(None).cast(dim.schema[eff_to].dataType).alias("_tie"),
         F.lit(None).cast(d.schema["_dim"].dataType).alias("_dim"),
         *fact.columns,
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_probe")
+        .orderBy(
+            F.col("_t"), F.col("_probe"), F.col("_tie").asc_nulls_last()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = f.unionByName(d.select(*f.columns)).withColumn(

@@ -211,6 +211,13 @@ def equidepth_buckets(
         .orderBy("quantile")
         .collect()
     ]
+    if any(c is None for c in cuts):
+        # empty or all-NULL input: exact_quantiles_radix returns NULL
+        # cut values — mirror its graceful contract with an empty
+        # summary instead of raising on int(None) (ADVICE r5)
+        return spark.createDataFrame(
+            [], "bucket int, n_rows bigint, min_v long, max_v long"
+        )
     v = F.col(f"`{value_col}`").cast("long")
     cut_arr = F.array(*[F.lit(int(c)).cast("long") for c in cuts])
     bucket = F.aggregate(

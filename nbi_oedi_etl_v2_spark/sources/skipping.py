@@ -60,14 +60,26 @@ def _strip_scheme(p: str) -> str:
 def _partition_dir_segments(file_path: str, root: str) -> list[str]:
     """Directory segments strictly between the table root and the leaf
     file name. If the file doesn't align under the root (relative vs
-    absolute, different mount spellings) fall back to every directory
-    segment of the file path — still leaf-name-exclusive, so a legal
-    ``=`` in a FILE name never trips the Hive guard."""
+    absolute, different mount spellings) the fallback still anchors on
+    the root — segments after the last occurrence of the root's final
+    path component, else below the longest common segment prefix — so
+    a legal ``key=value`` directory ABOVE the table root (e.g.
+    ``/data/run=5/table/``) never trips the Hive guard (ADVICE r5).
+    Always leaf-name-exclusive, so a legal ``=`` in a FILE name never
+    trips it either."""
     f, r = _strip_scheme(file_path), _strip_scheme(root)
     if f.startswith(r + "/"):
         rel = f[len(r) + 1:]
         return rel.split("/")[:-1]
-    return f.split("/")[1:-1]
+    dirs = f.split("/")[1:-1]
+    rseg = [s for s in r.split("/") if s]
+    if rseg and rseg[-1] in dirs:
+        anchor = len(dirs) - 1 - dirs[::-1].index(rseg[-1])
+        return dirs[anchor + 1:]
+    i = 0
+    while i < len(dirs) and i < len(rseg) and dirs[i] == rseg[i]:
+        i += 1
+    return dirs[i:]
 
 
 BLOOM_BITS = 4096  # per file per column: 64 longs = 512 B of index

@@ -1121,15 +1121,18 @@ def test_cm_lookup_absent_key_is_exact_zero(spark):
     probes = spark.createDataFrame([(10**12 + 7,)], "k long")
     out = frequency.cm_lookup(sk, probes, "k", [], depth=4, width=2048)
     rows = out.collect()
+    # every probe emits exactly one row per sketch group — even one
+    # hitting zero populated cells (ADVICE r5: the inner join used to
+    # drop fully-missing pairs entirely)
+    assert len(rows) == 1
     # with only 100 keys in 2048 buckets, the absent key's cells are
     # overwhelmingly unpopulated in at least one depth; if all four
     # collide the estimate is still a valid upper bound
-    if rows:
-        assert rows[0]["est_cnt"] >= 0
+    assert rows[0]["est_cnt"] >= 0
     sparse = frequency.cm_build(df.limit(3), "k", [], depth=4, width=2048)
     out2 = frequency.cm_lookup(sparse, probes, "k", [], depth=4, width=2048)
     r2 = out2.collect()
-    assert not r2 or r2[0]["est_cnt"] == 0
+    assert len(r2) == 1 and r2[0]["est_cnt"] == 0
 
 
 def test_cm_null_keys_excluded(spark):
@@ -1247,6 +1250,50 @@ def test_pit_join_interval_edges(spark):
     }
     assert got == {100: None, 101: "v1", 102: "v1", 103: "v2",
                    104: "v2", 105: None}
+
+
+def test_pit_join_same_effective_from_tie(spark):
+    # two versions sharing (key, effective_from) — scd2_from_history
+    # emits exactly this when two runs start on the same date, the
+    # earlier run getting an empty [t, t) interval. The empty interval
+    # must never shadow the real version regardless of physical row
+    # order (ADVICE r5 high: row-order-dependent NULLs).
+    import datetime
+
+    from nbi_oedi_etl_v2_spark.operators import history
+
+    d = datetime.datetime
+    t0, t1 = d(2024, 1, 1), d(2024, 3, 1)
+    rows_fwd = [
+        (1, "dead", t0, t0),   # empty [t0, t0) — matches nothing
+        (1, "live", t0, t1),
+        (1, "next", t1, None),
+    ]
+    fact = spark.createDataFrame(
+        [(100, 1, d(2024, 1, 15)), (101, 1, d(2024, 6, 1))],
+        "fid long, k long, ts timestamp",
+    )
+    schema = (
+        "k long, val string, effective_from timestamp, "
+        "effective_to timestamp"
+    )
+    for rows in (rows_fwd, list(reversed(rows_fwd))):
+        dim = spark.createDataFrame(rows, schema).coalesce(1)
+        got = {
+            r["fid"]: r["val"]
+            for r in history.pit_join(fact, dim, "k", "k", "ts").collect()
+        }
+        assert got == {100: "live", 101: "next"}, rows
+    # non-empty same-_t tie: the version that extends further forward
+    # (here: open-ended) must win deterministically
+    dim2 = spark.createDataFrame(
+        [(1, "short", t0, t1), (1, "long", t0, None)], schema
+    )
+    got2 = {
+        r["fid"]: r["val"]
+        for r in history.pit_join(fact, dim2, "k", "k", "ts").collect()
+    }
+    assert got2 == {100: "long", 101: "long"}
 
 
 def test_dq_suite_counts_violations(spark):

@@ -122,3 +122,20 @@ def test_equidepth_ties_land_in_lower_bucket(spark):
     rows = {r["bucket"]: r for r in equidepth_buckets(spark, df, "v", 2).collect()}
     assert rows[0]["n_rows"] == 8 and rows[0]["max_v"] == 5
     assert rows[1]["n_rows"] == 2 and rows[1]["min_v"] == 9
+
+
+def test_equidepth_empty_and_all_null_input(spark):
+    # ADVICE r5: int(None) used to raise; empty/all-NULL input must
+    # return the empty grouped schema, matching exact_quantiles_radix
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        equidepth_buckets,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    out = equidepth_buckets(spark, empty, "v", 4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "bucket", "n_rows", "min_v", "max_v",
+    ]
+    nulls = spark.createDataFrame([(None,), (None,)], "v long")
+    assert equidepth_buckets(spark, nulls, "v", 4).count() == 0

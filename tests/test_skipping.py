@@ -232,3 +232,42 @@ def test_bloom_missing_index_and_null_values(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         i for i in range(0, 100, 2) if i % 7 == 3
     )
+
+
+def test_partition_dir_segments_fallback_anchors_on_root():
+    # ADVICE r5: when the file path doesn't align under the caller's
+    # root spelling, the fallback must not scan segments ABOVE the
+    # root — a legal key=value dir there (/data/run=5/table/) is not
+    # a Hive partition of THIS table.
+    from nbi_oedi_etl_v2_spark.sources.skipping import (
+        _partition_dir_segments,
+    )
+
+    # aligned: segments strictly between root and leaf
+    assert _partition_dir_segments(
+        "/data/tbl/a/f.parquet", "/data/tbl"
+    ) == ["a"]
+    # misaligned spelling, key=value dir above the root: invisible
+    assert _partition_dir_segments(
+        "file:///data/run=5/table/f.parquet", "table"
+    ) == []
+    # …but a partition dir BELOW the anchored root still surfaces
+    assert _partition_dir_segments(
+        "file:///data/run=5/table/p=1/f.parquet", "table"
+    ) == ["p=1"]
+    # no anchor at all: longest-common-prefix fallback (here: none),
+    # conservative old behavior — every directory segment considered
+    assert _partition_dir_segments(
+        "/x/y=2/f.parquet", "/other/root"
+    ) == ["x", "y=2"]
+
+
+def test_key_value_dir_above_root_reads_clean(spark, tmp_path):
+    base = tmp_path / "run=5" / "tbl"
+    path = str(base)
+    spark.range(0, 64).select(
+        F.col("id").alias("k")
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    idx = skipping.build_skipping_index(spark, path, ["k"])
+    got = skipping.read_with_skipping(spark, path, idx, {"k": (0, 9)})
+    assert got.count() == 10
