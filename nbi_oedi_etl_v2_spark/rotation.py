@@ -1,0 +1,243 @@
+"""Driver-slot rotation policy (round 6).
+
+The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
+correctness rows per round, while the registry holds 147+ specs.
+Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
+wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
+every spec re-earns a driver row within K rounds, or old green rows
+decay into "verified once, long ago".
+
+This module encodes the bound STRUCTURALLY instead of by hand:
+
+* ``VERIFIED_ROUNDS`` - for every spec, the latest round in which the
+  driver recorded a green (rows+schema+hash) CORRECTNESS row for it.
+  Updated once per round from CORRECTNESS_r{N}.json (the builder's
+  first task each round); specs absent here have never been
+  driver-verified.
+* ``build_driver_export(registry)`` - computes the export as
+  PIN (parity trio, permanent)
+  + never-verified specs (every new operator gets its first row ASAP)
+  + TOUCH (operator code changed this round - semantics must re-prove)
+  + ADVISED (explicit re-verification requests from VERDICT/ADVICE)
+  + oldest-first fill to the cap (ties broken by name, so the export
+    is deterministic and reproducible from this file alone).
+
+With 147 specs, a 50-row cap and ~10-15 slots/round consumed by
+NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
+``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
+no unexported spec may be more than 4 rounds past its last green row.
+``tests/test_workload_oracle.py`` asserts the bound holds; because the
+fill is oldest-first, the bound is maintained automatically as long as
+NEW+TOUCH stay under ~35 slots/round.
+"""
+
+from __future__ import annotations
+
+CURRENT_ROUND = 6
+STALENESS_BOUND_ROUNDS = 4
+
+# Latest round with a green driver row, from CORRECTNESS_r{1..5}.json.
+VERIFIED_ROUNDS: dict[str, int] = {
+    "approx_distinct_users": 5,
+    "asof_last_order_per_event": 4,
+    "corpus_balanced_shards": 2,
+    "corpus_budget_select": 3,
+    "corpus_contamination": 5,
+    "corpus_curate": 2,
+    "corpus_global_shuffle": 2,
+    "corpus_hash_split": 2,
+    "corpus_incremental_dedup": 3,
+    "corpus_length_histogram": 3,
+    "corpus_mixture_sample": 2,
+    "corpus_near_dedup": 2,
+    "corpus_pack_chunks": 2,
+    "corpus_pack_ffd": 5,
+    "corpus_pack_next_fit": 2,
+    "corpus_quality_sample": 3,
+    "corpus_source_stats": 3,
+    "corpus_stratified_sample": 2,
+    "corpus_weighted_reservoir": 4,
+    "custkeys_1995_and_1996": 1,
+    "custkeys_1995_not_1996": 1,
+    "customer_entity_resolution": 5,
+    "customer_fuzzy_name_pairs": 5,
+    "customers_per_segment": 5,
+    "customers_with_open_orders": 2,
+    "customers_without_orders": 1,
+    "dedup_components": 2,
+    "dedup_duplicate_spans": 3,
+    "dedup_embedding_cosine": 2,
+    "dedup_exact": 2,
+    "dedup_minhash_lsh": 5,
+    "dedup_ngram_jaccard": 5,
+    "dedup_simhash": 5,
+    "distinct_flags": 2,
+    "documents_bpe_merges": 5,
+    "dq_profile_orders": 5,
+    "embedding_normalize": 2,
+    "embedding_quantize": 3,
+    "embedding_semantic_dedup": 5,
+    "etl_gapfill_hours": 3,
+    "etl_gapfill_interp": 4,
+    "etl_hourly_downsample": 5,
+    "etl_incremental_agg_merge": 4,
+    "events_anomaly_zscore": 4,
+    "events_audience_overlap": 5,
+    "events_cm_frequency_rollup": 5,
+    "events_cohort_retention": 4,
+    "events_funnel": 4,
+    "events_heavy_hitters": 5,
+    "events_hll_daily_rollup": 5,
+    "events_in_prior_hour": 2,
+    "events_interval_attribution": 4,
+    "events_json_props_rollup": 3,
+    "events_json_roundtrip": 5,
+    "events_orc_roundtrip": 4,
+    "events_pattern_users": 4,
+    "events_pit_priority_lookup": 5,
+    "events_quantile_sketch_rollup": 5,
+    "ewma_alerts_batch": 1,
+    "lineitem_exact_price_quantiles": 5,
+    "lineitem_price_trend": 4,
+    "monthly_active_customers": 1,
+    "multimodal_audio_decimate": 5,
+    "multimodal_decode": 4,
+    "multimodal_decode_jpeg": 5,
+    "multimodal_decode_png": 4,
+    "multimodal_decode_wav": 4,
+    "multimodal_image_near_dups": 5,
+    "multimodal_jpeg_headers": 4,
+    "multimodal_mp4_headers": 5,
+    "multimodal_png_headers": 4,
+    "multimodal_wav_headers": 4,
+    "nation_customer_rollup": 2,
+    "orders_cdc_merge": 5,
+    "orders_cube": 3,
+    "orders_dq_constraints": 5,
+    "orders_grouping_sets": 2,
+    "orders_ivm_join_delta": 5,
+    "orders_moving_range_avg": 5,
+    "orders_pivot_status": 2,
+    "orders_rollup": 1,
+    "orders_scd2_priority": 5,
+    "orders_skipping_bloom_scan": 5,
+    "orders_skipping_scan": 5,
+    "orders_skyline": 5,
+    "orders_snapshot_diff": 5,
+    "orders_window_suite": 4,
+    "orders_zorder_key": 3,
+    "part_copurchase_bfs": 5,
+    "part_copurchase_pagerank": 5,
+    "part_copurchase_triangles": 5,
+    "price_percentiles_by_priority": 2,
+    "q10_returned_items": 3,
+    "q11_important_parts": 3,
+    "q12_priority_lines": 3,
+    "q13_customer_distribution": 3,
+    "q14_promo_revenue": 3,
+    "q15_top_supplier": 3,
+    "q16_parts_supplier_counts": 3,
+    "q17_small_quantity_revenue": 3,
+    "q18_large_volume_customers": 5,
+    "q19_discounted_revenue": 3,
+    "q1_pricing_summary": 2,
+    "q20_excess_share_suppliers": 3,
+    "q21_waiting_suppliers": 3,
+    "q22_global_sales_opportunity": 3,
+    "q2_min_cost_supplier": 3,
+    "q3_shipping_priority": 2,
+    "q4_order_priority": 3,
+    "q5_local_supplier_volume": 2,
+    "q6_forecast_revenue": 3,
+    "q7_volume_shipping": 3,
+    "q8_market_share": 3,
+    "q9_product_profit": 3,
+    "segment_active_customers": 5,
+    "sessionize_events": 2,
+    "similarity_topk": 5,
+    "similarity_topk_ivf": 5,
+    "similarity_topk_ivfpq": 5,
+    "similarity_topk_lsh": 5,
+    "similarity_topk_pq": 5,
+    "streaming_attribution_join": 2,
+    "streaming_cm_sketch": 5,
+    "streaming_dedup_events": 2,
+    "streaming_dim_enrich": 3,
+    "streaming_ewma_alerts": 2,
+    "streaming_hourly_downsample": 5,
+    "streaming_sessionize": 2,
+    "text_bm25_topk": 5,
+    "text_compressibility": 5,
+    "text_fingerprint": 2,
+    "text_inverted_index": 4,
+    "text_language_id": 2,
+    "text_lm_scores": 3,
+    "text_pii_redaction": 3,
+    "text_quality_scores": 2,
+    "text_repetition_scores": 3,
+    "text_token_pmi": 4,
+    "text_token_stats": 2,
+    "text_vocabulary": 5,
+    "top10_orders_by_price": 1,
+    "topk_per_segment": 5,
+    "user_running_value": 2,
+}
+
+# PIN - the reference saved-query parity trio
+# (reference sql/saved-queries.sql:10-45); never rotates out.
+PIN: frozenset[str] = frozenset({
+    "segment_active_customers",
+    "customers_per_segment",
+    "topk_per_segment",
+})
+
+# TOUCH - specs whose operator code changed this round (round 6):
+# ADVICE r5 fixes landed in history.py (pit_join tie-break),
+# frequency.py (heavy-hitter cache eviction, cm_lookup zero-row
+# contract), order_stats.py (empty-input guard), skipping.py
+# (fallback root anchoring); plus this round's double-typed radix
+# quantiles (order_stats.py) and batched BPE merges (bpe.py).
+TOUCH: frozenset[str] = frozenset({
+    "events_pit_priority_lookup",
+    "events_heavy_hitters",
+    "events_cm_frequency_rollup",
+    "streaming_cm_sketch",
+    "lineitem_exact_price_quantiles",
+    "orders_skipping_scan",
+    "orders_skipping_bloom_scan",
+    "documents_bpe_merges",
+})
+
+# ADVISED - explicit re-verification asks from VERDICT r5 item 6:
+# the KEEP-family specs demoted in round 5 to make room for wave 6.
+ADVISED: frozenset[str] = frozenset({
+    "multimodal_png_headers",
+    "multimodal_wav_headers",
+    "multimodal_jpeg_headers",
+    "text_token_pmi",
+    "text_inverted_index",
+    "events_pattern_users",
+    "lineitem_price_trend",
+    "orders_window_suite",
+    "etl_gapfill_interp",
+    "etl_incremental_agg_merge",
+})
+
+
+def build_driver_export(registry: set[str], cap: int) -> frozenset[str]:
+    """Deterministic round-``CURRENT_ROUND`` export: forced slots
+    (PIN + never-verified + TOUCH + ADVISED), then oldest-first fill
+    by (last-verified round, name)."""
+    forced = (PIN | TOUCH | ADVISED) & registry
+    never = {s for s in registry if s not in VERIFIED_ROUNDS}
+    export = set(forced | never)
+    assert len(export) <= cap, (
+        f"{len(export)} forced slots exceed the {cap}-row cap; "
+        "trim TOUCH/ADVISED"
+    )
+    fill = sorted(
+        (s for s in registry if s not in export),
+        key=lambda s: (VERIFIED_ROUNDS[s], s),
+    )
+    export.update(fill[: cap - len(export)])
+    return frozenset(export)

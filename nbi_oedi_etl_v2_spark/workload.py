@@ -837,86 +837,22 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-slot rotation (round 5).
+# Driver-slot rotation (round 6).
 #
 # The verification driver records at most DRIVER_QUERY_CAP correctness
-# rows per round, but the registry holds 126+ specs — so each round
-# exports a rotation chosen here, in ONE place (the per-spec `driver=`
-# kwarg is overridden by membership below; pytest still oracles every
-# spec via all_specs()). Round-5 policy, per VERDICT r4:
-#   PIN     — the reference saved-query parity trio
-#             (sql/saved-queries.sql:10-45) never rotates out;
-#   INV8    — the 8 formerly-no-oracle sketch/approx specs, now
-#             restructured to emit in-plan invariant columns DuckDB
-#             can hash-match (VERDICT r4 item 1: their first-ever
-#             hash-matched driver rows close the 126/126 goal);
-#   TOUCH   — specs whose operator code changed this round;
-#   NEW     — operators added this round;
-#   KEEP    — family-coverage re-verifications filling to the cap.
+# rows per round, but the registry holds 147+ specs. Rounds 1-5 chose
+# the export by hand; round 6 computes it from the committed
+# verification history so the staleness bound VERDICT r5 demanded is
+# structural: ``rotation.build_driver_export`` takes the permanent PIN
+# trio, every never-driver-verified spec, this round's TOUCH set
+# (operator code changed), the ADVISED re-verifications, then fills
+# oldest-first to the cap. See ``rotation.py`` for the policy and
+# ``tests/test_workload_oracle.py`` for the bound assertion.
+# Computed lazily in ``_ensure_extensions`` (the registry isn't
+# complete until the extension modules import).
 # ---------------------------------------------------------------------------
 
-DRIVER_EXPORT: frozenset[str] = frozenset({
-    # PIN — reference parity trio, permanent
-    "segment_active_customers",
-    "customers_per_segment",
-    "topk_per_segment",
-    # INV8 — invariant-oracled this round; first possible hash-match
-    "approx_distinct_users",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_hll_daily_rollup",
-    "multimodal_image_near_dups",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "text_compressibility",
-    # TOUCH — operator code changed in round 5
-    "events_heavy_hitters",        # vectorized candidates + fallback
-    "orders_skipping_scan",        # path-normalized guard
-    "customer_fuzzy_name_pairs",   # r4 rework, r5 soak
-    # NEW — operators added in round 5 (waves 5 and 6); none has ever
-    # had a driver row, so every one gets a slot this round
-    "multimodal_mp4_headers",
-    "multimodal_decode_jpeg",
-    "orders_skipping_bloom_scan",
-    "events_quantile_sketch_rollup",
-    "part_copurchase_bfs",
-    "events_cm_frequency_rollup",
-    "events_audience_overlap",
-    "lineitem_exact_price_quantiles",
-    "customer_entity_resolution",
-    "documents_bpe_merges",
-    "orders_ivm_join_delta",
-    "similarity_topk_pq",
-    "events_pit_priority_lookup",
-    "orders_dq_constraints",
-    "streaming_cm_sketch",
-    "similarity_topk_ivfpq",
-    "orders_snapshot_diff",
-    # KEEP — family coverage re-verification (r1–r4 green rows).
-    # Demoted to make room for the 10 wave-6 slots (each keeps its
-    # earlier green row and the every-round pytest oracle):
-    # png/wav/jpeg headers, token_pmi, inverted_index, pattern_users,
-    # price_trend, window_suite, gapfill_interp, incremental_agg_merge
-    "etl_hourly_downsample",
-    "dedup_ngram_jaccard",
-    "similarity_topk",
-    "streaming_hourly_downsample",
-    "multimodal_audio_decimate",
-    "orders_moving_range_avg",
-    "embedding_semantic_dedup",
-    "corpus_contamination",
-    "corpus_pack_ffd",
-    "events_json_roundtrip",
-    "part_copurchase_pagerank",
-    "part_copurchase_triangles",
-    "text_bm25_topk",
-    "text_vocabulary",
-    "q18_large_volume_customers",
-    "orders_cdc_merge",
-    "orders_scd2_priority",
-    "orders_skyline",
-    "dq_profile_orders",
-})
+DRIVER_EXPORT: frozenset[str] = frozenset()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -965,11 +901,15 @@ def _ensure_extensions() -> None:
     the central driver rotation: DRIVER_EXPORT is the single source of
     truth, overriding every per-spec ``driver=`` kwarg (which records
     only the historical pre-rotation default)."""
+    global DRIVER_EXPORT
     from . import workload_ext  # noqa: F401
     from . import workload_tpch  # noqa: F401
+    from . import rotation
 
-    unknown = DRIVER_EXPORT - set(REGISTRY)
-    assert not unknown, f"DRIVER_EXPORT names unregistered specs: {unknown}"
+    if not DRIVER_EXPORT:
+        DRIVER_EXPORT = rotation.build_driver_export(
+            set(REGISTRY), DRIVER_QUERY_CAP
+        )
     for name, spec in REGISTRY.items():
         spec.driver = name in DRIVER_EXPORT
 

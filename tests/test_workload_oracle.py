@@ -10,7 +10,6 @@ from nbi_oedi_etl_v2_spark.testing import check_query
 
 ALL_SPECS = workload.all_specs()  # includes pytest-only (driver=False)
 ORACLE_SPECS = [s for s in ALL_SPECS.values() if s.oracle is not None]
-ROWS_ONLY_SPECS = [s for s in ALL_SPECS.values() if s.oracle is None]
 
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
@@ -19,11 +18,11 @@ def test_query_matches_oracle(spark, sf_dir, spec):
     assert not problems, f"{spec.name}:\n" + "\n".join(problems)
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
-def test_rows_only_query_runs(spark, sf_dir, spec):
-    df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_every_spec_carries_an_oracle():
+    """Since round 5 every spec is DuckDB-oracle-able (the sketch/
+    approx ones via in-plan invariant columns) — a spec landing
+    without an oracle is a regression, not a category."""
+    assert [s.name for s in ALL_SPECS.values() if s.oracle is None] == []
 
 
 def test_entry_contract(spark):
@@ -36,87 +35,55 @@ def test_entry_contract(spark):
     assert df.count() > 0
 
 
-# Round-5 rotation contract (VERDICT r4 item 1): the 8 specs DuckDB
-# could never oracle (xxhash64/HLL/zlib-based) were restructured this
-# round to emit in-plan invariant columns the oracle CAN hash-match —
-# all 8 must hold a driver slot so each earns its first hash-matched
-# row, closing the 126/126-verified goal.
-INVARIANT_ORACLED_R5 = (
-    "approx_distinct_users",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_hll_daily_rollup",
-    "multimodal_image_near_dups",
-    "similarity_topk_ivf",
-    "similarity_topk_lsh",
-    "text_compressibility",
-)
+# Round-6 rotation contract (VERDICT r5 "What\'s wrong" #2): the
+# export is COMPUTED from the committed verification history
+# (rotation.py), and the staleness bound is asserted here — every
+# spec re-earns a driver row within STALENESS_BOUND_ROUNDS rounds.
 
 
-def test_driver_export_fills_cap_exactly():
-    """The driver records rows for at most DRIVER_QUERY_CAP queries.
-    Policy (workload.DRIVER_EXPORT is the single source of truth):
-    the reference saved-query parity trio is pinned permanently, the
-    8 newly invariant-oracled sketch/approx specs all get a slot,
-    operators added or reworked this round are (re-)proved, and no
-    operator family loses its last driver row."""
+def test_driver_export_policy():
+    from nbi_oedi_etl_v2_spark import rotation
+
     q = workload.queries()
+    export = set(q)
     assert len(q) == workload.DRIVER_QUERY_CAP
-    # PIN — the port of the reference's sql/saved-queries.sql:10-45;
+    # PIN — the port of the reference\'s sql/saved-queries.sql:10-45;
     # the literal parity contract never rotates out (VERDICT r3 §gap 2)
-    for pinned in (
-        "segment_active_customers",
-        "customers_per_segment",
-        "topk_per_segment",
-    ):
-        assert pinned in q, f"parity trio member {pinned} rotated out"
-    for promoted in INVARIANT_ORACLED_R5:
-        assert promoted in q, promoted
-    # NEW/TOUCH — operators added or changed in round 5 (waves 5+6);
-    # none of the wave-6 specs has ever earned a driver row
-    for new_r5 in (
-        "multimodal_mp4_headers",
-        "multimodal_decode_jpeg",
-        "events_heavy_hitters",
-        "orders_skipping_scan",
-        "customer_fuzzy_name_pairs",
-        "orders_skipping_bloom_scan",
-        "events_quantile_sketch_rollup",
-        "part_copurchase_bfs",
-        "events_cm_frequency_rollup",
-        "events_audience_overlap",
-        "lineitem_exact_price_quantiles",
-        "customer_entity_resolution",
-        "documents_bpe_merges",
-        "orders_ivm_join_delta",
-        "similarity_topk_pq",
-        "events_pit_priority_lookup",
-        "orders_dq_constraints",
-        "streaming_cm_sketch",
-        "similarity_topk_ivfpq",
-        "orders_snapshot_diff",
-    ):
-        assert new_r5 in q, new_r5
-    # each family keeps at least one driver row after the demotions
-    families = {
-        "etl": ["etl_hourly_downsample", "etl_gapfill_interp"],
-        "tpch": ["q1_pricing_summary", "q18_large_volume_customers"],
-        "grouping": ["orders_cube", "orders_skyline"],
-        "window": ["orders_window_suite", "orders_moving_range_avg"],
-        "dedup": ["dedup_ngram_jaccard", "dedup_minhash_lsh",
-                  "embedding_semantic_dedup"],
-        "similarity": ["similarity_topk", "similarity_topk_ivf"],
-        "text": ["text_vocabulary", "text_token_pmi"],
-        "retrieval": ["text_inverted_index", "text_bm25_topk"],
-        "streaming": ["streaming_hourly_downsample"],
-        "curation": ["corpus_contamination"],
-        "packing": ["corpus_pack_ffd"],
-        "multimodal": ["multimodal_decode_jpeg", "multimodal_mp4_headers"],
-        "graph": ["part_copurchase_pagerank", "part_copurchase_triangles"],
-        "sketch": ["dedup_minhash_lsh", "events_hll_daily_rollup"],
-        "history": ["orders_scd2_priority", "orders_cdc_merge"],
-        "formats": ["events_json_roundtrip"],
-        "quality": ["dq_profile_orders"],
-    }
-    for fam, members in families.items():
-        assert any(m in q for m in members), fam
+    assert rotation.PIN <= export
+    # every never-driver-verified spec gets its first row this round
+    never = {s for s in ALL_SPECS if s not in rotation.VERIFIED_ROUNDS}
+    assert never <= export, never - export
+    # operators whose code changed this round re-prove themselves,
+    # and the VERDICT-advised re-verifications hold slots
+    assert rotation.TOUCH <= export
+    assert rotation.ADVISED <= export
+    # the staleness bound: no unexported spec is more than
+    # STALENESS_BOUND_ROUNDS rounds past its last green driver row
+    for s in set(ALL_SPECS) - export:
+        age = rotation.CURRENT_ROUND - rotation.VERIFIED_ROUNDS[s]
+        assert age <= rotation.STALENESS_BOUND_ROUNDS, (s, age)
+    # the fill is oldest-first: no unexported spec may be STALER than
+    # any exported fill slot (fill = export minus the forced sets)
+    forced = rotation.PIN | rotation.TOUCH | rotation.ADVISED | never
+    fill_ages = [
+        rotation.CURRENT_ROUND - rotation.VERIFIED_ROUNDS[s]
+        for s in export - forced
+    ]
+    if fill_ages:
+        newest_fill = min(fill_ages)
+        for s in set(ALL_SPECS) - export:
+            age = rotation.CURRENT_ROUND - rotation.VERIFIED_ROUNDS[s]
+            assert age <= newest_fill, (s, age, newest_fill)
+
+
+def test_verified_rounds_ledger_is_plausible():
+    """The ledger only names registered specs with rounds in
+    [1, CURRENT_ROUND) — catches typos when it\'s updated each round."""
+    from nbi_oedi_etl_v2_spark import rotation
+
+    unknown = set(rotation.VERIFIED_ROUNDS) - set(ALL_SPECS)
+    assert not unknown, unknown
+    assert all(
+        1 <= r < rotation.CURRENT_ROUND
+        for r in rotation.VERIFIED_ROUNDS.values()
+    )
