@@ -37,42 +37,136 @@ reducer.
 from __future__ import annotations
 
 import math
+import struct
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 _DIGIT_BITS = 16
 _LEVELS = 4
 _MASK = (1 << _DIGIT_BITS) - 1
 
+# IEEE-754 binary64 layout constants for the order-preserving map
+_FRAC_BITS = 52
+_EXP_BIAS = 1023
+_LONG_MAX = (1 << 63) - 1
+_INF_BITS = 0x7FF << _FRAC_BITS
+_MIN_NORMAL = 2.0 ** -1022
 
-def exact_quantiles_radix(
-    spark: SparkSession,
-    df: DataFrame,
-    value_col: str,
-    quantiles: list[float],
-) -> DataFrame:
-    """Exact lower-order-statistic quantiles (``k = ceil(q·n)``,
-    1-indexed over non-NULL values) of a LONG column, by four
-    bounded-memory histogram passes (module doc). Returns a DataFrame
-    (quantile, value) — one row per requested quantile, NULL value
-    when the input has no non-NULL rows."""
-    for q in quantiles:
-        if not 0 < q <= 1:
-            raise ValueError("quantiles must be in (0, 1]")
-    v = df.select(F.col(f"`{value_col}`").cast("long").alias("v")).where(
-        F.col("v").isNotNull()
+
+def double_ordered_bits(c: Column) -> Column:
+    """Map a DOUBLE column to a LONG whose SIGNED order equals the
+    double's total order (−inf < … < −0.0≡+0.0 < … < +inf < NaN) —
+    the IEEE-754 order-preserving bit transform, as a pure
+    whole-stage-codegen expression (no bit-cast exists in Spark SQL,
+    and ``reflect('java.lang.Double', …)`` is a per-row reflection
+    call returning STRING — the slow path this avoids).
+
+    Derivation: let B(|x|) be the 63-bit magnitude pattern
+    (biased-exponent·2^52 + mantissa). The classic transform (flip
+    the sign bit for positives, complement all bits for negatives)
+    reduces, in SIGNED long space, to ``x < 0 ? -1 - B : B`` — the
+    bitwise NOT of the magnitude for negatives. B itself is exact
+    arithmetic: scaling by a power of two is exact in IEEE-754, and
+    for m ∈ [1, 2), Sterbenz's lemma makes ``m - 1`` exact, so
+    ``(m - 1)·2^52`` IS the mantissa. The ``floor(log2)`` exponent
+    guess may be off by one near powers of two; one compare-and-
+    adjust step pins it. ±0.0 both map to 0 (they are SQL-equal)."""
+    a = F.abs(c)
+    finite_pos = (a > 0) & (a != float("inf")) & ~F.isnan(c)
+    # exponent guess on a guarded operand so the unselected branches
+    # never see log(0)/log(inf) (floor→long overflows under ANSI)
+    a_safe = F.when(finite_pos, a).otherwise(F.lit(1.0))
+    e0 = F.floor(F.log(2.0, a_safe))  # long
+    # m0 = a · 2^-e0 — division/multiplication by a power of two is
+    # exact; on the normal path |e0| ≤ 1023 so 2^±e0 is finite
+    p = F.pow(F.lit(2.0), (-e0).cast("double"))
+    m0 = a_safe * p
+    adj = (
+        F.when(m0 >= 2.0, F.lit(1))
+        .when(m0 < 1.0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
     )
-    n = v.count()
-    if n == 0:
-        return spark.createDataFrame(
-            [(float(q), None) for q in quantiles],
-            "quantile double, value long",
-        )
-    # per-quantile state: remaining 1-indexed rank within the current
-    # prefix group, and the arithmetic-shift prefix fixed so far
+    m = (
+        F.when(adj == 1, m0 / 2.0)
+        .when(adj == -1, m0 * 2.0)
+        .otherwise(m0)
+    )
+    e = e0 + adj
+    frac_norm = ((m - 1.0) * F.lit(float(2 ** _FRAC_BITS))).cast("long")
+    bits_norm = (
+        F.shiftleft((e + _EXP_BIAS).cast("long"), _FRAC_BITS) + frac_norm
+    )
+    # subnormals (0 < a < 2^-1022): B = a·2^1074 exactly, split into
+    # two in-range power-of-two multiplies
+    half = F.lit(float(2 ** 537))
+    frac_sub = (a * half * half).cast("long")
+    B = (
+        F.when(F.isnan(c), F.lit(_LONG_MAX))
+        .when(a == float("inf"), F.lit(_INF_BITS))
+        .when(a == 0.0, F.lit(0).cast("long"))
+        .when(a < _MIN_NORMAL, frac_sub)
+        .otherwise(bits_norm)
+    )
+    return F.when(c < 0, F.lit(-1).cast("long") - B).otherwise(B).cast(
+        "long"
+    )
+
+
+def ordered_bits_to_double(m: int | None) -> float | None:
+    """Driver-side inverse of :func:`double_ordered_bits` — exact
+    (``ldexp`` power-of-two arithmetic), used only on the handful of
+    selected rank values."""
+    if m is None:
+        return None
+    if m < 0:
+        return -ordered_bits_to_double(-1 - m)  # type: ignore[operator]
+    if m == _LONG_MAX:
+        return float("nan")
+    e, frac = m >> _FRAC_BITS, m & ((1 << _FRAC_BITS) - 1)
+    if e == 0:
+        return math.ldexp(frac, -1074)
+    if e == 0x7FF:
+        return float("inf")
+    return math.ldexp(1.0 + math.ldexp(frac, -_FRAC_BITS), e - _EXP_BIAS)
+
+
+def ordered_bits_reference(x: float) -> int:
+    """Pure-Python oracle for :func:`double_ordered_bits` (struct bit
+    cast + the same transform); shared by the property tests."""
+    if math.isnan(x):
+        return _LONG_MAX
+    if x == 0.0:
+        return 0  # ±0.0 are SQL-equal; both normalize to +0.0
+    ub = struct.unpack("<Q", struct.pack("<d", x))[0]
+    if ub >= 1 << 63:  # negative: magnitude bits, complemented
+        return -1 - (ub - (1 << 63))
+    return ub
+
+
+def _is_floating(df: DataFrame, value_col: str) -> bool:
+    return isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
+
+
+def _to_walk_col(df: DataFrame, value_col: str, floating: bool) -> Column:
+    """The LONG column the radix walk descends: the value itself for
+    integral inputs, the order-preserving bit transform for
+    DOUBLE/FLOAT (floats widen exactly to double first)."""
+    c = F.col(f"`{value_col}`")
+    if floating:
+        return double_ordered_bits(c.cast("double"))
+    return c.cast("long")
+
+
+def _radix_walk(
+    v: DataFrame, quantiles: list[float], total: int, weighted: bool
+) -> list[int]:
+    """Shared digit-descent: ``v`` has a LONG column ``v`` (and ``w``
+    when weighted). Returns the selected 64-bit value per quantile."""
     state = [
-        {"k": max(1, math.ceil(q * n - 1e-9)), "prefix": 0}
+        {"k": max(1, math.ceil(q * total - 1e-9)), "prefix": 0}
         for q in quantiles
     ]
     for level in range(_LEVELS):
@@ -91,11 +185,15 @@ def exact_quantiles_radix(
                     F.lit(_MASK)
                 )
                 digit_cols.append(F.when(cond, digit))
+        exploded = v.select(
+            *(["w"] if weighted else []),
+            F.posexplode(F.array(*digit_cols)).alias("qi", "digit"),
+        ).where(F.col("digit").isNotNull())
         hist = (
-            v.select(F.posexplode(F.array(*digit_cols)).alias("qi", "digit"))
-            .where(F.col("digit").isNotNull())
-            .groupBy("qi", "digit")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            exploded.groupBy("qi", "digit")
+            .agg(
+                (F.sum("w") if weighted else F.count(F.lit(1))).alias("cnt")
+            )
             .collect()
         )
         per_q: dict[int, list] = {}
@@ -109,9 +207,55 @@ def exact_quantiles_radix(
                     s["prefix"] = s["prefix"] * (_MASK + 1) + int(digit)
                     break
                 cum += cnt
+    return [s["prefix"] for s in state]
+
+
+def _result_df(
+    spark: SparkSession,
+    quantiles: list[float],
+    values: list[int | None],
+    floating: bool,
+) -> DataFrame:
+    if floating:
+        return spark.createDataFrame(
+            [
+                (float(q), None if v is None else ordered_bits_to_double(v))
+                for q, v in zip(quantiles, values)
+            ],
+            "quantile double, value double",
+        )
     return spark.createDataFrame(
-        [(float(q), s["prefix"]) for q, s in zip(quantiles, state)],
+        list(zip(map(float, quantiles), values)),
         "quantile double, value long",
+    )
+
+
+def exact_quantiles_radix(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Exact lower-order-statistic quantiles (``k = ceil(q·n)``,
+    1-indexed over non-NULL values) of a LONG — or, via the
+    order-preserving IEEE-754 bit transform, DOUBLE/FLOAT — column,
+    by four bounded-memory histogram passes (module doc). Returns a
+    DataFrame (quantile, value) — one row per requested quantile,
+    NULL value when the input has no non-NULL rows; ``value`` is
+    typed like the input family (long / double). NaNs rank greatest
+    (Spark/DuckDB ordering); ±0.0 normalize to +0.0."""
+    for q in quantiles:
+        if not 0 < q <= 1:
+            raise ValueError("quantiles must be in (0, 1]")
+    floating = _is_floating(df, value_col)
+    v = df.select(
+        _to_walk_col(df, value_col, floating).alias("v")
+    ).where(F.col("v").isNotNull())
+    n = v.count()
+    if n == 0:
+        return _result_df(spark, quantiles, [None] * len(quantiles), floating)
+    return _result_df(
+        spark, quantiles, _radix_walk(v, quantiles, n, False), floating
     )
 
 
@@ -125,66 +269,25 @@ def exact_weighted_quantiles_radix(
     """Weighted lower order statistics — the smallest value v whose
     cumulative weight reaches ``ceil(q·W)`` (1-indexed over total
     weight W) — by the same four bounded histogram passes as
-    :func:`exact_quantiles_radix`, summing WEIGHTS per digit instead
-    of counting rows. The corpus-planning question ("the
+    :func:`exact_quantiles_radix` (DOUBLE/FLOAT value columns route
+    through the same bit transform), summing WEIGHTS per digit
+    instead of counting rows. The corpus-planning question ("the
     token-weighted median document length") at any N, exact, no
     sort. Rows with NULL or non-positive weight carry no rank and
     are excluded."""
     for q in quantiles:
         if not 0 < q <= 1:
             raise ValueError("quantiles must be in (0, 1]")
+    floating = _is_floating(df, value_col)
     v = df.select(
-        F.col(f"`{value_col}`").cast("long").alias("v"),
+        _to_walk_col(df, value_col, floating).alias("v"),
         F.col(f"`{weight_col}`").cast("long").alias("w"),
     ).where(F.col("v").isNotNull() & (F.col("w") > 0))
     total = v.agg(F.sum("w")).first()[0]
     if not total:
-        return spark.createDataFrame(
-            [(float(q), None) for q in quantiles],
-            "quantile double, value long",
-        )
-    state = [
-        {"k": max(1, math.ceil(q * total - 1e-9)), "prefix": 0}
-        for q in quantiles
-    ]
-    for level in range(_LEVELS):
-        shift = _DIGIT_BITS * (_LEVELS - 1 - level)
-        digit_cols = []
-        for s in state:
-            if level == 0:
-                digit_cols.append(F.shiftright(F.col("v"), shift))
-            else:
-                prev_shift = shift + _DIGIT_BITS
-                cond = F.shiftright(F.col("v"), prev_shift) == F.lit(
-                    s["prefix"]
-                )
-                digit = F.shiftright(F.col("v"), shift).bitwiseAND(
-                    F.lit(_MASK)
-                )
-                digit_cols.append(F.when(cond, digit))
-        hist = (
-            v.select(
-                "w", F.posexplode(F.array(*digit_cols)).alias("qi", "digit")
-            )
-            .where(F.col("digit").isNotNull())
-            .groupBy("qi", "digit")
-            .agg(F.sum("w").alias("cnt"))
-            .collect()
-        )
-        per_q: dict[int, list] = {}
-        for r in hist:
-            per_q.setdefault(r["qi"], []).append((r["digit"], r["cnt"]))
-        for qi, s in enumerate(state):
-            cum = 0
-            for digit, cnt in sorted(per_q.get(qi, [])):
-                if cum + cnt >= s["k"]:
-                    s["k"] -= cum
-                    s["prefix"] = s["prefix"] * (_MASK + 1) + int(digit)
-                    break
-                cum += cnt
-    return spark.createDataFrame(
-        [(float(q), s["prefix"]) for q, s in zip(quantiles, state)],
-        "quantile double, value long",
+        return _result_df(spark, quantiles, [None] * len(quantiles), floating)
+    return _result_df(
+        spark, quantiles, _radix_walk(v, quantiles, total, True), floating
     )
 
 

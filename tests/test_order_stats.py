@@ -139,3 +139,155 @@ def test_equidepth_empty_and_all_null_input(spark):
     ]
     nulls = spark.createDataFrame([(None,), (None,)], "v long")
     assert equidepth_buckets(spark, nulls, "v", 4).count() == 0
+
+
+# --- double-typed radix quantiles (round 6, VERDICT r5 item 3) ----------
+
+
+def _ref_bits(x):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        ordered_bits_reference,
+    )
+
+    return ordered_bits_reference(x)
+
+
+def test_double_ordered_bits_matches_struct_reference(spark):
+    import math
+    import struct
+
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        double_ordered_bits,
+        ordered_bits_to_double,
+    )
+
+    # hand-picked adversarial set: ±0, subnormal extremes, the
+    # normal/subnormal boundary, exact powers of two (the floor(log2)
+    # off-by-one hazard), max/min normals, infinities, NaN, and
+    # garden-variety values
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 2.0, -2.0, 0.5, -0.5, 1.5, -2.25,
+        5e-324, -5e-324, 2.0**-1074, 2.0**-1022, -(2.0**-1022),
+        math.nextafter(2.0**-1022, 0.0),      # largest subnormal
+        math.nextafter(2.0**-1022, 1.0),      # smallest normal + ulp
+        2.0**-1023, 2.0**52, 2.0**53, 2.0**63, 2.0**1023,
+        -(2.0**1023), 1.7976931348623157e308, -1.7976931348623157e308,
+        math.nextafter(1.0, 2.0), math.nextafter(1.0, 0.0),
+        float("inf"), float("-inf"), float("nan"),
+        3.141592653589793, -2.718281828459045, 1e-300, -1e308,
+    ] + [math.ldexp(1.0, k) for k in range(-1074, 1024, 97)] \
+      + [-math.ldexp(1.0, k) for k in range(-1074, 1024, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["b"]
+        for r in df.select(double_ordered_bits(F.col("v")).alias("b"))
+        .collect()
+    ]
+    for x, g in zip(vals, got):
+        assert g == _ref_bits(x), (x, g, _ref_bits(x), struct.pack("<d", x))
+        # exact roundtrip (±0.0 normalize to +0.0; NaN→NaN)
+        back = ordered_bits_to_double(g)
+        if math.isnan(x):
+            assert math.isnan(back)
+        else:
+            assert back == x or (x == 0.0 and back == 0.0)
+    # order preservation end-to-end, NaN greatest
+    finite_sorted = sorted(v for v in vals if not math.isnan(v))
+    mapped = [_ref_bits(v) for v in finite_sorted]
+    assert mapped == sorted(mapped)
+    assert _ref_bits(float("nan")) > _ref_bits(float("inf"))
+
+
+def test_double_ordered_bits_hypothesis(spark):
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        ordered_bits_reference,
+        ordered_bits_to_double,
+    )
+
+    # the Spark expression is checked against the struct reference in
+    # the test above on an adversarial grid; here hypothesis hammers
+    # the reference/inverse pair across the full bit space (driver
+    # side — per-example Spark jobs would take minutes)
+    @given(
+        st.floats(
+            allow_nan=True, allow_infinity=True, allow_subnormal=True
+        )
+    )
+    @settings(max_examples=2000, deadline=None)
+    def check(x):
+        b = ordered_bits_reference(x)
+        back = ordered_bits_to_double(b)
+        if math.isnan(x):
+            assert math.isnan(back)
+        elif x == 0.0:
+            assert back == 0.0
+        else:
+            assert back == x
+
+    check()
+
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=True,
+                      allow_subnormal=True),
+            min_size=2, max_size=50,
+        )
+    )
+    @settings(max_examples=500, deadline=None)
+    def check_order(xs):
+        xs = sorted(xs)
+        bs = [ordered_bits_reference(x) for x in xs]
+        assert bs == sorted(bs)
+
+    check_order()
+
+
+def test_exact_quantiles_radix_double_column(spark):
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        exact_quantiles_radix,
+    )
+
+    rnd = random.Random(6)
+    vals = (
+        [rnd.uniform(-1e6, 1e6) for _ in range(997)]
+        + [0.0, -0.0, 1e-310, -1e-310, 2.0**-1022, -2.0**300]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_quantiles_radix(spark, df, "v", qs).collect()
+    }
+    s = sorted(vals)
+    import math
+
+    for q in qs:
+        k = max(1, math.ceil(q * len(s) - 1e-9))
+        assert got[q] == s[k - 1], (q, got[q], s[k - 1])
+    # float column widens exactly
+    fdf = spark.createDataFrame([(float(i),) for i in range(100)], "v float")
+    out = exact_quantiles_radix(spark, fdf, "v", [0.5]).collect()[0]
+    assert out["value"] == 49.0  # k = ceil(0.5*100) = 50th of 0..99
+
+
+def test_exact_weighted_quantiles_double_column(spark):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        exact_weighted_quantiles_radix,
+    )
+
+    rows = [(-1.5, 1), (2.25, 3), (7.5, 6)]  # cum weights 1, 4, 10
+    df = spark.createDataFrame(rows, "v double, w long")
+    got = {
+        r["quantile"]: r["value"]
+        for r in exact_weighted_quantiles_radix(
+            spark, df, "v", "w", [0.1, 0.4, 0.5, 1.0]
+        ).collect()
+    }
+    assert got == {0.1: -1.5, 0.4: 2.25, 0.5: 7.5, 1.0: 7.5}
