@@ -8,14 +8,54 @@ is vocabulary-sized (power-law bounded, millions of rows at 100 TB,
 not billions), so:
 
 - one corpus-sized shuffle total (tokenize → word counts), up front;
-- each merge step is (a) one explode + hash-aggregate of adjacent
-  symbol pairs over the word table, weighted by word count, (b) a
-  1-row TakeOrdered for the argmax pair — (count desc, pair asc),
-  deterministic — and (c) a map-only pure-JVM ``aggregate`` fold
-  rewriting each word's symbol array with the standard left-to-right
-  non-overlapping greedy merge. No Python workers anywhere.
-- the driver holds one best pair per step; the word table is
-  ``localCheckpoint``ed each step so plan depth stays flat in N.
+- each ROUND is (a) one explode + hash-aggregate of adjacent symbol
+  pairs over the word table, weighted by word count, (b) a top-(B+1)
+  TakeOrdered — (count desc, pair asc), deterministic — and (c) a
+  map-only pure-JVM ``aggregate`` fold rewriting each word's symbol
+  array with the standard left-to-right non-overlapping greedy merge
+  for the WHOLE accepted batch at once. No Python workers anywhere.
+- the driver holds ≤B+1 candidate pairs per round; the word table is
+  ``localCheckpoint``ed each round so plan depth stays flat in N.
+
+Batching (round 6, VERDICT r5 item 4 — a 32k-merge vocabulary must
+not cost 32k scheduler round-trips): per round, the accepted batch is
+the maximal PREFIX of the (count desc, pair asc)-sorted candidates
+that is pairwise string-disjoint — no candidate may reuse a symbol of
+an earlier accepted pair NOR its concatenation (the concatenation
+guard catches chains like (a,b) then (ab,d) when "ab" already exists
+as a symbol) — trimmed to counts STRICTLY above the first rejected
+candidate's count. That makes the batch provably identical to
+replaying the sequential trainer:
+
+* disjoint merges cannot create or destroy each other's adjacencies,
+  so every accepted pair's count is invariant under the earlier
+  accepted merges — its snapshot count IS its sequential-step count;
+* every pair the earlier merges newly create, (x, ab) / (ab, y),
+  has count bounded by an adjacency involving a or b — a CONFLICTING
+  candidate, hence ranked past the prefix, hence ≤ the stop count —
+  and the strict trim keeps every accepted count above that, so the
+  accepted pair stays the unique argmax at its step (ties inside the
+  batch resolve by the original (pair asc) order, same as
+  sequential).
+
+The first candidate is always kept even when the trim would drop it
+(that round degenerates to one sequential step — still correct by
+definition, and guarantees progress).
+
+Honest limit of EXACT batching: on natural-language text the top
+merges chain (t→th, th→the), so the highest-count candidates conflict
+with each other and exact rounds degenerate toward one merge each —
+that is inherent to BPE's sequential definition, not to this
+implementation. ``exact=False`` is the production lever: skip
+conflicting candidates and keep filling the batch with lower-ranked
+disjoint pairs (the standard parallel-trainer heuristic). Skipped-
+over pairs may have lost count to earlier merges in the batch, so the
+learned ORDER (and, rarely, the set) can deviate from sequential —
+documented, deterministic, and bounded by the batch size; counts
+reported are the round-snapshot counts. Where the top of the pair
+distribution is conflict-free the two modes coincide and both train
+``num_merges=64`` in ≤8 rounds (pytest-pinned identical to a
+pure-Python sequential reference on such a corpus).
 
 Merge semantics (pinned by both the pytest reference implementation
 and the DuckDB oracle's delimiter-safe string replace): scanning left
@@ -34,23 +74,36 @@ from pyspark.sql import functions as F
 _TOKENIZE = "filter(split(lower(`{col}`), '[^a-z0-9]+'), x -> x <> '')"
 
 
-def _merge_fold(a: str, b: str):
-    """Pure-JVM left-to-right greedy pair merge of a symbol array:
-    an ``aggregate`` fold carrying (out, pending)."""
-    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+# symbols are [a-z0-9]+ substrings, so \x00 is a safe pair-key glue
+_SEP = "\x00"
+
+
+def _merge_fold(pairs: list[tuple[str, str]]):
+    """Pure-JVM left-to-right greedy merge of a symbol array for a
+    whole BATCH of string-disjoint pairs in ONE ``aggregate`` fold
+    carrying (out, pending): each adjacency is looked up in a
+    literal (l‖\\x00‖r → lr) map. Disjointness (module doc) makes the
+    single pass equivalent to applying the pairs one at a time."""
+    merge_map = F.create_map(
+        *[
+            lit
+            for a, b in pairs
+            for lit in (F.lit(a + _SEP + b), F.lit(a + b))
+        ]
+    )
 
     def step(acc, x):
         take_pending = acc["pending"].isNotNull()
-        is_merge = take_pending & (acc["pending"] == la) & (x == lb)
+        merged = merge_map[F.concat(acc["pending"], F.lit(_SEP), x)]
         return (
             F.when(
                 ~take_pending,
                 F.struct(acc["out"].alias("out"), x.alias("pending")),
             )
             .when(
-                is_merge,
+                merged.isNotNull(),
                 F.struct(
-                    F.concat(acc["out"], F.array(lab)).alias("out"),
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
                     F.lit(None).cast("string").alias("pending"),
                 ),
             )
@@ -92,18 +145,69 @@ def word_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _accept_batch(
+    cands: list, batch_size: int
+) -> list[tuple[str, str, int]]:
+    """The provably-sequential-equivalent batch (module doc): maximal
+    string-disjoint prefix of the sorted candidates, capped at
+    ``batch_size``, trimmed to counts strictly above the first
+    rejected candidate's count (callers collect ``batch_size + 1``
+    candidates, so when no conflict occurs before the cap the extra
+    candidate supplies the bound; a shorter list means EVERY pair was
+    collected and the bound is 0). The top pair is always kept."""
+    taken: set[str] = set()
+    accepted: list[tuple[str, str, int]] = []
+    c_stop = 0
+    for i, row in enumerate(cands):
+        l, r, c = row["l"], row["r"], int(row["c"])
+        if i >= batch_size or {l, r, l + r} & taken:
+            c_stop = c
+            break
+        accepted.append((l, r, c))
+        taken.update((l, r, l + r))
+    kept = [p for p in accepted if p[2] > c_stop]
+    return kept if kept else accepted[:1]
+
+
+def _accept_batch_fast(
+    cands: list, batch_size: int
+) -> list[tuple[str, str, int]]:
+    """``exact=False`` acceptance: SKIP conflicting candidates and
+    keep filling with lower-ranked string-disjoint pairs (module doc
+    — order may deviate from sequential; deterministic)."""
+    taken: set[str] = set()
+    accepted: list[tuple[str, str, int]] = []
+    for row in cands:
+        if len(accepted) >= batch_size:
+            break
+        l, r, c = row["l"], row["r"], int(row["c"])
+        if {l, r, l + r} & taken:
+            continue
+        accepted.append((l, r, int(c)))
+        taken.update((l, r, l + r))
+    return accepted
+
+
 def learn_bpe(
     spark: SparkSession,
     df: DataFrame,
     text_col: str,
     num_merges: int = 8,
+    batch_size: int = 16,
+    exact: bool = True,
 ) -> DataFrame:
-    """Learn the top-``num_merges`` BPE merges. Returns (step, left,
-    right, merged, pair_count) — step is 1-indexed in learned order.
-    Stops early if no adjacency remains."""
+    """Learn the top-``num_merges`` BPE merges, up to ``batch_size``
+    of them per Spark round. ``exact=True`` (default) uses the
+    provably-sequential-equivalent prefix batch (module doc) — the
+    result is identical to ``batch_size=1`` always; ``exact=False``
+    skips conflicting candidates to keep rounds ≈ merges/batch_size
+    on chaining text, at the documented cost of possible order
+    deviation. Returns (step, left, right, merged, pair_count) —
+    step is 1-indexed in learned order. Stops early if no adjacency
+    remains."""
     words = word_counts(df, text_col).localCheckpoint()
     learned = []
-    for step_no in range(1, num_merges + 1):
+    while len(learned) < num_merges:
         pairs = words.select(
             "cnt",
             F.explode(
@@ -115,19 +219,33 @@ def learn_bpe(
                 )
             ).alias("p"),
         )
-        best = (
+        room = min(batch_size, num_merges - len(learned))
+        # exact mode needs one extra candidate as the trim bound; fast
+        # mode wants a deeper horizon to skip past conflict clusters
+        horizon = room + 1 if exact else max(4 * room, 64)
+        cands = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.col("c").desc(), "l", "r")
-            .limit(1)
+            .limit(horizon)
             .collect()
         )
-        if not best:
+        if not cands:
             break
-        left, right, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        learned.append((step_no, left, right, left + right, c))
+        batch = (
+            _accept_batch(cands, room)
+            if exact
+            else _accept_batch_fast(cands, room)
+        )
+        for left, right, c in batch:
+            learned.append(
+                (len(learned) + 1, left, right, left + right, c)
+            )
         words = words.withColumn(
-            "syms", _merge_fold(left, right)(F.col("syms"))
+            "syms",
+            _merge_fold([(left, right) for left, right, _ in batch])(
+                F.col("syms")
+            ),
         ).localCheckpoint()
     if not learned:
         return spark.createDataFrame(
