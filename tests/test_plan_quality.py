@@ -561,7 +561,9 @@ def test_bpe_word_table_and_fold_pure_jvm(spark, sf_dir):
             )
         ).alias("p"),
     ).groupBy("p.l", "p.r").agg(F.sum("cnt"))
-    merged = words.withColumn("syms", bpe._merge_fold("t", "h")(F.col("syms")))
+    merged = words.withColumn(
+        "syms", bpe._merge_fold([("t", "h")])(F.col("syms"))
+    )
     for df in (pairs, merged):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
