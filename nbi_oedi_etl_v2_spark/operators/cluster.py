@@ -1,0 +1,255 @@
+"""Distributed Lloyd k-means over embedding columns.
+
+The clustering pass a training-data pipeline runs before semantic
+dedup (SemDeDup's first stage), mixture balancing, or IVF index
+builds. The classic distributed formulation maps 1:1 onto DataFrame
+algebra, and — unlike most k-means implementations — this one is
+built to be BIT-REPRODUCIBLE against an independent engine, so the
+correctness harness can hash-match it instead of settling for an
+"inertia went down" smoke check:
+
+- INIT is deterministic data: the k lowest-id vectors (no RNG — the
+  repo-wide convention; k-means++ would add seed-propagation for no
+  verification value at this layer).
+- ASSIGN is map-only pure JVM: each row folds its squared L2
+  distance to every centroid with a SEQUENTIAL ``aggregate`` over
+  ``zip_with`` (left-to-right float adds — the order an oracle can
+  replicate exactly, unlike a shuffle-order SUM), then takes the
+  lexicographic (distance, cluster_id) minimum, so ties break
+  deterministically.
+- UPDATE is one hash aggregate: per-(cluster, dim) means via
+  exact-DECIMAL sums (functions.dsum — shuffle-order-insensitive)
+  divided by member counts.
+- The only driver state is the k×d centroid matrix between rounds
+  (k·d doubles — bounded, never data-sized), re-entering the next
+  round's plan as literals, exactly like the PQ codebook convention
+  (operators/similarity.py).
+
+At 100 TB: assign is embarrassingly parallel over the corpus with a
+broadcast-by-literal centroid set; update is one map-side-combinable
+aggregate producing k·d rows. Iterations multiply the corpus scans,
+not the shuffles — the standard trade every distributed k-means
+makes. Empty clusters keep their previous centroid (documented;
+deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dsum
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Sequential-fold squared L2 distance to a literal centroid —
+    float elements promote exactly to double; adds run left-to-right
+    so any engine that folds sequentially reproduces the bits."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Map-only hard assignment: adds ``cluster_id`` (lexicographic
+    (distance, id) argmin — deterministic ties) and ``sq_dist``."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col(vec_col), c).alias("d"),
+                F.lit(i).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(pairs)
+    return df.withColumn("cluster_id", best["c"]).withColumn(
+        "sq_dist", best["d"]
+    )
+
+
+def _seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[list[float]]:
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """``iters`` Lloyd rounds from the deterministic lowest-id seeds.
+
+    Returns (final centroid matrix, assignment DataFrame under those
+    final centroids — with ``cluster_id`` and ``sq_dist`` columns).
+    Each round collects exactly k·d doubles (the centroid matrix) to
+    the driver; all data-sized work is one map-only assign + one
+    hash aggregate per round."""
+    cents = _seed_centroids(df, id_col, vec_col, k)
+    d = len(cents[0])
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, cents)
+        dims = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
+        )
+        # float → double first (exact promotion), THEN the decimal
+        # sum: double→decimal rounding is the proven cross-engine
+        # parity path (functions.dsum docstring); float→decimal is not
+        rows = (
+            dims.groupBy("cluster_id", "dim")
+            .agg(
+                (
+                    dsum(F.col("x").cast("double")) / F.count(F.lit(1))
+                ).alias("v")
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty clusters keep position
+        for r in rows:
+            new[r["cluster_id"]][r["dim"]] = r["v"]
+        cents = new
+        assert len(cents) == k and all(len(c) == d for c in cents)
+    return cents, assign_clusters(df, vec_col, cents)
+
+
+def kmeans_summary(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """Long-form hash-matchable result: one row per (cluster, dim)
+    with the final centroid coordinate, member count, and the
+    cluster's exact-decimal inertia under the FINAL centroids."""
+    cents, assigned = lloyd_kmeans(df, id_col, vec_col, k, iters)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        dsum(F.col("sq_dist")).alias("inertia"),
+    )
+    coords = [
+        (c, dim, v)
+        for c, row in enumerate(cents)
+        for dim, v in enumerate(row)
+    ]
+    cdf = assigned.sparkSession.createDataFrame(
+        coords, "cluster_id int, dim int, value double"
+    )
+    return (
+        cdf.join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "dim",
+            "value",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            "inertia",
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`kmeans_summary`, the trainer unrolled
+    ``iters`` rounds. Bit-parity choices mirror the Spark side
+    1-for-1: distances fold left-to-right (``list_reduce`` ≡
+    ``F.aggregate``; reduce's first-element seed equals the 0.0 seed
+    because 0.0 + x == x), ties break (distance, cluster_id),
+    per-dim means go through the exact-DECIMAL sum with the
+    VARCHAR→DOUBLE readout (functions.dsum_sql rationale), and empty
+    clusters inherit the previous round's centroid."""
+    sqdist = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), i ->"
+        f" (CAST(e.{vec_col}[i] AS DOUBLE) - c.cv[i])"
+        f" * (CAST(e.{vec_col}[i] AS DOUBLE) - c.cv[i])),"
+        " (x, y) -> x + y)"
+    )
+    dsum_x = (
+        "CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,10)))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
+    ctes = [
+        f"""e AS (
+      SELECT {id_col} AS vid, {vec_col} FROM {source}
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid,
+             list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS cv
+      FROM (SELECT vid, {vec_col} FROM e ORDER BY vid LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        ctes.append(f"""a{t} AS (
+      SELECT vid, {vec_col}, cid, d FROM (
+        SELECT vid, {vec_col}, cid, d,
+               row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM (
+          SELECT e.vid, e.{vec_col}, c.cid, {sqdist} AS d
+          FROM e, {prev} c
+        )
+      ) WHERE rn = 1
+    ),
+    c{t} AS (
+      SELECT cid, list(v ORDER BY dim) AS cv FROM (
+        SELECT a.cid AS cid, g.i AS dim,
+               {dsum_x} / COUNT(*) AS v
+        FROM a{t} a, generate_series(1, {dim}) AS g(i),
+             LATERAL (SELECT a.{vec_col}[g.i] AS x) s
+        GROUP BY a.cid, g.i
+      ) GROUP BY cid
+      UNION ALL
+      SELECT p.cid, p.cv FROM {prev} p
+      WHERE p.cid NOT IN (SELECT DISTINCT cid FROM a{t})
+    )""")
+    final_assign = f"""af AS (
+      SELECT vid, cid, d FROM (
+        SELECT vid, cid, d,
+               row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+        FROM (
+          SELECT e.vid, c.cid, {sqdist} AS d
+          FROM e, c{iters} c
+        )
+      ) WHERE rn = 1
+    ),
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(CAST(SUM(CAST(d AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) AS inertia
+      FROM af GROUP BY cid
+    ),
+    coords AS (
+      SELECT c.cid, g.i - 1 AS dim, c.cv[g.i] AS value
+      FROM c{iters} c, generate_series(1, {dim}) AS g(i)
+    )"""
+    ctes.append(final_assign)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT co.cid AS cluster_id, CAST(co.dim AS INT) AS dim, co.value,
+           COALESCE(s.n_members, 0) AS n_members, s.inertia
+    FROM coords co LEFT JOIN sizes s ON s.cid = co.cid
+    ORDER BY cluster_id, dim
+    """
+    )

@@ -129,3 +129,89 @@ def sampled_sum_estimate(
             )
         ).alias("ci_half_3sigma"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group simple linear regression y = a·x + b by the closed
+    form, in ONE map-side-combinable aggregation pass.
+
+    The five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are
+    exact-DECIMAL sums (shuffle-order-insensitive — the dsum
+    convention), so slope / intercept / r² are pure double arithmetic
+    over exactly-reproducible inputs: bit-matchable by any engine
+    evaluating the same formula. At 100 TB this is the cheapest
+    model-quality probe there is — one pass, group-count rows out,
+    no iteration. Degenerate groups (constant x) emit NULL slope
+    rather than ±inf (0/0 guarded)."""
+    x = F.col(f"`{x_col}`").cast("double")
+    y = F.col(f"`{y_col}`").cast("double")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy  # n²·cov — shared numerator
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0, cov_n / var_x)
+    return m.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        F.when(var_x != 0, (sy - (cov_n / var_x) * sx) / n).alias(
+            "intercept"
+        ),
+        F.when(
+            (var_x != 0) & (var_y != 0),
+            (cov_n * cov_n) / (var_x * var_y),
+        ).alias("r2"),
+    )
+
+
+def grouped_ols_oracle_sql(
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+    source: str,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols` — the same sufficient
+    statistics through the same exact-decimal path, the same formula
+    shape (operation-for-operation, so the doubles agree bitwise)."""
+    from ..functions import dsum_sql
+
+    g = ", ".join(group_cols)
+    x = f"CAST({x_col} AS DOUBLE)"
+    y = f"CAST({y_col} AS DOUBLE)"
+    return f"""
+    WITH m AS (
+      SELECT {g},
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {dsum_sql(x)} AS sx,
+             {dsum_sql(y)} AS sy,
+             {dsum_sql(f'{x} * {y}')} AS sxy,
+             {dsum_sql(f'{x} * {x}')} AS sxx,
+             {dsum_sql(f'{y} * {y}')} AS syy
+      FROM {source} GROUP BY {g}
+    )
+    SELECT {g}, n,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS r2
+    FROM m ORDER BY {g}
+    """

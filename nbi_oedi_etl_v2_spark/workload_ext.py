@@ -4708,3 +4708,79 @@ def _install_bpe_encode_oracle() -> None:
 
 
 _install_bpe_encode_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Wave 8 — clustering and regression
+# ---------------------------------------------------------------------------
+
+@query(
+    "embeddings_kmeans_lloyd",
+    oracle=None,  # installed below from the unrolled-oracle generator
+    doc="Distributed Lloyd k-means (k=4, 3 rounds, deterministic "
+        "lowest-id seeds): map-only pure-JVM assignment (sequential "
+        "zip_with fold per centroid, lexicographic (dist, id) argmin "
+        "ties), one exact-decimal hash aggregate per round for the "
+        "centroid update, k·d driver doubles between rounds "
+        "(operators/cluster.py). BIT-matched — centroids, member "
+        "counts AND inertia — against the step-unrolled DuckDB twin, "
+        "not just 'inertia decreased'. The clustering pass ahead of "
+        "SemDeDup / mixture balancing / IVF builds.",
+    driver=True,
+)
+def q_embeddings_kmeans_lloyd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import cluster
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster.kmeans_summary(emb, "vec_id", "embedding", k=4, iters=3)
+
+
+def _install_kmeans_oracle() -> None:
+    from .operators import cluster
+
+    REGISTRY["embeddings_kmeans_lloyd"].oracle = (
+        cluster.kmeans_oracle_sql(k=4, iters=3, dim=64)
+    )
+
+
+_install_kmeans_oracle()
+
+
+@query(
+    "lineitem_ols_price_model",
+    oracle=None,  # installed below from the formula-twin generator
+    doc="Per-flag simple OLS (extendedprice on quantity) by the "
+        "closed form over ONE map-side-combinable aggregation pass: "
+        "the five sufficient statistics are exact-decimal sums, so "
+        "slope/intercept/r-squared are reproducible double "
+        "arithmetic — the cheapest model-quality probe at 100 TB "
+        "(operators/stats.py grouped_ols). Hash-matched against the "
+        "operation-for-operation SQL twin.",
+    driver=True,
+)
+def q_lineitem_ols_price_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import stats as stats_ops
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return stats_ops.grouped_ols(
+        l, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+def _install_ols_oracle() -> None:
+    from .operators import stats as stats_ops
+
+    REGISTRY["lineitem_ols_price_model"].oracle = (
+        stats_ops.grouped_ols_oracle_sql(
+            "l_quantity", "l_extendedprice", ["l_returnflag"], "lineitem"
+        )
+    )
+
+
+_install_ols_oracle()

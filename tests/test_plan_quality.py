@@ -667,3 +667,66 @@ def test_dynamic_partition_pruning_injects(spark, sf_dir, tmp_path):
     j = fact.join(dim, "prio").groupBy("prio").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_bloom_anti_join_fast_path_structure(spark, sf_dir):
+    # the two-path plan: exactly ONE join (the candidate verify anti
+    # join) — the definite-absent branch is a map-only filter over the
+    # literal bitset, never a join — and the whole thing stays JVM
+    plan = plan_of(spark, sf_dir, "customer_bloom_inactive")
+    joins = [l for l in plan.splitlines()
+             if "Join LeftAnti" in l or "BroadcastHashJoin" in l
+             or "SortMergeJoin" in l]
+    anti = [l for l in joins if "LeftAnti" in l]
+    assert len(anti) == 1
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                   "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+    # the probe relation is scanned twice (definite + candidate
+    # branches) but only the candidate branch reaches an exchange
+    assert plan.count("xxhash64") >= 3  # k=3 probe positions inline
+
+
+def test_association_rules_no_item_self_join(spark, sf_dir):
+    # pair generation happens IN-ROW (nested transform over the sorted
+    # basket set) — the item table must never self-join; the only
+    # joins are the broadcast support attaches and the dim broadcast
+    plan = plan_of(spark, sf_dir, "lineitem_association_rules")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_bpe_encode_vocab_sized_folds(spark, sf_dir):
+    # the merge folds run on the DISTINCT-WORD table only: the plan
+    # carries one distinct aggregate below the fold projection, and
+    # everything is whole-stage JVM (no Python workers)
+    plan = plan_of(spark, sf_dir, "documents_bpe_token_counts")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas", "CartesianProduct"):
+        assert marker not in plan
+
+
+def test_kmeans_assign_pure_jvm_one_agg_per_round(spark, sf_dir):
+    # the final assignment under fixed centroids must be map-only JVM
+    # (no Python workers, no join); the summary's only joins are the
+    # broadcast size attach
+    from nbi_oedi_etl_v2_spark.operators import cluster
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = cluster._seed_centroids(emb, "vec_id", "embedding", 4)
+    assigned = cluster.assign_clusters(emb, "embedding", cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_ols_single_pass_partial_agg(spark, sf_dir):
+    # one aggregation, map-side combined; no second scan of lineitem
+    plan = plan_of(spark, sf_dir, "lineitem_ols_price_model")
+    assert plan.count("FileScan") == 1
+    assert "partial_sum" in plan or "partial_count" in plan

@@ -1,0 +1,105 @@
+"""Wave-8 operator tests: Lloyd k-means and grouped OLS."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark.operators import cluster, stats
+from nbi_oedi_etl_v2_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+def _toy(spark):
+    # two tight blobs around (0,0) and (10,10)
+    pts = [
+        (1, [0.0, 0.1]), (2, [0.1, 0.0]), (3, [-0.1, 0.1]),
+        (4, [10.0, 10.1]), (5, [10.1, 9.9]), (6, [9.9, 10.0]),
+    ]
+    return spark.createDataFrame(pts, "id long, v array<float>")
+
+
+def test_kmeans_separates_blobs(spark):
+    cents, assigned = cluster.lloyd_kmeans(_toy(spark), "id", "v", k=2,
+                                           iters=4)
+    got = {r.id: r.cluster_id for r in assigned.collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5] == got[6]
+    assert got[1] != got[4]
+    blob = cents[got[4]]
+    assert abs(blob[0] - 10.0) < 0.2 and abs(blob[1] - 10.0) < 0.2
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    prev = None
+    for it in (1, 2, 4):
+        _, assigned = cluster.lloyd_kmeans(
+            emb, "vec_id", "embedding", k=4, iters=it
+        )
+        inertia = assigned.agg(F.sum("sq_dist")).collect()[0][0]
+        if prev is not None:
+            assert inertia <= prev + 1e-9
+        prev = inertia
+
+
+def test_kmeans_assign_deterministic_ties(spark):
+    # a point equidistant from two centroids goes to the LOWER id
+    df = spark.createDataFrame([(1, [5.0])], "id long, v array<float>")
+    out = cluster.assign_clusters(df, "v", [[0.0], [10.0]]).collect()[0]
+    assert out.cluster_id == 0 and abs(out.sq_dist - 25.0) < 1e-12
+
+
+def test_kmeans_empty_cluster_keeps_seed(spark):
+    # k=3 over 2 distinct points: one cluster never gets members and
+    # must keep its seed coordinates instead of NaN-ing out
+    pts = [(1, [0.0]), (2, [0.0]), (3, [10.0])]
+    df = spark.createDataFrame(pts, "id long, v array<float>")
+    cents, assigned = cluster.lloyd_kmeans(df, "id", "v", k=3, iters=2)
+    assert len(cents) == 3
+    assert all(all(math.isfinite(x) for x in c) for c in cents)
+    summary = cluster.kmeans_summary(df, "id", "v", k=3, iters=2)
+    empty = [r for r in summary.collect() if r.n_members == 0]
+    assert all(r.inertia is None for r in empty)
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS
+# ---------------------------------------------------------------------------
+
+def test_ols_recovers_exact_line(spark):
+    rows = [("g", float(x), 3.0 * x + 7.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = stats.grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert abs(r.slope - 3.0) < 1e-9
+    assert abs(r.intercept - 7.0) < 1e-9
+    assert abs(r.r2 - 1.0) < 1e-12
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    rng = [
+        ("a", 1.0, 2.3), ("a", 2.0, 4.1), ("a", 3.0, 6.2),
+        ("a", 4.0, 7.9), ("a", 5.0, 10.4),
+        ("b", 1.0, 9.0), ("b", 2.0, 7.2), ("b", 3.0, 5.1),
+        ("b", 4.0, 2.8),
+    ]
+    df = spark.createDataFrame(rng, "g string, x double, y double")
+    got = {r.g: r for r in stats.grouped_ols(df, "x", "y", ["g"]).collect()}
+    for g in ("a", "b"):
+        xs = np.array([r[1] for r in rng if r[0] == g])
+        ys = np.array([r[2] for r in rng if r[0] == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[g].slope - slope) < 1e-9
+        assert abs(got[g].intercept - intercept) < 1e-9
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[g].r2 - r * r) < 1e-9
+
+
+def test_ols_degenerate_constant_x(spark):
+    rows = [("g", 2.0, float(y)) for y in range(5)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = stats.grouped_ols(df, "x", "y", ["g"]).collect()[0]
+    assert r.slope is None and r.intercept is None and r.r2 is None
