@@ -172,3 +172,21 @@ def _distinct_string_pairs(
         .select("s_a", "s_b", F.col("dist").cast("bigint").alias("dist"))
         .distinct()
     )
+
+
+def edit_distance_string_pairs(
+    strings: DataFrame, max_dist: int = 2, q: int = 2
+) -> DataFrame:
+    """Public string-LEVEL Ed-Join: (s_a < s_b, dist ≤ max_dist) over
+    a one-column ``s`` DataFrame of distinct strings.
+
+    This is the right entry point when the caller's unit of identity
+    is the string (entity-resolution GROUPS, vocabulary dedup), not
+    the row: :func:`edit_distance_pairs`'s id-level expansion is the
+    answer when the pairs themselves are wanted, but it multiplies
+    every string pair by m_a·m_b row copies — quadratic in duplicate
+    multiplicity, which the sf10 soak measured blowing up the
+    entity-resolution pipeline (group-level rework, round 6). At the
+    string level the output is bounded by distinct-string pair
+    cardinality, independent of how many rows share a name."""
+    return _distinct_string_pairs(strings.select("s").distinct(), max_dist, q)

@@ -21,7 +21,7 @@ the iteration count is fixed and small (a 5-deep plan is fine; pass
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -297,3 +297,105 @@ def bfs_oracle_sql(max_depth: int = 6) -> str:
     SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
     FROM walk GROUP BY node ORDER BY node
     """
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic synchronous variant): every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its in-neighbors, ties broken by the SMALLEST
+    label, isolated/unreached nodes keep their current label. The
+    argmax-with-min-tie rule makes the whole fixed-round computation
+    deterministic — hash-matchable by an engine replaying the same
+    rounds, where the textbook random-order variant would not be.
+
+    Scale shape per round: one keyed equi-join (edges ⋈ labels on
+    src), one (dst, label) hash aggregate, one per-dst argmax window
+    — all shuffles keyed by node id, same profile as a PageRank
+    round. Labels are ``localCheckpoint``ed per round (flat plan
+    depth in rounds — the BFS lesson) and the edge table is persisted
+    for the loop's duration, dropped before returning.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).persist()
+    try:
+        labels = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select("dst"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        for _ in range(rounds):
+            neigh = (
+                e.join(labels, e["src"] == labels["node"])
+                .groupBy(F.col("dst").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = (
+                neigh.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", F.col("lbl").alias("new_lbl"))
+            )
+            labels = (
+                labels.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_lbl", "lbl").alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+        return labels.select("node", F.col("lbl").alias("community"))
+    finally:
+        e.unpersist()
+
+
+def label_propagation_oracle_sql(rounds: int = 5) -> str:
+    """DuckDB mirror of ``label_propagation`` over the lineitem
+    co-purchase graph — the synchronous rounds unrolled, with the
+    identical (count DESC, label ASC) argmax tie-break."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f""",
+    n{i + 1} AS (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN l{i} l ON l.node = e.src
+      GROUP BY e.dst, l.lbl
+    ),
+    b{i + 1} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM n{i + 1}
+      ) WHERE rn = 1
+    ),
+    l{i + 1} AS (
+      SELECT p.node, COALESCE(b.lbl, p.lbl) AS lbl
+      FROM l{i} p LEFT JOIN b{i + 1} b ON b.node = p.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, lbl AS community FROM l{rounds} ORDER BY node
+    """
+    )

@@ -215,3 +215,154 @@ def grouped_ols_oracle_sql(
            END AS r2
     FROM m ORDER BY {g}
     """
+
+
+def grouped_ols2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group TWO-feature OLS ``y = b0 + b1·x1 + b2·x2`` by
+    Cramer's rule over the 3×3 normal equations — still ONE
+    aggregation pass (nine exact-decimal sufficient statistics), and
+    still bit-matchable: the cofactor expansion below is evaluated in
+    a fixed operation order that the SQL twin mirrors token-for-token,
+    so the doubles agree exactly. A numeric solver (LU/QR) would be
+    numerically nicer but engine-specific — for p=2 the explicit
+    formula is well-conditioned enough and buys exact verification;
+    the general-p path is :func:`ols_fit`. Singular groups (collinear
+    or constant features) emit NULL coefficients (det == 0 guarded)."""
+    x1 = F.col(f"`{x1_col}`").cast("double")
+    x2 = F.col(f"`{x2_col}`").cast("double")
+    y = F.col(f"`{y_col}`").cast("double")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x1).alias("s1"),
+        dsum(x2).alias("s2"),
+        dsum(x1 * x1).alias("s11"),
+        dsum(x1 * x2).alias("s12"),
+        dsum(x2 * x2).alias("s22"),
+        dsum(y).alias("sy"),
+        dsum(x1 * y).alias("s1y"),
+        dsum(x2 * y).alias("s2y"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    # |  n  s1  s2 |        replace column k with (sy, s1y, s2y)
+    # | s1 s11 s12 |  —  cofactor expansion along the first row,
+    # | s2 s12 s22 |     identical token order in the SQL twin
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = det != 0
+    return m.select(
+        *group_cols,
+        n.cast("bigint").alias("n"),
+        F.when(ok, det0 / det).alias("b0"),
+        F.when(ok, det1 / det).alias("b1"),
+        F.when(ok, det2 / det).alias("b2"),
+    )
+
+
+def grouped_ols2_oracle_sql(
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    group_cols: list[str],
+    source: str,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols2` — same statistics, same
+    cofactor expansion, token-for-token."""
+    from ..functions import dsum_sql
+
+    g = ", ".join(group_cols)
+    x1 = f"CAST({x1_col} AS DOUBLE)"
+    x2 = f"CAST({x2_col} AS DOUBLE)"
+    y = f"CAST({y_col} AS DOUBLE)"
+    det = ("(n * (s11 * s22 - s12 * s12)"
+           " - s1 * (s1 * s22 - s12 * s2)"
+           " + s2 * (s1 * s12 - s11 * s2))")
+    det0 = ("(sy * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1y * s22 - s12 * s2y)"
+            " + s2 * (s1y * s12 - s11 * s2y))")
+    det1 = ("(n * (s1y * s22 - s12 * s2y)"
+            " - sy * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s2y - s1y * s2))")
+    det2 = ("(n * (s11 * s2y - s1y * s12)"
+            " - s1 * (s1 * s2y - s1y * s2)"
+            " + sy * (s1 * s12 - s11 * s2))")
+    return f"""
+    WITH m AS (
+      SELECT {g},
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {dsum_sql(x1)} AS s1,
+             {dsum_sql(x2)} AS s2,
+             {dsum_sql(f'{x1} * {x1}')} AS s11,
+             {dsum_sql(f'{x1} * {x2}')} AS s12,
+             {dsum_sql(f'{x2} * {x2}')} AS s22,
+             {dsum_sql(y)} AS sy,
+             {dsum_sql(f'{x1} * {y}')} AS s1y,
+             {dsum_sql(f'{x2} * {y}')} AS s2y
+      FROM {source} GROUP BY {g}
+    )
+    SELECT {g}, CAST(n AS BIGINT) AS n,
+           CASE WHEN {det} <> 0 THEN {det0} / {det} END AS b0,
+           CASE WHEN {det} <> 0 THEN {det1} / {det} END AS b1,
+           CASE WHEN {det} <> 0 THEN {det2} / {det} END AS b2
+    FROM m ORDER BY {g}
+    """
+
+
+def ols_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+) -> list[float]:
+    """General-p OLS via the normal equations: ONE aggregation pass
+    accumulates the (p+1)×(p+1) Gram matrix and (p+1) moment vector
+    as exact-decimal sums (p(p+3)/2 + 1 numbers per partition —
+    bounded driver state, the correlation-matrix shape), then a
+    driver-side ``numpy.linalg.lstsq`` solve. Returns
+    [intercept, coef_1, …, coef_p]. The verification story lives in
+    :func:`grouped_ols`/:func:`grouped_ols2` (bit-matched closed
+    forms); this is the production entry point for wider designs."""
+    import numpy as np
+
+    xs = [F.col(f"`{c}`").cast("double") for c in x_cols]
+    terms = [F.lit(1.0)] + xs
+    y = F.col(f"`{y_col}`").cast("double")
+    aggs = []
+    for i, a in enumerate(terms):
+        for j, b in enumerate(terms[i:], start=i):
+            aggs.append(dsum(a * b).alias(f"g_{i}_{j}"))
+        aggs.append(dsum(a * y).alias(f"v_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    p = len(terms)
+    gram = np.empty((p, p))
+    vec = np.empty(p)
+    for i in range(p):
+        vec[i] = row[f"v_{i}"]
+        for j in range(i, p):
+            gram[i, j] = gram[j, i] = row[f"g_{i}_{j}"]
+    sol, *_ = np.linalg.lstsq(gram, vec, rcond=None)
+    return [float(c) for c in sol]

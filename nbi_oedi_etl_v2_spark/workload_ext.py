@@ -3836,19 +3836,20 @@ def q_lineitem_exact_price_quantiles(
            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
     FROM lab GROUP BY entity ORDER BY entity
     """,
-    doc="End-to-end entity resolution over customers: Ed-Join q-gram "
-        "blocked fuzzy matching (operators/fuzzy.py, exact "
-        "Levenshtein<=1 pairs) -> pointer-jumping connected "
-        "components (operators/curation.py, O(log d) rounds) -> "
-        "golden-record survivorship per entity (min-key canonical "
-        "name via min_by, max account balance, member/nation "
-        "counts), singletons resolving to themselves via the "
-        "left-join coalesce. Each stage is a keyed shuffle or "
-        "bounded iteration already proven at scale; the composition "
-        "itself is what a reference user would run as their "
-        "dedupe-then-merge pipeline. Hash-matched against the "
-        "brute-force + recursive-CTE + identical-survivorship DuckDB "
-        "pipeline.",
+    doc="End-to-end entity resolution over customers, GROUP-level "
+        "(r6): exact (name, nation) groups collapse first, Ed-Join "
+        "q-gram fuzzy matching runs on distinct names "
+        "(operators/fuzzy.py edit_distance_string_pairs, exact "
+        "Levenshtein<=1), large-star/small-star connected components "
+        "run on the GROUP graph (operators/curation.py, O(log n) "
+        "rounds, edge table independent of duplicate multiplicity — "
+        "the row-level formulation measured quadratic in the sf10 "
+        "soak), then rows rejoin linearly for golden-record "
+        "survivorship (min-key canonical name, max balance, "
+        "member/nation counts); singleton groups resolve to their "
+        "min custkey, which makes the group labels provably equal "
+        "to the row-level oracle's min-custkey labels. Hash-matched "
+        "against the brute-force + recursive-CTE DuckDB pipeline.",
     driver=False,
 )
 def q_customer_entity_resolution(
@@ -3857,34 +3858,46 @@ def q_customer_entity_resolution(
     from .operators import fuzzy
 
     c = load_table(spark, sf_dir, "customer")
-    raw_pairs = fuzzy.edit_distance_pairs(
-        c, "c_custkey", "c_name", max_dist=1, q=3
+    # GROUP-level resolution (r6 rework — the sf10 soak measured the
+    # row-level formulation quadratic in duplicate multiplicity m:
+    # exact-name copies formed m-cliques, m²-exploding the edge table
+    # before CC ever ran). Unit of identity = the (name, nation)
+    # group; its id is the group's min custkey, so the min-node
+    # component label equals the row-level oracle's min-custkey label
+    # exactly. Edge cardinality is now bounded by distinct-group
+    # pairs — independent of how many rows share a name — and rows
+    # rejoin linearly at the end.
+    g = c.groupBy("c_name", "c_nationkey").agg(
+        F.min("c_custkey").alias("gid")
+    )
+    spairs = fuzzy.edit_distance_string_pairs(
+        g.select(F.col("c_name").alias("s")), max_dist=1, q=3
     )
     # blocking on the strong attribute: candidate entities must share
-    # a nation — two key-only equi-joins against the pair list
-    nat = c.select("c_custkey", "c_nationkey")
+    # a nation — group-level equi-joins on the name
+    ga = g.select(
+        F.col("c_name").alias("s_a"),
+        F.col("c_nationkey").alias("_na"),
+        F.col("gid").alias("id_a"),
+    )
+    gb = g.select(
+        F.col("c_name").alias("s_b"),
+        F.col("c_nationkey").alias("_nb"),
+        F.col("gid").alias("id_b"),
+    )
     pairs = (
-        raw_pairs.join(
-            nat.select(
-                F.col("c_custkey").alias("id_a"),
-                F.col("c_nationkey").alias("_na"),
-            ),
-            "id_a",
-        )
-        .join(
-            nat.select(
-                F.col("c_custkey").alias("id_b"),
-                F.col("c_nationkey").alias("_nb"),
-            ),
-            "id_b",
-        )
+        spairs.join(ga, "s_a")
+        .join(gb, "s_b")
         .where(F.col("_na") == F.col("_nb"))
         .select("id_a", "id_b")
     )
     comp = curation.connected_components(pairs)
-    lab = c.join(
-        comp, c["c_custkey"] == comp["node"], "left"
-    ).withColumn("entity", F.coalesce(F.col("component"), F.col("c_custkey")))
+    gl = g.join(comp, g["gid"] == comp["node"], "left").select(
+        "c_name",
+        "c_nationkey",
+        F.coalesce(F.col("component"), F.col("gid")).alias("entity"),
+    )
+    lab = c.join(gl, ["c_name", "c_nationkey"])
     return (
         lab.groupBy("entity")
         .agg(
@@ -4548,6 +4561,7 @@ def q_orders_aqp_revenue_estimate(
 
 @query(
     "customer_bloom_inactive",
+    headline=True,
     # independent derivation: the plain anti join the bloom-prefiltered
     # two-path plan must be indistinguishable from
     oracle="""
@@ -4586,6 +4600,7 @@ def q_customer_bloom_inactive(
 
 @query(
     "lineitem_association_rules",
+    headline=True,
     # independent derivation: brute-force pair self-join + support
     # arithmetic in plain SQL — no A-Priori pruning, no in-row pair
     # generation
@@ -4675,6 +4690,7 @@ _BPE_ENCODE_MERGES: list[tuple[str, str]] = [
 
 @query(
     "documents_bpe_token_counts",
+    headline=True,
     oracle=None,  # replaced below — needs the merge-list helper
     doc="BPE tokenizer ENCODE + per-document token accounting under "
         "a fixed learned merge list: the corpus tokenizes once, the "
@@ -4716,6 +4732,7 @@ _install_bpe_encode_oracle()
 
 @query(
     "embeddings_kmeans_lloyd",
+    headline=True,
     oracle=None,  # installed below from the unrolled-oracle generator
     doc="Distributed Lloyd k-means (k=4, 3 rounds, deterministic "
         "lowest-id seeds): map-only pure-JVM assignment (sequential "
@@ -4784,3 +4801,86 @@ def _install_ols_oracle() -> None:
 
 
 _install_ols_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Wave 9 — community detection and multi-feature regression
+# ---------------------------------------------------------------------------
+
+@query(
+    "part_copurchase_labelprop",
+    headline=True,
+    oracle=None,  # installed below from the unrolled-round generator
+    doc="Synchronous label-propagation communities (Raghavan et al. "
+        "2007) over the co-purchase graph, 5 rounds: per round one "
+        "keyed edges-to-labels join, one (node, label) aggregate, one "
+        "per-node argmax window with the deterministic (count DESC, "
+        "label ASC) tie-break; labels localCheckpoint per round, "
+        "edges persisted for the loop (operators/graph.py "
+        "label_propagation). The PageRank cost profile with "
+        "community semantics. Hash-matched against the round-unrolled "
+        "DuckDB twin.",
+    driver=True,
+)
+def q_part_copurchase_labelprop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return graph.label_propagation(
+        graph.copurchase_edges(li), rounds=5
+    ).orderBy("node")
+
+
+def _install_labelprop_oracle() -> None:
+    from .operators import graph
+
+    REGISTRY["part_copurchase_labelprop"].oracle = (
+        graph.label_propagation_oracle_sql(rounds=5)
+    )
+
+
+_install_labelprop_oracle()
+
+
+@query(
+    "lineitem_ols2_price_model",
+    oracle=None,  # installed below from the Cramer-twin generator
+    doc="Per-flag TWO-feature OLS (extendedprice on quantity and "
+        "discount) by Cramer's rule over the 3x3 normal equations — "
+        "one aggregation pass of nine exact-decimal sufficient "
+        "statistics, coefficients as fixed-operation-order double "
+        "arithmetic the SQL twin mirrors token-for-token "
+        "(operators/stats.py grouped_ols2; general-p path is "
+        "ols_fit's Gram-matrix + driver lstsq). Hash-matched.",
+    driver=True,
+)
+def q_lineitem_ols2_price_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import stats as stats_ops
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    return stats_ops.grouped_ols2(
+        l, "l_quantity", "l_discount", "l_extendedprice",
+        ["l_returnflag"],
+    ).orderBy("l_returnflag")
+
+
+def _install_ols2_oracle() -> None:
+    from .operators import stats as stats_ops
+
+    REGISTRY["lineitem_ols2_price_model"].oracle = (
+        stats_ops.grouped_ols2_oracle_sql(
+            "l_quantity", "l_discount", "l_extendedprice",
+            ["l_returnflag"], "lineitem",
+        )
+    )
+
+
+_install_ols2_oracle()

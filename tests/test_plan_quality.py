@@ -730,3 +730,18 @@ def test_ols_single_pass_partial_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "lineitem_ols_price_model")
     assert plan.count("FileScan") == 1
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_labelprop_round_is_keyed_joins_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "part_copurchase_labelprop")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_ols2_single_pass_partial_agg(spark, sf_dir):
+    # nine sufficient statistics in ONE scan, map-side combined
+    plan = plan_of(spark, sf_dir, "lineitem_ols2_price_model")
+    assert plan.count("FileScan") == 1
+    assert "partial_sum" in plan

@@ -1,0 +1,84 @@
+"""Wave-9 operator tests: label propagation and multi-feature OLS."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nbi_oedi_etl_v2_spark.operators import graph, stats
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, "src long, dst long")
+
+
+def test_labelprop_two_cliques(spark):
+    # two triangles joined by nothing → two communities, each labeled
+    # by its minimum node id
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            _edges(spark, tri1 + tri2), rounds=4
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12] == 10
+
+
+def test_labelprop_isolated_node_keeps_label(spark):
+    # a node with only out-edges (no in-neighbors) keeps its own label
+    e = spark.createDataFrame([(5, 6)], "src long, dst long")
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(e, rounds=3).collect()
+    }
+    assert out[5] == 5  # never receives a label
+    assert out[6] == 5  # adopts its only in-neighbor's label
+
+
+def test_labelprop_tie_breaks_to_min_label(spark):
+    # node 3 hears labels {1, 2} once each → adopts 1
+    e = spark.createDataFrame(
+        [(1, 3), (2, 3)], "src long, dst long"
+    )
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(e, rounds=1).collect()
+    }
+    assert out[3] == 1
+
+
+def test_ols2_recovers_exact_plane(spark):
+    rows = [
+        ("g", float(x1), float(x2), 2.0 * x1 - 3.0 * x2 + 5.0)
+        for x1 in range(5)
+        for x2 in range(5)
+    ]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    r = stats.grouped_ols2(df, "x1", "x2", "y", ["g"]).collect()[0]
+    assert abs(r.b0 - 5.0) < 1e-9
+    assert abs(r.b1 - 2.0) < 1e-9
+    assert abs(r.b2 - (-3.0)) < 1e-9
+
+
+def test_ols2_collinear_returns_null(spark):
+    rows = [("g", float(x), 2.0 * float(x), float(x)) for x in range(6)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+    r = stats.grouped_ols2(df, "x1", "x2", "y", ["g"]).collect()[0]
+    assert r.b0 is None and r.b1 is None and r.b2 is None
+
+
+def test_ols_fit_matches_numpy_lstsq(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(60, 3)
+    y = 1.5 + X @ np.array([2.0, -1.0, 0.5]) + rng.randn(60) * 0.01
+    rows = [
+        (float(a), float(b), float(c), float(t))
+        for (a, b, c), t in zip(X, y)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, y double")
+    got = stats.ols_fit(df, "y", ["x1", "x2", "x3"])
+    design = np.column_stack([np.ones(len(X)), X])
+    want, *_ = np.linalg.lstsq(design, y, rcond=None)
+    assert np.allclose(got, want, atol=1e-8)
