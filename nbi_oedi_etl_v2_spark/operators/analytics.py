@@ -217,3 +217,90 @@ def skyline_2d(
         .where(y == F.col("_maxy_same"))
         .drop("_x", "_maxy_same")
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of an hourly series
+    (trend = centered moving average, seasonal = re-centered per-slot
+    means of the detrended series, residual = the rest) — the
+    pre-model sanity pass every time-series pipeline runs.
+
+    Engine-portability, which is also AQE-stability: every windowed
+    and grouped mean goes through the exact-DECIMAL sum (cast inside
+    the frame), because both Spark and DuckDB evaluate windowed SUMs
+    with order-dependent float strategies (segment trees vs sliding)
+    that would otherwise diverge bitwise. The frame is
+    ``[-period/2, period/2 - 1]`` rows (the even-period convention),
+    NULL at the series edges where the frame is short — standard, and
+    reproducible.
+
+    Scale: the series here is an AGGREGATED time grid (one row per
+    hour), orders of magnitude smaller than the event table that
+    feeds it — the window sort is grid-sized. For per-key
+    decomposition at 100 TB, partition the window by key; the frame
+    logic is unchanged."""
+    half = period // 2
+    w = Window.orderBy(ts_col).rowsBetween(-half, half - 1)
+    v = F.col(value_col).cast("double")
+    dec = v.cast("decimal(38,10)")
+    n_w = F.count(dec).over(w)
+    trend = F.when(
+        n_w == period, (F.sum(dec).over(w)).cast("double") / n_w
+    )
+    base = df.select(
+        F.col(ts_col).alias("ts"),
+        v.alias("value"),
+        trend.alias("trend"),
+        F.hour(ts_col).alias("slot"),
+    )
+    det = base.withColumn("detr", F.col("value") - F.col("trend"))
+    smeans = (
+        det.where(F.col("detr").isNotNull())
+        .groupBy("slot")
+        .agg(
+            (
+                F.sum(F.col("detr").cast("decimal(38,10)")).cast("double")
+                / F.count(F.col("detr"))
+            ).alias("smean")
+        )
+    )
+    center = smeans.agg(
+        (
+            F.sum(F.col("smean").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return (
+        smeans.crossJoin(F.broadcast(center))
+        .select(
+            "slot",
+            (F.col("smean") - F.col("c")).alias("seasonal"),
+        )
+        .orderBy("slot")
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Privacy-governance gate: every quasi-identifier combination
+    whose group has FEWER than ``k`` rows (re-identifiable under
+    k-anonymity), with its size — plus, per the convention that a
+    release gate must summarize as well as enumerate, the risky-group
+    share is computable from the output (each row carries the group
+    size). One hash aggregate + one filter; at 100 TB the output is
+    bounded by the number of RARE combinations, which is the thing
+    being hunted. NULL quasi-values group as their own value (SQL
+    GROUP BY semantics on both engines)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )

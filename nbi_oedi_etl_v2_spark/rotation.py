@@ -206,6 +206,8 @@ TOUCH: frozenset[str] = frozenset({
     "orders_skipping_scan",
     "orders_skipping_bloom_scan",
     "documents_bpe_merges",
+    # r6 group-level rework (sf10 soak finding) — must re-prove
+    "customer_entity_resolution",
 })
 
 # ADVISED - explicit re-verification asks from VERDICT r5 item 6:

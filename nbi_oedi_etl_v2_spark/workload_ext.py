@@ -4884,3 +4884,96 @@ def _install_ols2_oracle() -> None:
 
 
 _install_ols2_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Wave 10 — time-series decomposition and privacy governance
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_seasonal_profile",
+    # the identical classical decomposition in SQL: hourly grid,
+    # 24-row centered-MA trend (exact-decimal window sums, VARCHAR
+    # readout), re-centered per-slot means of the detrended series
+    oracle=f"""
+    WITH grid AS (
+      SELECT date_trunc('hour', ts) AS ts, {dsum_sql('value')} AS value
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT ts, value,
+             CASE WHEN COUNT(CAST(value AS DECIMAL(38,10))) OVER w = 24
+                  THEN CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w
+                                 AS VARCHAR) AS DOUBLE)
+                       / COUNT(CAST(value AS DECIMAL(38,10))) OVER w
+             END AS trend,
+             EXTRACT(hour FROM ts) AS slot
+      FROM grid
+      WINDOW w AS (ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    sm AS (
+      SELECT slot,
+             {dsum_sql('value - trend')} / COUNT(value - trend) AS smean
+      FROM b WHERE trend IS NOT NULL GROUP BY slot
+    ),
+    c AS (
+      SELECT {dsum_sql('smean')} / COUNT(*) AS c FROM sm
+    )
+    SELECT CAST(sm.slot AS INT) AS slot, sm.smean - c.c AS seasonal
+    FROM sm, c ORDER BY slot
+    """,
+    doc="Classical additive seasonal decomposition of the hourly "
+        "event-value series (trend = 24-row centered moving average, "
+        "seasonal = re-centered per-hour-of-day means of the "
+        "detrended series) — the pre-model time-series sanity pass. "
+        "All windowed/grouped means run through exact-decimal sums "
+        "because windowed float SUM strategies (segment tree vs "
+        "sliding) are engine- AND plan-dependent "
+        "(operators/analytics.py seasonal_decompose). Hash-matched.",
+    driver=True,
+)
+def q_events_seasonal_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions import dsum
+    from .operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("ts")
+    ).agg(dsum(F.col("value")).alias("value"))
+    return analytics.seasonal_decompose(grid, "ts", "value", period=24)
+
+
+@query(
+    "orders_k_anonymity_audit",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           date_trunc('day', o_orderdate) AS qday,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority, date_trunc('day', o_orderdate)
+    HAVING COUNT(*) < 5
+    ORDER BY o_orderstatus, o_orderpriority, qday
+    """,
+    doc="k-anonymity release gate (k=5) over the quasi-identifier "
+        "triple (status, priority, order day): every re-identifiable "
+        "combination with its group size — one hash aggregate + "
+        "filter, output bounded by the rare combinations being "
+        "hunted (operators/analytics.py k_anonymity_audit). "
+        "Hash-matched.",
+    driver=True,
+)
+def q_orders_k_anonymity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import analytics
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_trunc("day", F.col("o_orderdate")).alias("qday"),
+    )
+    return analytics.k_anonymity_audit(
+        o, ["o_orderstatus", "o_orderpriority", "qday"], k=5
+    ).orderBy("o_orderstatus", "o_orderpriority", "qday")

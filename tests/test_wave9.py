@@ -82,3 +82,39 @@ def test_ols_fit_matches_numpy_lstsq(spark):
     design = np.column_stack([np.ones(len(X)), X])
     want, *_ = np.linalg.lstsq(design, y, rcond=None)
     assert np.allclose(got, want, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# wave 10: seasonal decomposition + k-anonymity
+# ---------------------------------------------------------------------------
+
+def test_seasonal_recovers_planted_cycle(spark):
+    # value = 100 + 10*slot pattern, zero trend drift → seasonal means
+    # recover the (re-centered) planted per-hour offsets
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for h in range(24 * 10):
+        slot = h % 24
+        rows.append((t0 + datetime.timedelta(hours=h), 100.0 + 10.0 * slot))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    from nbi_oedi_etl_v2_spark.operators.analytics import seasonal_decompose
+
+    got = {r.slot: r.seasonal for r in
+           seasonal_decompose(df, "ts", "value", period=24).collect()}
+    assert len(got) == 24
+    # planted seasonal is 10*(slot - 11.5); centered MA of a pure
+    # periodic signal is flat, so recovery is exact up to fp noise
+    for slot in range(24):
+        assert abs(got[slot] - 10.0 * (slot - 11.5)) < 1e-6, slot
+
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    rows = [("a", 1)] * 10 + [("b", 1)] * 3 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    from nbi_oedi_etl_v2_spark.operators.analytics import k_anonymity_audit
+
+    got = {(r.q1, r.q2): r.group_size
+           for r in k_anonymity_audit(df, ["q1", "q2"], k=5).collect()}
+    assert got == {("b", 1): 3, ("c", 2): 1}
