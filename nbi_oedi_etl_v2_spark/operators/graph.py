@@ -331,19 +331,20 @@ def label_propagation(
             .withColumn("lbl", F.col("node"))
             .localCheckpoint()
         )
-        w = Window.partitionBy("node").orderBy(
-            F.col("c").desc(), F.col("lbl").asc()
-        )
         for _ in range(rounds):
             neigh = (
                 e.join(labels, e["src"] == labels["node"])
                 .groupBy(F.col("dst").alias("node"), "lbl")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            best = (
-                neigh.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select("node", F.col("lbl").alias("new_lbl"))
+            # (count DESC, label ASC) argmax as ONE hash aggregate:
+            # max of (c, -lbl) picks the highest count, then the
+            # smallest label — no per-node sort window (the window
+            # formulation paid an extra sort-exchange per round)
+            best = neigh.groupBy("node").agg(
+                (-F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("n")))[
+                    "n"
+                ]).alias("new_lbl")
             )
             labels = (
                 labels.join(best, "node", "left")
