@@ -4977,3 +4977,58 @@ def q_orders_k_anonymity_audit(
     return analytics.k_anonymity_audit(
         o, ["o_orderstatus", "o_orderpriority", "qday"], k=5
     ).orderBy("o_orderstatus", "o_orderpriority", "qday")
+
+
+@query(
+    "orders_schema_evolution_union",
+    # the same drift scenario in plain SQL: v1 (int key, float price,
+    # no priority) ∪ v2 (long key, double price, priority added),
+    # explicitly widened and NULL-filled
+    oracle="""
+    WITH v1 AS (
+      SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey,
+             CAST(o_totalprice AS FLOAT) AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS o_totalprice,
+           o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM v1
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT),
+           CAST(o_totalprice AS DOUBLE),
+           o_orderstatus, o_orderpriority
+    FROM v2
+    ORDER BY o_orderkey
+    """,
+    doc="Schema-drift union (sources/evolution.py align_schemas): an "
+        "old snapshot (int key, float price, pre-priority schema) "
+        "unions with the current one under a principled lossless "
+        "widening lattice — int->long, float->double (int-vs-float "
+        "resolves to double), missing columns as typed NULLs, lossy "
+        "coercions REFUSED. One metadata decision + one map per "
+        "input, no shuffle. The operation a decade-old 100 TB lake "
+        "needs instead of a historical rewrite. Hash-matched.",
+    driver=True,
+)
+def q_orders_schema_evolution_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .sources.evolution import align_schemas
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        F.col("o_totalprice").cast("float").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    v2 = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+    return align_schemas([v1, v2]).orderBy("o_orderkey")

@@ -118,3 +118,49 @@ def test_k_anonymity_flags_small_groups_only(spark):
     got = {(r.q1, r.q2): r.group_size
            for r in k_anonymity_audit(df, ["q1", "q2"], k=5).collect()}
     assert got == {("b", 1): 3, ("c", 2): 1}
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+def test_align_schemas_widens_and_fills(spark):
+    import pytest
+    from pyspark.sql import types as T
+    from nbi_oedi_etl_v2_spark.sources.evolution import (
+        align_schemas,
+        union_schema,
+    )
+
+    v1 = spark.createDataFrame([(1, 1.5)], "k int, v float")
+    v2 = spark.createDataFrame([(2, 2.5, "x")], "k bigint, v double, extra string")
+    target = union_schema([v1, v2])
+    assert [f.dataType for f in target.fields] == [
+        T.LongType(), T.DoubleType(), T.StringType()
+    ]
+    rows = {r.k: r for r in align_schemas([v1, v2]).collect()}
+    assert rows[1].extra is None and abs(rows[1].v - 1.5) < 1e-9
+    assert rows[2].extra == "x"
+
+    # int vs float resolves to double (not float — lossy for big ints)
+    v3 = spark.createDataFrame([(1,)], "x int")
+    v4 = spark.createDataFrame([(1.0,)], "x float")
+    assert union_schema([v3, v4]).fields[0].dataType == T.DoubleType()
+
+    # lossy coercion refused
+    v5 = spark.createDataFrame([("a",)], "x string")
+    with pytest.raises(TypeError):
+        union_schema([v3, v5])
+
+
+def test_align_schemas_no_shuffle(spark):
+    from nbi_oedi_etl_v2_spark.sources.evolution import align_schemas
+
+    v1 = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    v2 = spark.range(10).select("id", F.lit("s").alias("tag"))
+    v2 = v2.withColumnRenamed("id", "k")
+    plan = (
+        align_schemas([v1, v2])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
