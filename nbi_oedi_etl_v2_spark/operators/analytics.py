@@ -244,6 +244,10 @@ def seasonal_decompose(
     feeds it — the window sort is grid-sized. For per-key
     decomposition at 100 TB, partition the window by key; the frame
     logic is unchanged."""
+    if period % 2 != 0 or period < 2:
+        # the [-p/2, p/2-1] frame only spans exactly `period` rows for
+        # even periods; an odd period would silently NULL every trend
+        raise ValueError("period must be even and >= 2")
     half = period // 2
     w = Window.orderBy(ts_col).rowsBetween(-half, half - 1)
     v = F.col(value_col).cast("double")

@@ -100,6 +100,15 @@ def lloyd_kmeans(
     the driver; all data-sized work is one map-only assign + one
     hash aggregate per round."""
     cents = _seed_centroids(df, id_col, vec_col, k)
+    if not cents:
+        # graceful empty-input contract (the equidepth lesson,
+        # ADVICE r5): no vectors → no centroids, no assignments
+        empty = df.select(
+            "*",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("sq_dist"),
+        )
+        return [], empty
     d = len(cents[0])
     for _ in range(iters):
         assigned = assign_clusters(df, vec_col, cents)

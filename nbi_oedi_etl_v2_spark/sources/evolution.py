@@ -93,6 +93,8 @@ def align_schemas(dfs: list[DataFrame]) -> DataFrame:
     """Union drifted snapshots under the widened schema: each input is
     projected (cast + typed-NULL fill) — one map, no shuffle — then
     ``unionByName``-ed."""
+    if not dfs:
+        raise ValueError("align_schemas needs at least one input")
     target = union_schema(dfs)
     aligned = []
     for df in dfs:

@@ -103,3 +103,9 @@ def test_ols_degenerate_constant_x(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double")
     r = stats.grouped_ols(df, "x", "y", ["g"]).collect()[0]
     assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+def test_kmeans_empty_input_graceful(spark):
+    df = spark.createDataFrame([], "id long, v array<float>")
+    cents, assigned = cluster.lloyd_kmeans(df, "id", "v", k=3, iters=2)
+    assert cents == [] and assigned.count() == 0

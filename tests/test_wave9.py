@@ -164,3 +164,20 @@ def test_align_schemas_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_seasonal_rejects_odd_period(spark):
+    import pytest
+    from nbi_oedi_etl_v2_spark.operators.analytics import seasonal_decompose
+
+    df = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, "ts", "value", period=7)
+
+
+def test_align_schemas_rejects_empty_list():
+    import pytest
+    from nbi_oedi_etl_v2_spark.sources.evolution import align_schemas
+
+    with pytest.raises(ValueError):
+        align_schemas([])
