@@ -35,7 +35,7 @@ truncation, counted in the returned accounting when it fires).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -139,4 +139,65 @@ def association_rules(
                 / (F.col("cons_cnt") / F.lit(float(n_baskets)))
             ).alias("lift"),
         )
+    )
+
+
+def item_similarity_topn(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    n: int = 5,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over
+    binary basket vectors, sim(a, b) = cooc(a,b) / √(cnt_a · cnt_b),
+    top-``n`` neighbors per item by (sim DESC, neighbor ASC).
+
+    The classical neighborhood-model building block (Sarwar et al.,
+    WWW 2001), derived entirely from the A-Priori pass outputs: item
+    supports and frequent-pair co-occurrence counts — no new scan of
+    the basket table. The similarity is double arithmetic over exact
+    BIGINT counts (one division, one sqrt), so any engine computing
+    the same formula reproduces the bits; ties break on the neighbor
+    id, making the top-n deterministic. At 100 TB the pair table is
+    the bounded object (frequent pairs only), and the per-item top-n
+    is a window over it — never over the baskets."""
+    pairs = frequent_pairs(
+        baskets, basket_col, item_col, min_support, max_basket
+    )
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "pair_cnt",
+        )
+    )
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).where(F.col(item_col).isNotNull())
+    sup = items.distinct().groupBy("i").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    sa = sup.select(F.col("i").alias("item_a"), F.col("cnt").alias("ca"))
+    sb = sup.select(F.col("i").alias("item_b"), F.col("cnt").alias("cb"))
+    sim = (
+        both.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            (
+                F.col("pair_cnt")
+                / F.sqrt(F.col("ca") * F.col("cb"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("item_b").asc()
+    )
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select("item_a", "item_b", "cosine", F.col("rn").cast("int").alias("rank"))
     )

@@ -5032,3 +5032,65 @@ def q_orders_schema_evolution_union(
         "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
     )
     return align_schemas([v1, v2]).orderBy("o_orderkey")
+
+
+@query(
+    "part_item_similarity",
+    # brute-force: co-occurrence self-join + cosine + windowed top-n
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    sup AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY i),
+    pairs AS (
+      SELECT x.i AS item_a, y.i AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+      GROUP BY x.i, y.i HAVING COUNT(*) >= 50
+    ),
+    bidir AS (
+      SELECT item_a, item_b, pair_cnt FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, pair_cnt FROM pairs
+    ),
+    sim AS (
+      SELECT d.item_a, d.item_b,
+             d.pair_cnt / sqrt(sa.cnt * sb.cnt) AS cosine
+      FROM bidir d
+      JOIN sup sa ON sa.i = d.item_a
+      JOIN sup sb ON sb.i = d.item_b
+    )
+    SELECT item_a, item_b, cosine, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY item_a
+                                   ORDER BY cosine DESC, item_b) AS rn
+      FROM sim
+    ) WHERE rn <= 5
+    ORDER BY item_a, rank
+    """,
+    doc="Item-item collaborative-filtering neighborhoods (Sarwar et "
+        "al. WWW'01): cosine over binary basket vectors from the "
+        "A-Priori pass outputs — no re-scan of the baskets — top-5 "
+        "neighbors per brand with deterministic (sim DESC, neighbor "
+        "ASC) ties (operators/basket.py item_similarity_topn). "
+        "Doubles derive from exact BIGINT counts via one division "
+        "and one sqrt, so the window order is engine-reproducible. "
+        "Hash-matched against the brute-force self-join oracle.",
+    driver=True,
+)
+def q_part_item_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import basket
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bi = l.join(
+        F.broadcast(p), l.l_partkey == p.p_partkey
+    ).select(F.col("l_orderkey").alias("b"), F.col("p_brand").alias("i"))
+    return (
+        basket.item_similarity_topn(bi, "b", "i", n=5, min_support=50)
+        .orderBy("item_a", "rank")
+    )

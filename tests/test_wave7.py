@@ -210,3 +210,19 @@ def test_encode_token_counts_conservation(spark):
     assert got[1].n_chars_tok == len("thecatandthehat")
     # doc 3 has no [a-z0-9] tokens → no output row (0-word doc)
     assert 3 not in got
+
+
+def test_item_similarity_topn(spark):
+    got = {
+        (r.item_a, r.item_b): (r.cosine, r.rank)
+        for r in basket.item_similarity_topn(
+            _baskets(spark), "b", "i", n=2, min_support=2
+        ).collect()
+    }
+    # only frequent pair is (a, b): cooc 3, cnt_a 4, cnt_b 3
+    import math
+    want = 3 / math.sqrt(4 * 3)
+    assert abs(got[("a", "b")][0] - want) < 1e-12
+    assert got[("a", "b")][1] == 1
+    assert got[("b", "a")][1] == 1
+    assert len(got) == 2  # symmetric, nothing else frequent
