@@ -178,3 +178,59 @@ def test_bpe_matches_sequential_reference(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [tuple(r) for r in bpe.learn_bpe(spark, df, "text", 4).collect()]
     assert got == _ref_bpe(texts, 4)
+
+
+@FEW
+@given(
+    keys=st.lists(
+        st.one_of(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            st.text(max_size=12),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_bloom_never_false_negative(spark, keys):
+    # the load-bearing Bloom property: every inserted key must probe
+    # true — across negative ints, zero, and arbitrary strings
+    from nbi_oedi_etl_v2_spark.operators import membership
+
+    typed = [(str(k),) for k in keys]
+    df = spark.createDataFrame(typed, ["k"])
+    bloom = membership.build_bloom(df, "k", bits=1 << 10)
+    misses = (
+        df.select(membership.might_contain(F.col("k"), bloom, 1 << 10).alias("h"))
+        .where(~F.col("h"))
+        .count()
+    )
+    assert misses == 0
+
+
+_WORD = st.text(alphabet="abcd", min_size=0, max_size=12)
+
+
+@FEW
+@given(
+    words=st.lists(_WORD, min_size=1, max_size=12),
+    merges=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=2),
+            st.text(alphabet="abcd", min_size=1, max_size=2),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_bpe_apply_matches_sequential_reference(spark, words, merges):
+    # the batched JVM fold must equal the sequential greedy reference
+    # for ARBITRARY (possibly conflicting, repeated) merge lists
+    from nbi_oedi_etl_v2_spark.operators import bpe
+    from tests.test_wave7 import _py_apply
+
+    df = spark.createDataFrame(
+        [(w, list(w)) for w in set(words)], "w string, syms array<string>"
+    )
+    got = {r.w: list(r.syms) for r in bpe.apply_merges(df, merges).collect()}
+    for w in set(words):
+        assert got[w] == _py_apply(w, merges), (w, merges)
