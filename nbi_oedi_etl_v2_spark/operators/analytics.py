@@ -225,10 +225,13 @@ def seasonal_decompose(
     value_col: str,
     period: int = 24,
 ) -> DataFrame:
-    """Classical additive seasonal decomposition of an hourly series
-    (trend = centered moving average, seasonal = re-centered per-slot
-    means of the detrended series, residual = the rest) — the
-    pre-model sanity pass every time-series pipeline runs.
+    """The RE-CENTERED SEASONAL PROFILE — one (slot, seasonal) row per
+    hour-of-day — of the classical additive decomposition: trend is
+    the centered moving average, seasonal is the re-centered per-slot
+    mean of the detrended series. The trend and residual are
+    intermediates only; callers wanting them per-row should join this
+    profile back on ``hour(ts)`` (ADVICE r6 — the docstring used to
+    promise the full three-component decomposition).
 
     Engine-portability, which is also AQE-stability: every windowed
     and grouped mean goes through the exact-DECIMAL sum (cast inside

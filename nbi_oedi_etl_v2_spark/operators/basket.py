@@ -29,8 +29,13 @@ directions are emitted (a→b and b→a differ in confidence).
 At 100 TB: the item-support aggregate is map-side combinable; the
 basket group-by is the one data-sized shuffle; pair counts are
 bounded by distinct-frequent-pair cardinality (power-law bounded).
-Skewed mega-baskets are capped by ``max_basket`` (documented
-truncation, counted in the returned accounting when it fires).
+Skewed mega-baskets are capped by ``max_basket`` — pair generation
+sees only each basket's first ``max_basket`` surviving items (sorted,
+so the kept subset is deterministic). The cap is never silent:
+:func:`basket_truncation_accounting` reports, from the same pruned
+grouped sets the pair pass uses, how many baskets it fired on and the
+largest basket seen (ADVICE r6 — the repo's no-silent-caps
+convention).
 """
 
 from __future__ import annotations
@@ -81,6 +86,43 @@ def frequent_pairs(
         )
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .where(F.col("pair_cnt") >= min_support)
+    )
+
+
+def basket_truncation_accounting(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """One-row accounting for the ``max_basket`` cap, computed over the
+    SAME pruned per-basket item sets :func:`frequent_pairs` pairs over:
+    (n_baskets, n_truncated, max_pruned_size). ``n_truncated > 0``
+    means pair counts under-count some mega-basket's co-occurrences —
+    the no-silent-caps convention makes that measurable instead of
+    implicit. One extra basket-keyed aggregate, grid-sized output."""
+    items = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).where(F.col(item_col).isNotNull())
+    freq = (
+        items.distinct()
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
+        .where(F.col("item_cnt") >= min_support)
+    )
+    pruned = items.join(F.broadcast(freq.select("i")), "i", "left_semi")
+    sizes = pruned.groupBy("b").agg(
+        F.count_distinct("i").alias("n_items")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets"),
+        F.sum(
+            F.when(F.col("n_items") > max_basket, 1).otherwise(0)
+        ).cast("bigint").alias("n_truncated"),
+        F.coalesce(F.max("n_items"), F.lit(0))
+        .cast("bigint")
+        .alias("max_pruned_size"),
     )
 
 

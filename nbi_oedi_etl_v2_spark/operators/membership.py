@@ -63,7 +63,10 @@ def build_bloom(
     keys: DataFrame, key_col: str, bits: int = BLOOM_BITS
 ) -> list[int]:
     """Fold a key column into a Bloom bitset, returned as a dense
-    ``bits / 64``-long word list (index = position // 64).
+    ``ceil(bits / 64)``-long word list (index = position // 64); a
+    ``bits`` that is not a multiple of 64 leaves the final word
+    partially used (ADVICE r6 — the ``bits // 64`` sizing crashed on
+    e.g. bits=100 when a bit landed in the trailing partial word).
 
     The aggregation is (word → bit_or of one-hot longs): map-side
     combine collapses each partition to ≤ bits/64 rows before the
@@ -92,7 +95,7 @@ def build_bloom(
         )
         .collect()
     )
-    dense = [0] * (bits // 64)
+    dense = [0] * ((bits + 63) // 64)
     for row in words:
         dense[row["word"]] = row["bits"]
     return dense

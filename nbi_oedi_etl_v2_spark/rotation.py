@@ -1,7 +1,8 @@
-"""Driver-slot rotation policy (round 6).
+"""Driver-slot rotation policy (round 7).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 158 specs (r6).
+correctness rows per round, while the registry holds 159 specs (r6;
+ADVICE r6 corrected the off-by-one) plus this round's additions.
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -22,7 +23,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-With ~158 specs, a 50-row cap and ~10-15 slots/round consumed by
+With ~159 specs, a 50-row cap and ~10-15 slots/round consumed by
 NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
 ``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
 no unexported spec may be more than 4 rounds past its last green row.
@@ -33,22 +34,22 @@ NEW+TOUCH stay under ~35 slots/round.
 
 from __future__ import annotations
 
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 STALENESS_BOUND_ROUNDS = 4
 
-# Latest round with a green driver row, from CORRECTNESS_r{1..5}.json.
+# Latest round with a green driver row, from CORRECTNESS_r{1..6}.json.
 VERIFIED_ROUNDS: dict[str, int] = {
     "approx_distinct_users": 5,
     "asof_last_order_per_event": 4,
-    "corpus_balanced_shards": 2,
+    "corpus_balanced_shards": 6,
     "corpus_budget_select": 3,
     "corpus_contamination": 5,
-    "corpus_curate": 2,
-    "corpus_global_shuffle": 2,
-    "corpus_hash_split": 2,
+    "corpus_curate": 6,
+    "corpus_global_shuffle": 6,
+    "corpus_hash_split": 6,
     "corpus_incremental_dedup": 3,
     "corpus_length_histogram": 3,
-    "corpus_mixture_sample": 2,
+    "corpus_mixture_sample": 6,
     "corpus_near_dedup": 2,
     "corpus_pack_chunks": 2,
     "corpus_pack_ffd": 5,
@@ -57,13 +58,14 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "corpus_source_stats": 3,
     "corpus_stratified_sample": 2,
     "corpus_weighted_reservoir": 4,
-    "custkeys_1995_and_1996": 1,
-    "custkeys_1995_not_1996": 1,
-    "customer_entity_resolution": 5,
+    "custkeys_1995_and_1996": 6,
+    "custkeys_1995_not_1996": 6,
+    "customer_bloom_inactive": 6,
+    "customer_entity_resolution": 6,
     "customer_fuzzy_name_pairs": 5,
-    "customers_per_segment": 5,
+    "customers_per_segment": 6,
     "customers_with_open_orders": 2,
-    "customers_without_orders": 1,
+    "customers_without_orders": 6,
     "dedup_components": 2,
     "dedup_duplicate_spans": 3,
     "dedup_embedding_cosine": 2,
@@ -72,63 +74,78 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "dedup_ngram_jaccard": 5,
     "dedup_simhash": 5,
     "distinct_flags": 2,
-    "documents_bpe_merges": 5,
+    "documents_bpe_merges": 6,
+    "documents_bpe_token_counts": 6,
     "dq_profile_orders": 5,
     "embedding_normalize": 2,
     "embedding_quantize": 3,
     "embedding_semantic_dedup": 5,
+    "embeddings_kmeans_lloyd": 6,
     "etl_gapfill_hours": 3,
-    "etl_gapfill_interp": 4,
+    "etl_gapfill_interp": 6,
     "etl_hourly_downsample": 5,
-    "etl_incremental_agg_merge": 4,
+    "etl_incremental_agg_merge": 6,
     "events_anomaly_zscore": 4,
     "events_audience_overlap": 5,
-    "events_cm_frequency_rollup": 5,
+    "events_cm_frequency_rollup": 6,
     "events_cohort_retention": 4,
     "events_funnel": 4,
-    "events_heavy_hitters": 5,
+    "events_heavy_hitters": 6,
     "events_hll_daily_rollup": 5,
     "events_in_prior_hour": 2,
     "events_interval_attribution": 4,
     "events_json_props_rollup": 3,
     "events_json_roundtrip": 5,
     "events_orc_roundtrip": 4,
-    "events_pattern_users": 4,
-    "events_pit_priority_lookup": 5,
+    "events_pattern_users": 6,
+    "events_pit_priority_lookup": 6,
     "events_quantile_sketch_rollup": 5,
-    "ewma_alerts_batch": 1,
-    "lineitem_exact_price_quantiles": 5,
-    "lineitem_price_trend": 4,
-    "monthly_active_customers": 1,
+    "events_seasonal_profile": 6,
+    "ewma_alerts_batch": 6,
+    "lineitem_association_rules": 6,
+    "lineitem_correlation_matrix": 6,
+    "lineitem_double_price_quantiles": 6,
+    "lineitem_equidepth_deciles": 6,
+    "lineitem_exact_price_quantiles": 6,
+    "lineitem_ols2_price_model": 6,
+    "lineitem_ols_price_model": 6,
+    "lineitem_price_trend": 6,
+    "lineitem_weighted_price_quantiles": 6,
+    "monthly_active_customers": 6,
     "multimodal_audio_decimate": 5,
     "multimodal_decode": 4,
     "multimodal_decode_jpeg": 5,
     "multimodal_decode_png": 4,
     "multimodal_decode_wav": 4,
     "multimodal_image_near_dups": 5,
-    "multimodal_jpeg_headers": 4,
+    "multimodal_jpeg_headers": 6,
     "multimodal_mp4_headers": 5,
-    "multimodal_png_headers": 4,
-    "multimodal_wav_headers": 4,
+    "multimodal_png_headers": 6,
+    "multimodal_wav_headers": 6,
     "nation_customer_rollup": 2,
+    "orders_aqp_revenue_estimate": 6,
     "orders_cdc_merge": 5,
     "orders_cube": 3,
     "orders_dq_constraints": 5,
     "orders_grouping_sets": 2,
     "orders_ivm_join_delta": 5,
+    "orders_k_anonymity_audit": 6,
     "orders_moving_range_avg": 5,
     "orders_pivot_status": 2,
-    "orders_rollup": 1,
+    "orders_rollup": 6,
     "orders_scd2_priority": 5,
-    "orders_skipping_bloom_scan": 5,
-    "orders_skipping_scan": 5,
+    "orders_schema_evolution_union": 6,
+    "orders_skipping_bloom_scan": 6,
+    "orders_skipping_scan": 6,
     "orders_skyline": 5,
     "orders_snapshot_diff": 5,
-    "orders_window_suite": 4,
+    "orders_window_suite": 6,
     "orders_zorder_key": 3,
     "part_copurchase_bfs": 5,
+    "part_copurchase_labelprop": 6,
     "part_copurchase_pagerank": 5,
     "part_copurchase_triangles": 5,
+    "part_item_similarity": 6,
     "price_percentiles_by_priority": 2,
     "q10_returned_items": 3,
     "q11_important_parts": 3,
@@ -152,7 +169,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "q7_volume_shipping": 3,
     "q8_market_share": 3,
     "q9_product_profit": 3,
-    "segment_active_customers": 5,
+    "segment_active_customers": 6,
     "sessionize_events": 2,
     "similarity_topk": 5,
     "similarity_topk_ivf": 5,
@@ -160,7 +177,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "similarity_topk_lsh": 5,
     "similarity_topk_pq": 5,
     "streaming_attribution_join": 2,
-    "streaming_cm_sketch": 5,
+    "streaming_cm_sketch": 6,
     "streaming_dedup_events": 2,
     "streaming_dim_enrich": 3,
     "streaming_ewma_alerts": 2,
@@ -169,17 +186,17 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "text_bm25_topk": 5,
     "text_compressibility": 5,
     "text_fingerprint": 2,
-    "text_inverted_index": 4,
+    "text_inverted_index": 6,
     "text_language_id": 2,
     "text_lm_scores": 3,
     "text_pii_redaction": 3,
     "text_quality_scores": 2,
     "text_repetition_scores": 3,
-    "text_token_pmi": 4,
+    "text_token_pmi": 6,
     "text_token_stats": 2,
     "text_vocabulary": 5,
-    "top10_orders_by_price": 1,
-    "topk_per_segment": 5,
+    "top10_orders_by_price": 6,
+    "topk_per_segment": 6,
     "user_running_value": 2,
 }
 
@@ -191,39 +208,26 @@ PIN: frozenset[str] = frozenset({
     "topk_per_segment",
 })
 
-# TOUCH - specs whose operator code changed this round (round 6):
-# ADVICE r5 fixes landed in history.py (pit_join tie-break),
-# frequency.py (heavy-hitter cache eviction, cm_lookup zero-row
-# contract), order_stats.py (empty-input guard), skipping.py
-# (fallback root anchoring); plus this round's double-typed radix
-# quantiles (order_stats.py) and batched BPE merges (bpe.py).
+# TOUCH - specs whose operator code changed this round (round 7):
+# VERDICT r6 items 2-5 — equidepth floating support (order_stats.py),
+# large-k broadcast-join k-means assign (cluster.py), LPA early-exit
+# + degree cap (graph.py), exact-dedup per-doc pair cap (dedup.py) —
+# plus the ADVICE r6 bloom bits guard (membership.py) and the basket
+# truncation accounting (basket.py).
 TOUCH: frozenset[str] = frozenset({
-    "events_pit_priority_lookup",
-    "events_heavy_hitters",
-    "events_cm_frequency_rollup",
-    "streaming_cm_sketch",
-    "lineitem_exact_price_quantiles",
-    "orders_skipping_scan",
-    "orders_skipping_bloom_scan",
-    "documents_bpe_merges",
-    # r6 group-level rework (sf10 soak finding) — must re-prove
-    "customer_entity_resolution",
+    "lineitem_equidepth_deciles",
+    "embeddings_kmeans_lloyd",
+    "part_copurchase_labelprop",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "customer_bloom_inactive",
+    "lineitem_association_rules",
+    "part_item_similarity",
 })
 
-# ADVISED - explicit re-verification asks from VERDICT r5 item 6:
-# the KEEP-family specs demoted in round 5 to make room for wave 6.
-ADVISED: frozenset[str] = frozenset({
-    "multimodal_png_headers",
-    "multimodal_wav_headers",
-    "multimodal_jpeg_headers",
-    "text_token_pmi",
-    "text_inverted_index",
-    "events_pattern_users",
-    "lineitem_price_trend",
-    "orders_window_suite",
-    "etl_gapfill_interp",
-    "etl_incremental_agg_merge",
-})
+# ADVISED - explicit re-verification asks from VERDICT r6: none this
+# round (item 7 is the automatic oldest-first staleness fill below).
+ADVISED: frozenset[str] = frozenset()
 
 
 def build_driver_export(registry: set[str], cap: int) -> frozenset[str]:

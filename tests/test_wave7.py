@@ -24,6 +24,22 @@ def test_bloom_no_false_negatives(spark):
     assert hits == 0  # Bloom filters never miss an inserted key
 
 
+def test_bloom_odd_bits_partial_word(spark):
+    # ADVICE r6: bits not a multiple of 64 must size the trailing
+    # partial word instead of crashing when a bit lands in it
+    seen = spark.range(0, 200).withColumnRenamed("id", "k")
+    bloom = membership.build_bloom(seen, "k", bits=100)
+    assert len(bloom) == 2  # ceil(100 / 64)
+    misses = (
+        seen.select(
+            membership.might_contain(F.col("k"), bloom, 100).alias("h")
+        )
+        .where(~F.col("h"))
+        .count()
+    )
+    assert misses == 0
+
+
 def test_bloom_anti_join_exact(spark):
     probe = spark.range(0, 1000).withColumnRenamed("id", "k")
     seen = (
@@ -145,6 +161,23 @@ def test_max_basket_caps_pairs(spark):
     got = basket.frequent_pairs(df, "b", "i", min_support=1, max_basket=3)
     # sorted-set slice keeps i00..i02 → 3 pairs, not 45
     assert got.count() == 3
+
+
+def test_basket_truncation_accounting(spark):
+    # basket 1 has 10 surviving items (> max_basket=3), basket 2 has 2
+    rows = [(1, f"i{j:02d}") for j in range(10)] + [(2, "i00"), (2, "i01")]
+    df = spark.createDataFrame(rows, "b int, i string")
+    acct = basket.basket_truncation_accounting(
+        df, "b", "i", min_support=1, max_basket=3
+    ).first()
+    assert acct.n_baskets == 2
+    assert acct.n_truncated == 1
+    assert acct.max_pruned_size == 10
+    # with the cap above every basket, nothing is truncated
+    clean = basket.basket_truncation_accounting(
+        df, "b", "i", min_support=1, max_basket=100
+    ).first()
+    assert clean.n_truncated == 0
 
 
 # ---------------------------------------------------------------------------

@@ -23,9 +23,17 @@ def main() -> None:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else int(argv[i + 1])
-            i += 1 if "=" in a else 2
+        if a == "--n" or a.startswith("--n="):
+            # exact-match the flag (ADVICE r6: a bare prefix test
+            # swallowed any --n* token and crashed on `--n3` / a
+            # valueless `--n`)
+            if "=" in a:
+                val, i = a.split("=", 1)[1], i + 1
+            else:
+                if i + 1 >= len(argv):
+                    raise SystemExit("--n requires a value")
+                val, i = argv[i + 1], i + 2
+            n = int(val)
         else:
             args.append(a)
             i += 1
