@@ -56,7 +56,15 @@ from nbi_oedi_etl_v2_spark.tables import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
-DRIFT_BAR = 1.15  # >15% above reference median → rerun once
+# Drift bar: >30% above reference median → rerun once. Was 1.15; the
+# round-7 composition A/B (BENCH_COMPOSITION_AB.json) measured this
+# box's session-to-session noise on IDENTICAL code at up to 1.44× per
+# key (interleaved ABA, fresh sessions, idle machine, median of 7), so
+# a 15% bar under that noise manufactures "regression" verdicts — the
+# r6 re-baseline was caused by exactly this. Per-key regression claims
+# now require an interleaved ABA (tools/bench_focus.py), not one
+# flagged median.
+DRIFT_BAR = 1.30
 REFERENCE_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_REFERENCE.json"
 )

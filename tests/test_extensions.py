@@ -1423,3 +1423,65 @@ def test_pq_tiny_corpus_smaller_than_codebook(spark):
         m=4, ksub=16, rerank=6,
     ).collect()
     assert got2 and all(r["cosine"] is not None for r in got2)
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle star guard on the exact path (round 7, VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+def _boilerplate_corpus(spark):
+    # ids 1-6: one identical mega-cluster (every shingle df=6);
+    # ids 7-8: a near-dup pair whose shingles stay cold (df=2);
+    # id 9: unrelated
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "one two three four five six seven"
+    rows = (
+        [(i, boiler) for i in range(1, 7)]
+        + [(7, near), (8, near + " eight")]
+        + [(9, "totally different words nothing shared here at all")]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_guard_stars_the_mega_cluster(spark):
+    corpus = _boilerplate_corpus(spark)
+    exact = _pair_set(
+        dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.6)
+    )
+    capped = _pair_set(
+        dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", 3, 0.6, hot_shingle_limit=3
+        )
+    )
+    # uncapped: all 15 cluster pairs + the (7, 8) near-dup
+    assert {(a, b) for a, b in exact if a < 7 and b < 7} == {
+        (a, b) for a in range(1, 7) for b in range(a + 1, 7)
+    }
+    assert (7, 8) in exact
+    # capped: the cluster collapses to the star around doc 1 — O(m)
+    # pairs, connectivity preserved through the representative
+    assert {(a, b) for a, b in capped if a < 7 and b < 7} == {
+        (1, b) for b in range(2, 7)
+    }
+    # cold pairs are untouched by the guard
+    assert (7, 8) in capped
+    # a limit above every df must be byte-identical to uncapped
+    assert _pair_set(
+        dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", 3, 0.6, hot_shingle_limit=1000
+        )
+    ) == exact
+
+
+def test_hot_shingle_accounting_counts_the_cap(spark):
+    corpus = _boilerplate_corpus(spark)
+    acct = dedup.hot_shingle_accounting(
+        corpus, "doc_id", "text", 3, 0.6, hot_shingle_limit=3
+    ).first()
+    assert acct.max_df == 6           # the boilerplate cluster
+    assert acct.n_hot_shingles >= 1   # its prefix shingles fired
+    assert acct.n_hot_occurrences >= 6
+    clean = dedup.hot_shingle_accounting(
+        corpus, "doc_id", "text", 3, 0.6, hot_shingle_limit=1000
+    ).first()
+    assert clean.n_hot_shingles == 0 and clean.n_hot_occurrences == 0

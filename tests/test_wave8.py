@@ -109,3 +109,58 @@ def test_kmeans_empty_input_graceful(spark):
     df = spark.createDataFrame([], "id long, v array<float>")
     cents, assigned = cluster.lloyd_kmeans(df, "id", "v", k=3, iters=2)
     assert cents == [] and assigned.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# broadcast-join assign (round 7, VERDICT r6 missing #2)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_broadcast_assign_matches_literal_bits(spark, sf_dir):
+    # same sequential fold, same (d, c) tie-break → identical BITS,
+    # so the auto-switch never changes answers
+    emb = load_table(spark, sf_dir, "embeddings")
+    lit_cents, lit = cluster.lloyd_kmeans(
+        emb, "vec_id", "embedding", k=4, iters=2, assign_strategy="literal"
+    )
+    bc_cents, bc = cluster.lloyd_kmeans(
+        emb, "vec_id", "embedding", k=4, iters=2, assign_strategy="broadcast"
+    )
+    assert lit_cents == bc_cents  # centroid trajectories bit-equal
+    a = {r.vec_id: (r.cluster_id, r.sq_dist) for r in lit.collect()}
+    b = {r.vec_id: (r.cluster_id, r.sq_dist) for r in bc.collect()}
+    assert a == b
+
+
+def test_kmeans_broadcast_assign_tie_breaks_low_id(spark):
+    df = spark.createDataFrame([(1, [5.0])], "id long, v array<float>")
+    out = cluster.assign_clusters_broadcast(
+        df, "id", "v", [[0.0], [10.0]]
+    ).collect()[0]
+    assert out.cluster_id == 0 and abs(out.sq_dist - 25.0) < 1e-12
+
+
+def test_kmeans_broadcast_assign_plan_at_k2048(spark, sf_dir):
+    # the large-k path must (a) carry the centroids as a broadcast
+    # table — BroadcastNestedLoopJoin, not 2048×64 inlined literals —
+    # and (b) actually execute
+    import random
+
+    rnd = random.Random(7)
+    cents = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in range(2048)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster.assign_clusters_broadcast(emb, "vec_id", "embedding", cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # plan stays literal-free: it must not embed the 131k doubles
+    assert len(plan) < 200_000
+    n = emb.count()
+    assert out.count() == n
+    assert out.where(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_kmeans_rejects_unknown_strategy(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [0.0])], "id long, v array<float>")
+    with pytest.raises(ValueError, match="assign_strategy"):
+        cluster.lloyd_kmeans(df, "id", "v", k=1, assign_strategy="bogus")

@@ -181,3 +181,69 @@ def test_align_schemas_rejects_empty_list():
 
     with pytest.raises(ValueError):
         align_schemas([])
+
+
+# ---------------------------------------------------------------------------
+# early exit + degree cap (round 7, VERDICT r6 missing #3)
+# ---------------------------------------------------------------------------
+
+def test_labelprop_early_exit_is_a_noop_on_results(spark):
+    # two disjoint triangles converge in 2 rounds; asking for 8 with
+    # early_exit must return the identical labeling as the full 8
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    e = _edges(spark, tri1 + tri2)
+    full = {
+        r.node: r.community
+        for r in graph.label_propagation(e, rounds=8, early_exit=False).collect()
+    }
+    counter = []
+    fast = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            e, rounds=8, early_exit=True, round_counter=counter
+        ).collect()
+    }
+    assert fast == full
+    # converged long before 8 — the exit actually fired
+    assert len(counter) < 8
+
+
+def test_labelprop_early_exit_never_stops_before_convergence(spark):
+    # a 6-node directed path needs ~5 rounds for label 1 to reach the
+    # tail; early exit must not cut any of them short
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    counter = []
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            e, rounds=10, early_exit=True, round_counter=counter
+        ).collect()
+    }
+    assert out == {n: 1 for n in range(1, 7)}
+    assert len(counter) >= 5
+
+
+def test_labelprop_max_degree_samples_smallest_srcs(spark):
+    # clique {5,6,7} consolidates to label 5 by round 2; node 9 hears
+    # it 3× uncapped → joins community 5. With max_degree=2 node 9
+    # keeps only in-edges from srcs {1,5}, the vote ties and the
+    # min-label rule keeps it at 1 — the cap is a real (documented)
+    # semantic change, deterministic via smallest-src sampling.
+    clique = [(5, 6), (6, 5), (5, 7), (7, 5), (6, 7), (7, 6)]
+    spokes = [(1, 9), (5, 9), (6, 9), (7, 9)]
+    e = spark.createDataFrame(clique + spokes, "src long, dst long")
+    uncapped = {
+        r.node: r.community
+        for r in graph.label_propagation(e, rounds=2, early_exit=False).collect()
+    }
+    capped = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            e, rounds=2, early_exit=False, max_degree=2
+        ).collect()
+    }
+    assert uncapped[9] == 5
+    assert capped[9] == 1
