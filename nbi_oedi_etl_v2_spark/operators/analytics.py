@@ -311,3 +311,83 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
         .where(F.col("group_size") < k)
     )
+
+
+def dp_noised_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """Differentially-private count release: per-group counts with
+    Laplace(1/ε) noise — the ε-DP mechanism for counting queries
+    (sensitivity 1) a privacy-gated release pipeline runs after the
+    :func:`k_anonymity_audit` gate. Returns (group…, noised_n).
+
+    The noise is DETERMINISTIC-BY-HASH, the repo's no-RNG-state
+    convention made cross-engine exact: u = the first 13 hex digits
+    of ``md5(salt ⟂ group)`` read as an integer over 2⁵², mapped
+    through the Laplace inverse CDF
+    ``−b·sign(u−½)·ln(1−2|u−½|)``. Both engines compute the SAME
+    md5 (byte-identical hex), the same ≤2⁵² integer (exact in a
+    double), the same power-of-two division, so the oracle
+    hash-matches the release itself — not an invariant proxy. (A
+    production deployment would swap the salt per release; a FIXED
+    salt is what makes the verification reproducible, and the
+    mechanism is identical.) The guard inside ln keeps the
+    u=0 tail (probability 2⁻⁵²) finite. One hash aggregate + a
+    map-only noise expression; group-count-sized output."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    b = 1.0 / epsilon
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(f"`{c}`").cast("string") for c in group_cols]
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
+        / F.lit(float(2**52))
+    )
+    t = u - F.lit(0.5)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        F.lit(-b)
+        * sign
+        * F.log(F.greatest(1 - 2 * F.abs(t), F.lit(float(2.0**-52))))
+    )
+    return (
+        df.groupBy(*[F.col(f"`{c}`") for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            F.round(F.col("n") + noise, 6).alias("noised_n"),
+        )
+    )
+
+
+def dp_noised_counts_oracle_sql(
+    source: str,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> str:
+    """DuckDB twin of :func:`dp_noised_counts` — same md5-derived
+    uniform (hex prefix parsed via the 0x cast), same inverse-CDF
+    arithmetic, token-for-token."""
+    b = 1.0 / epsilon
+    cols = ", ".join(group_cols)
+    key = " || chr(31) || ".join(
+        [f"'{salt}'"] + [f"CAST({c} AS VARCHAR)" for c in group_cols]
+    )
+    return f"""
+    WITH g AS (
+      SELECT {cols}, COUNT(*) AS n,
+             CAST(('0x' || substr(md5({key}), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM {source} GROUP BY {cols}
+    )
+    SELECT {cols},
+           round(n + (-{b}) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(greatest(1 - 2*abs(u - 0.5), power(2.0, -52))), 6)
+             AS noised_n
+    FROM g ORDER BY {cols}
+    """

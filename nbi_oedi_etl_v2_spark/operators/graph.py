@@ -299,12 +299,127 @@ def bfs_oracle_sql(max_depth: int = 6) -> str:
     """
 
 
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 4,
+    early_exit: bool = True,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths by synchronous Bellman-Ford
+    relaxation: ``dist₀(source) = 0``; each round
+    ``distₜ₊₁(v) = min(distₜ(v), min over in-edges (u,v,w) of
+    distₜ(u) + w)``. After R rounds the result is the exact minimum
+    weight over paths of ≤ R edges — the hop-bounded contract that
+    makes a fixed-round run deterministic and oracle-matchable (the
+    same reason bfs_levels bounds depth and label_propagation fixes
+    rounds). ``edges`` carries (src, dst, w); weights are LONG and
+    must be non-negative — integral weights keep every distance an
+    exact integer sum, so cross-engine hash matching never meets
+    float summation order. ``sources`` is a one-column ``node``
+    DataFrame. Returns (node, dist) for nodes REACHED within R hops.
+
+    Unlike hop-BFS, a node cannot be frozen the first time it is
+    reached (a later path with more hops may be lighter), so each
+    round re-relaxes the full reached set: one keyed equi-join
+    (edges ⋈ dist on src) + one min-aggregate per round — the same
+    keyed-shuffle profile as a PageRank round, which is what
+    distributes at 100 TB. Each round's dist is ``localCheckpoint``ed
+    (the BFS lesson: flat plan depth, and the early-exit probe shares
+    the materialization) and the edge table is persisted for the
+    loop. ``early_exit`` stops when a round changes nothing — a
+    fixed point of the relaxation, so the remaining rounds are
+    provably no-ops (bit-identical to running all of them).
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("w").cast("long").alias("w"),
+    ).persist()
+    try:
+        dist = (
+            sources.select(F.col("node").cast("long").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint()
+        )
+        for _ in range(rounds):
+            relaxed = e.join(dist, e["src"] == dist["node"]).select(
+                F.col("dst").alias("node"),
+                (dist["dist"] + F.col("w")).alias("dist"),
+            )
+            new = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
+            )
+            if early_exit:
+                # a relaxation fixed point (no new node, no per-node
+                # improvement) → every further round is a no-op; the
+                # rename sidesteps the checkpoint-lineage self-join
+                # ambiguity
+                old = dist.select("node", F.col("dist").alias("_old"))
+                at_fixed_point = (
+                    new.join(old, "node", "left")
+                    .where(
+                        F.col("_old").isNull()
+                        | (F.col("dist") < F.col("_old"))
+                    )
+                    .isEmpty()
+                )
+                if at_fixed_point:
+                    dist = new
+                    break
+            dist = new
+        return dist
+    finally:
+        e.unpersist()
+
+
+def weighted_sssp_oracle_sql(rounds: int = 4) -> str:
+    """DuckDB mirror of ``weighted_sssp`` over the lineitem
+    co-purchase graph with the deterministic derived weight
+    ``1 + (src + dst) % 7``, sourced at the minimum part key — the
+    relaxation rounds unrolled (early exit is result-invariant, so
+    the fixed-round twin matches either way)."""
+    head = """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+             1 + (a.l_partkey + b.l_partkey) % 7 AS w
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ),
+    d0 AS (
+      SELECT (SELECT MIN(l_partkey) FROM lineitem) AS node, 0 AS dist
+    )"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f""",
+    d{i + 1} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM edges e JOIN d{i} d ON d.node = e.src
+      ) GROUP BY node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM d{rounds} ORDER BY node
+    """
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 5,
     early_exit: bool = True,
     max_degree: int | None = None,
     round_counter: list | None = None,
+    broadcast_labels: bool | str = "auto",
 ) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007, the deterministic synchronous variant): every node
@@ -339,6 +454,20 @@ def label_propagation(
     EXECUTED round — the observable the early-exit pytest asserts on
     (the loop runs fewer rounds than asked once converged).
 
+    ``broadcast_labels`` (the measured sf10 lever, round 7): graphs
+    routinely have a MODEST node set under a huge edge set — the sf10
+    co-purchase graph is 2M nodes carrying 239M edges — and then
+    re-shuffling the edge table by src every round is the whole cost.
+    Broadcasting the (node, lbl) side instead makes the per-round
+    join MAP-SIDE over the persisted edges: zero edge exchanges in
+    the loop; the only per-round shuffle left is the
+    map-side-combined (dst, label) aggregate. ``"auto"`` broadcasts
+    when the node count (already materialized by the checkpoint) is
+    ≤ 5M — ~80 MB, safely inside the 8g driver; ``False`` forces the
+    shuffled join for billion-node graphs. Join strategy never
+    changes results. Measured at sf10: 530 s shuffled → 304 s
+    broadcast, same session (SCALE.md round-7 labelprop row).
+
     Scale shape per round: one keyed equi-join (edges ⋈ labels on
     src), one (dst, label) hash aggregate, one single-agg argmax via
     max(struct) — all shuffles keyed by node id, same profile as a
@@ -366,11 +495,18 @@ def label_propagation(
             .withColumn("lbl", F.col("node"))
             .localCheckpoint()
         )
+        if broadcast_labels == "auto":
+            # the checkpoint above already materialized the node set,
+            # so this count is a cached-scan metadata read
+            use_bc = labels.count() <= 5_000_000
+        else:
+            use_bc = bool(broadcast_labels)
         for rnd in range(rounds):
             if round_counter is not None:
                 round_counter.append(rnd)
+            lab_side = F.broadcast(labels) if use_bc else labels
             neigh = (
-                e.join(labels, e["src"] == labels["node"])
+                e.join(lab_side, e["src"] == lab_side["node"])
                 .groupBy(F.col("dst").alias("node"), "lbl")
                 .agg(F.count(F.lit(1)).alias("c"))
             )

@@ -131,6 +131,94 @@ def sampled_sum_estimate(
     )
 
 
+def agms_join_size(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    m: int = 64,
+    sigmas: float = 5.0,
+) -> DataFrame:
+    """Join-cardinality estimation by AGMS/tug-of-war sketches
+    (Alon–Gilbert–Matias–Szegedy): estimate ``|A ⋈ B|`` — the
+    optimizer's make-or-break number — WITHOUT running the join.
+    Each side folds, in ONE map-side-combinable pass, ``m`` signed
+    counters ``X_j = Σ_rows s_j(key)`` with ``s_j(key) = ±1`` from
+    bit 0 of ``xxhash64(key, j)`` (deterministic — no RNG state, the
+    repo convention); ``E[X_j(A)·X_j(B)] = Σ_k f_A(k)·f_B(k)`` is
+    exactly the join size, so the mean of the m products estimates
+    it with an in-plan CLT interval from their sample variance.
+
+    Returns ONE row: (exact_join_size, est_join_size, se,
+    within_interval) — the exact twin ``Σ f_A·f_B`` is computed in
+    the same plan (two key-grouped counts + one equi-join over
+    DISTINCT keys, far smaller than the join output it predicts) and
+    the invariant pins ``|est − exact| ≤ sigmas·se`` so DuckDB can
+    hash-match (exact + TRUE) without implementing xxhash64. All
+    sketch state is 2·m longs; the per-side pass is map-only with a
+    single 1-row exchange — at 100 TB you read each side once and
+    shuffle 64 longs, versus materializing a join that may be
+    quadratic. Signed ±1 sums are exact integer arithmetic; only the
+    final mean/variance touch doubles (identical expressions both
+    sides of the bar, no cross-engine float hashing — the compared
+    columns are the exact count and the boolean)."""
+    def side(df: DataFrame, key: str):
+        k = F.col(f"`{key}`")
+        sums = [
+            F.sum(
+                1 - 2 * F.xxhash64(k, F.lit(j)).bitwiseAND(F.lit(1))
+            ).cast("long").alias(f"x{j}")
+            for j in range(m)
+        ]
+        return df.agg(F.array(*[F.coalesce(s, F.lit(0)) for s in sums]).alias("x"))
+
+    xa = side(a, a_key).select(F.col("x").alias("xa"))
+    xb = side(b, b_key).select(F.col("x").alias("xb"))
+    prods = F.zip_with("xa", "xb", lambda x, y: (x * y).cast("double"))
+    stats = (
+        xa.crossJoin(xb)
+        .select(prods.alias("p"))
+        .select(
+            (
+                F.aggregate("p", F.lit(0.0), lambda acc, v: acc + v)
+                / F.lit(float(m))
+            ).alias("est"),
+            F.col("p"),
+        )
+        .select(
+            "est",
+            F.sqrt(
+                F.aggregate(
+                    "p",
+                    F.lit(0.0),
+                    lambda acc, v: acc + (v - F.col("est")) * (v - F.col("est")),
+                )
+                / F.lit(float((m - 1) * m))
+            ).alias("se"),
+        )
+    )
+    fa = a.groupBy(F.col(f"`{a_key}`").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    fb = b.groupBy(F.col(f"`{b_key}`").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    exact = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("bigint")
+        .alias("exact_join_size")
+    )
+    return exact.crossJoin(stats).select(
+        "exact_join_size",
+        F.round("est", 4).alias("est_join_size"),
+        F.round("se", 4).alias("se"),
+        (
+            F.abs(F.col("est") - F.col("exact_join_size"))
+            <= F.lit(sigmas) * F.col("se")
+        ).alias("within_interval"),
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

@@ -2624,6 +2624,39 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_levels(edges, src, max_depth=4)
 
 
+from .operators import graph as _graph  # noqa: E402
+
+
+@query(
+    "part_copurchase_sssp",
+    oracle=_graph.weighted_sssp_oracle_sql(rounds=4),
+    doc="Multi-source WEIGHTED shortest paths (synchronous "
+        "Bellman-Ford, 4 relaxation rounds = exact min weight over "
+        "≤4-edge paths) on the co-purchase graph with the "
+        "deterministic derived weight 1+(src+dst)%7 — the weighted "
+        "sibling bfs_levels couldn't answer (a lighter path may use "
+        "MORE hops, so nodes re-relax instead of freezing at first "
+        "touch). Per round one keyed edges⋈dist join + one min "
+        "aggregate, localCheckpoint lineage truncation, early-exit "
+        "at the relaxation fixed point (provably result-invariant). "
+        "Integral weights keep distances exact integer sums — no "
+        "float summation order in the hash (operators/graph.py "
+        "weighted_sssp). Oracle: the rounds unrolled in DuckDB.",
+    driver=False,
+)
+def q_part_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = graph.copurchase_edges(li).select(
+        "src", "dst", (1 + (F.col("src") + F.col("dst")) % 7).alias("w")
+    )
+    src = li.agg(F.min("l_partkey").alias("node"))
+    return graph.weighted_sssp(edges, src, rounds=4).orderBy("node")
+
+
 @query(
     "events_json_roundtrip",
     # the oracle aggregates the original table directly: a correct JSON
@@ -4577,6 +4610,74 @@ def q_lineitem_equidepth_double(
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
     return order_stats.equidepth_buckets(spark, li, "l_extendedprice", 10)
+
+
+from .operators import analytics as _analytics  # noqa: E402
+
+
+@query(
+    "orders_dp_noised_counts",
+    oracle=_analytics.dp_noised_counts_oracle_sql(
+        "orders", ["o_orderpriority"], epsilon=0.5
+    ),
+    doc="Differentially-private count release (Laplace 1/ε mechanism, "
+        "ε=0.5) per order priority — the privacy family's release "
+        "step after the k-anonymity gate. The noise is deterministic-"
+        "by-hash (md5 hex prefix → 52-bit uniform → Laplace inverse "
+        "CDF), and because BOTH engines compute byte-identical md5 "
+        "and exact power-of-two arithmetic, the oracle hash-matches "
+        "the noised release itself — a sketch-family spec with a "
+        "full-strength oracle instead of an invariant proxy. One "
+        "hash aggregate + map-only noise "
+        "(operators/analytics.py dp_noised_counts).",
+    driver=False,
+)
+def q_orders_dp_noised_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return _analytics.dp_noised_counts(
+        orders, ["o_orderpriority"], epsilon=0.5
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "orders_lineitem_join_size_agms",
+    # oracle emits the exact join cardinality (computable: Σ f_A·f_B
+    # over the shared key) + TRUE for the in-plan CLT invariant — the
+    # AGMS estimate itself needs xxhash64, which DuckDB lacks (the
+    # established sketch-spec pattern).
+    oracle="""
+    SELECT CAST((
+      SELECT COALESCE(SUM(ca * cb), 0) FROM
+        (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1) a
+        JOIN
+        (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1) b
+        USING (k)
+    ) AS BIGINT) AS exact_join_size, TRUE AS within_interval
+    """,
+    doc="Join-cardinality estimation WITHOUT the join: AGMS "
+        "tug-of-war sketches — 64 signed ±1 counters per side from "
+        "deterministic xxhash64 bit-signs, folded in ONE "
+        "map-side-combinable pass each; the mean of the 64 counter "
+        "products estimates |orders ⋈ lineitem| with an in-plan CLT "
+        "interval from their sample variance. The optimizer/planning "
+        "primitive at 100 TB: read each side once, shuffle 64 longs, "
+        "predict a join you never materialize. Driver form: exact "
+        "twin (two grouped counts + a distinct-key join, far smaller "
+        "than the predicted join) + the estimate-inside-its-own-"
+        "interval invariant, hash-matched "
+        "(operators/stats.py agms_join_size).",
+    driver=False,
+)
+def q_orders_lineitem_join_size_agms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return _stats.agms_join_size(
+        orders, "o_orderkey", li, "l_orderkey", m=64
+    ).select("exact_join_size", "within_interval")
 
 
 @query(
