@@ -206,11 +206,42 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by
     cosine: broadcast the (small) centroid table, k dot products per
-    vector, per-vector top-nprobe via window. Returns
-    (id_alias, vec, norm, cid, probe_rank)."""
+    vector, per-vector top-nprobe. Returns
+    (id_alias, vec, norm, cid, probe_rank).
+
+    nprobe=1 (the corpus-assignment case — every IVF/SemDeDup build
+    runs it over the WHOLE corpus) skips the row_number window: a
+    ``max(struct(c_sim, −cid, …))`` hash aggregate map-side-combines
+    the k scored rows of each vector back to one inside its partition
+    before any exchange, where the window formulation shuffles all
+    k× rows and sorts every group. Identical tie-break ((sim DESC,
+    cid ASC) ≡ max of (sim, −cid)). Round-7 interleaved A/B at
+    sf0.1: flat at nlist=16 (0.41 s both), ~10 % at nlist=128
+    (1.52 s window → 1.43 s agg) — locally modest because one box
+    never pays the exchange in bytes, but the shuffle the aggregate
+    removes is k× the corpus row count, which is the term that
+    matters on a cluster."""
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "c_sim", F.expr(_dot(vec_alias, "c_vec")) / (F.col(norm_alias) * F.col("c_norm"))
     )
+    if nprobe == 1:
+        best = scored.groupBy(id_alias).agg(
+            F.max(
+                F.struct(
+                    F.col("c_sim"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col(vec_alias).alias("v"),
+                    F.col(norm_alias).alias("n"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            id_alias,
+            F.col("b.v").alias(vec_alias),
+            F.col("b.n").alias(norm_alias),
+            (-F.col("b.nc")).alias("cid"),
+            F.lit(1).alias("probe_rank"),
+        )
     w = Window.partitionBy(id_alias).orderBy(F.col("c_sim").desc(), F.col("cid"))
     return (
         scored.withColumn("probe_rank", F.row_number().over(w))
@@ -267,6 +298,38 @@ def ivf_centroids(
         )
         cents = rebuilt.select("cid", "c_vec", "c_norm")
     return cents
+
+
+def ivf_centroids_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 1024,
+    iterations: int = 2,
+) -> DataFrame:
+    """IVF centroid table for LARGE ``nlist`` via the L2 Lloyd trainer
+    (operators/cluster.py) — the VERDICT r6 item-3 consumer: an IVF
+    index at 100 TB wants nlist in the thousands, where
+    ``lloyd_kmeans`` auto-routes assignment through the broadcast-join
+    form instead of nlist×dim inlined literals. On L2-NORMALIZED
+    embeddings (``normalize_embeddings_arrow``) L2 argmin ≡ cosine
+    argmax, so the trained cells match :func:`ivf_centroids`'s
+    cosine semantics; on unnormalized inputs the cells are Euclidean
+    Voronoi cells — document which metric your index serves. Returns
+    the same (cid, c_vec, c_norm) contract ``ivf_assign`` consumes;
+    the driver holds nlist·dim doubles, everything data-sized stays
+    distributed."""
+    from . import cluster
+
+    cents, _ = cluster.lloyd_kmeans(
+        corpus, id_col, vec_col, k=nlist, iters=iterations
+    )
+    spark = corpus.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = spark.createDataFrame(rows, "cid int, c_vec array<double>")
+    return cdf.withColumn(
+        "c_norm", F.expr(f"sqrt({_dot('c_vec', 'c_vec')})")
+    )
 
 
 def ivf_cosine_topk(

@@ -212,9 +212,11 @@ PIN: frozenset[str] = frozenset({
 # TOUCH - specs whose operator code changed this round (round 7):
 # VERDICT r6 items 2-5 — equidepth floating support (order_stats.py),
 # large-k broadcast-join k-means assign (cluster.py), LPA early-exit
-# + degree cap (graph.py), exact-dedup per-doc pair cap (dedup.py) —
-# plus the ADVICE r6 bloom bits guard (membership.py) and the basket
-# truncation accounting (basket.py).
+# + degree cap + broadcast-labels plan (graph.py), exact-dedup
+# hot-shingle star guard (dedup.py) — plus the ivf_assign nprobe=1
+# argmax-aggregate rework (similarity.py), the ADVICE r6 bloom bits
+# guard (membership.py) and the basket truncation accounting
+# (basket.py).
 TOUCH: frozenset[str] = frozenset({
     "lineitem_equidepth_deciles",
     "embeddings_kmeans_lloyd",
@@ -224,6 +226,9 @@ TOUCH: frozenset[str] = frozenset({
     "customer_bloom_inactive",
     "lineitem_association_rules",
     "part_item_similarity",
+    "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
+    "embedding_semantic_dedup",
 })
 
 # ADVISED - explicit re-verification asks from VERDICT r6: none this

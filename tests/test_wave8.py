@@ -164,3 +164,49 @@ def test_kmeans_rejects_unknown_strategy(spark):
     df = spark.createDataFrame([(1, [0.0])], "id long, v array<float>")
     with pytest.raises(ValueError, match="assign_strategy"):
         cluster.lloyd_kmeans(df, "id", "v", k=1, assign_strategy="bogus")
+
+
+def test_ivf_centroids_kmeans_large_nlist(spark, sf_dir):
+    # the VERDICT item-3 consumer: nlist past LITERAL_ASSIGN_MAX_K
+    # trains through the broadcast-join assign and still emits the
+    # (cid, c_vec, c_norm) contract ivf_assign consumes
+    from nbi_oedi_etl_v2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist = cluster.LITERAL_ASSIGN_MAX_K + 44  # forces the broadcast path
+    cents = similarity.ivf_centroids_kmeans(
+        emb, "vec_id", "embedding", nlist=nlist, iterations=1
+    )
+    assert cents.count() == nlist
+    assert dict(cents.dtypes) == {
+        "cid": "int", "c_vec": "array<double>", "c_norm": "double",
+    }
+    v = similarity.with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("vid"), "vec", "norm"
+    )
+    assigned = similarity.ivf_assign(v, cents, "vid", nprobe=1)
+    assert assigned.count() == emb.count()
+    assert assigned.where(F.col("cid").isNull()).count() == 0
+
+
+def test_ivf_assign_nprobe1_agg_matches_window(spark, sf_dir):
+    # the nprobe=1 aggregate argmax must pick the same (sim, cid)
+    # winner as the general window path
+    from nbi_oedi_etl_v2_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.first_k_centroids(emb, "vec_id", "embedding", 16)
+    v = similarity.with_norm(emb, "embedding").select(
+        F.col("vec_id").alias("vid"), "vec", "norm"
+    )
+    agg = {
+        r.vid: r.cid
+        for r in similarity.ivf_assign(v, cents, "vid", nprobe=1).collect()
+    }
+    win = {
+        r.vid: r.cid
+        for r in similarity.ivf_assign(v, cents, "vid", nprobe=2)
+        .where(F.col("probe_rank") == 1)
+        .collect()
+    }
+    assert agg == win
