@@ -391,3 +391,69 @@ def dp_noised_counts_oracle_sql(
              AS noised_n
     FROM g ORDER BY {cols}
     """
+
+
+def hourly_profile_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-slot anomaly flags against the hour-of-day profile: each
+    row's deviation from ITS slot's mean, standardized by the slot's
+    population std — rows with |z| ≥ ``z`` are the "this 3 AM doesn't
+    look like 3 AMs" alerts a telemetry pipeline pages on. Returns the
+    flagged rows only: (slot, ts, value, slot_mean, zscore).
+
+    Arithmetic is the engine-portability discipline of
+    :func:`seasonal_decompose`: slot mean and the E[x²] moment go
+    through exact DECIMAL(38,10) sums (shuffle-order-insensitive),
+    variance = E[x²] − mean² in doubles from those exact readouts,
+    and the z-score is one map-side expression after a BROADCAST join
+    of the 24-row profile — so a 100 TB events table pays one
+    map-side-combinable aggregate and one map-only flagging pass,
+    output bounded by the anomaly count. Degenerate slots (std = 0,
+    or a single row) produce no flags (their deviation is 0/undefined
+    by construction); z-scores round to 7 dp for cross-engine hash
+    stability."""
+    slot = F.hour(F.col(f"`{ts_col}`")).alias("slot")
+    x = F.col(f"`{value_col}`").cast("double")
+    prof = (
+        df.select(slot, x.alias("x"))
+        .groupBy("slot")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("slot_mean"),
+            (
+                F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m2"),
+        )
+        .select(
+            "slot",
+            "slot_mean",
+            F.sqrt(
+                F.greatest(
+                    F.col("m2") - F.col("slot_mean") * F.col("slot_mean"),
+                    F.lit(0.0),
+                )
+            ).alias("slot_std"),
+        )
+    )
+    scored = df.select(
+        slot, F.col(f"`{ts_col}`").alias("ts"), x.alias("value")
+    ).join(F.broadcast(prof), "slot")
+    zscore = F.round(
+        (F.col("value") - F.col("slot_mean")) / F.col("slot_std"), 7
+    )
+    return (
+        scored.where(F.col("slot_std") > 0)
+        .withColumn("zscore", zscore)
+        .where(F.abs(F.col("zscore")) >= z)
+        .select("slot", "ts", "value",
+                F.round("slot_mean", 7).alias("slot_mean"), "zscore")
+    )

@@ -364,3 +364,44 @@ def equidepth_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def winsorize(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+) -> DataFrame:
+    """Winsorization — clamp a column to its exact [p_low, p_high]
+    quantiles — the outlier-capping pass a feature pipeline runs
+    before normalization, at any N without a sort: the two cut
+    points come from :func:`exact_quantiles_radix` (sharing the four
+    bounded histogram passes), then ONE map-only expression clamps
+    every row. Adds ``{value_col}_winsorized`` typed like the input
+    family (long / double); NULLs stay NULL. The quantile contract
+    is the same lower order statistic the siblings use
+    (``k = ceil(q·n)``), so an engine computing cut points by window
+    rank reproduces the clamped values bit-for-bit. NaNs rank
+    greatest in the cut-point selection; the clamp itself uses
+    ordinary comparisons, so NaN rows pass through unclamped —
+    route genuinely NaN-bearing columns through a quality filter
+    first."""
+    if not 0 < p_low < p_high <= 1:
+        raise ValueError("need 0 < p_low < p_high <= 1")
+    floating = _is_floating(df, value_col)
+    rows = (
+        exact_quantiles_radix(spark, df, value_col, [p_low, p_high])
+        .orderBy("quantile")
+        .collect()
+    )
+    lo, hi = rows[0]["value"], rows[1]["value"]
+    c = F.col(f"`{value_col}`")
+    out_name = f"{value_col}_winsorized"
+    if lo is None:
+        return df.withColumn(out_name, c)  # empty/all-NULL input
+    t = "double" if floating else "long"
+    clamped = F.when(c < lo, F.lit(lo).cast(t)).when(
+        c > hi, F.lit(hi).cast(t)
+    ).otherwise(c.cast(t))
+    return df.withColumn(out_name, clamped)

@@ -129,3 +129,32 @@ class Suite:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.orderBy("check_name")
+
+
+def fd_violations(
+    df, determinant_cols: list[str], dependent_col: str
+):
+    """Functional-dependency profiling: the determinant groups that
+    VIOLATE ``determinant → dependent`` (more than one distinct
+    dependent value), with group size and the distinct count — the
+    schema-discovery / constraint-mining sibling of the Deequ-style
+    suite above (a violated FD is either a data bug or a wrong
+    assumption about the table; both are worth a row). One hash
+    aggregate; map-side partial distinct on (det, dep) keeps the
+    shuffle at distinct-pair volume; output bounded by the violating
+    determinant count. NULL dependents are EXCLUDED from the distinct
+    count (COUNT(DISTINCT) semantics, identical in both engines) — an
+    all-NULL dependent never flags."""
+    from pyspark.sql import functions as F
+
+    dets = [F.col(f"`{c}`") for c in determinant_cols]
+    return (
+        df.groupBy(*dets)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col(f"`{dependent_col}`"))
+            .cast("bigint")
+            .alias("n_dependent_values"),
+        )
+        .where(F.col("n_dependent_values") > 1)
+    )

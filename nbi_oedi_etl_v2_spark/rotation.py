@@ -1,9 +1,10 @@
 """Driver-slot rotation policy (round 7).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 164 specs (r7:
+correctness rows per round, while the registry holds 167 specs (r7:
 159 carried + equidepth-double, etl_write_pipeline, weighted SSSP,
-AGMS join-size, DP counts).
+AGMS join-size, DP counts, winsorize, hourly anomalies, FD
+violations).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -24,7 +25,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-With ~164 specs, a 50-row cap and ~10-15 slots/round consumed by
+With ~167 specs, a 50-row cap and ~10-15 slots/round consumed by
 NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
 ``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
 no unexported spec may be more than 4 rounds past its last green row.

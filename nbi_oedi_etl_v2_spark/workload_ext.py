@@ -4616,6 +4616,110 @@ from .operators import analytics as _analytics  # noqa: E402
 
 
 @query(
+    "lineitem_winsorized_prices",
+    # cut points by window rank (the quantile-family oracle
+    # convention), clamp by the same CASE both engines evaluate
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS c FROM lineitem),
+    r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn
+      FROM lineitem
+    ),
+    cuts AS (
+      SELECT (SELECT MIN(v) FROM r, t WHERE rn >= CEIL(0.01 * c)) AS lo,
+             (SELECT MIN(v) FROM r, t WHERE rn >= CEIL(0.99 * c)) AS hi
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           CASE WHEN l_extendedprice < lo THEN lo
+                WHEN l_extendedprice > hi THEN hi
+                ELSE l_extendedprice END AS l_extendedprice_winsorized
+    FROM lineitem, cuts
+    """,
+    doc="Winsorization of the DOUBLE price at exact [p01, p99] — the "
+        "outlier-capping pass before feature normalization, with the "
+        "cut points from the radix quickselect (four bounded "
+        "histogram passes, no sort) and ONE map-only clamp; at "
+        "100 TB this is two column scans plus a narrow projection, "
+        "where percentile()-then-clamp collects the column "
+        "(operators/order_stats.py winsorize). Hash-matched per row "
+        "against the window-rank + CASE oracle.",
+    driver=False,
+)
+def q_lineitem_winsorized_prices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import order_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return order_stats.winsorize(spark, li, "l_extendedprice", 0.01, 0.99)
+
+
+@query(
+    "events_hourly_anomalies",
+    oracle="""
+    WITH prof AS (
+      SELECT EXTRACT(hour FROM ts) AS slot,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS slot_mean,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,10)))
+                  AS VARCHAR) AS DOUBLE) / COUNT(*) AS m2
+      FROM events GROUP BY 1
+    ),
+    p2 AS (
+      SELECT slot, slot_mean,
+             sqrt(greatest(m2 - slot_mean * slot_mean, 0)) AS slot_std
+      FROM prof
+    )
+    SELECT CAST(p2.slot AS INTEGER) AS slot, e.ts, e.value,
+           round(p2.slot_mean, 7) AS slot_mean,
+           round((e.value - p2.slot_mean) / p2.slot_std, 7) AS zscore
+    FROM events e JOIN p2 ON EXTRACT(hour FROM e.ts) = p2.slot
+    WHERE p2.slot_std > 0
+      AND abs(round((e.value - p2.slot_mean) / p2.slot_std, 7)) >= 3.0
+    """,
+    doc="Hour-of-day profile anomaly flags: per-slot mean and "
+        "population std from exact-decimal moment sums (one "
+        "map-side-combinable aggregate), then a broadcast of the "
+        "24-row profile and one map-only z-score pass — output "
+        "bounded by the anomaly count, the telemetry paging shape at "
+        "100 TB (operators/analytics.py hourly_profile_anomalies). "
+        "z rounded to 7 dp for cross-engine hash stability.",
+    driver=False,
+)
+def q_events_hourly_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _analytics.hourly_profile_anomalies(events, "ts", "value", 3.0)
+
+
+@query(
+    "orders_fd_violations",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+             AS n_dependent_values
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) > 1
+    """,
+    doc="Functional-dependency profiling: determinant groups "
+        "violating o_custkey → o_orderpriority (constraint mining / "
+        "schema discovery for the DQ family). One hash aggregate, "
+        "map-side partial distinct, output bounded by violating "
+        "group count (operators/quality.py fd_violations).",
+    driver=False,
+)
+def q_orders_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import fd_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_violations(orders, ["o_custkey"], "o_orderpriority")
+
+
+@query(
     "orders_dp_noised_counts",
     oracle=_analytics.dp_noised_counts_oracle_sql(
         "orders", ["o_orderpriority"], epsilon=0.5
