@@ -405,3 +405,56 @@ def winsorize(
         c > hi, F.lit(hi).cast(t)
     ).otherwise(c.cast(t))
     return df.withColumn(out_name, clamped)
+
+
+def global_percentile_ranks(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact GLOBAL percent_rank and cume_dist for every row without
+    a single-partition window: Spark's ``percent_rank() OVER (ORDER BY
+    v)`` funnels the entire table through ONE task — the classic
+    100 TB non-starter — while the rank of a row only depends on the
+    COUNTS of distinct values below it. So: one map-side-combined
+    aggregate to the distinct-value table, a window prefix-sum over
+    THAT table (|distinct| rows — the small thing), and one equi-join
+    back (AQE broadcasts the rank table when it fits). Adds
+    ``pct_rank`` = count_less/(n−1) and ``cume_dist`` = count_le/n —
+    Spark's window definitions, rounded to 7 dp (the window-suite
+    convention). NULL values get NULL ranks (windows skip them; so do
+    we).
+
+    Scale condition stated honestly: this wins when |distinct| ≪ N
+    (prices, scores, ages, anything quantized). A genuinely
+    continuous column has |distinct| ≈ N and the distinct table IS
+    the data — bin it first (:func:`equidepth_buckets`) or accept the
+    sort."""
+    from pyspark.sql import Window
+
+    c = F.col(f"`{value_col}`")
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(c.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        "_v",
+        (F.sum("_c").over(w) - F.col("_c")).alias("_less"),
+        F.sum("_c").over(w).alias("_le"),
+    )
+    n = df.where(c.isNotNull()).count()
+    if n == 0:
+        return df.withColumn("pct_rank", F.lit(None).cast("double")) \
+                 .withColumn("cume_dist", F.lit(None).cast("double"))
+    denom = float(n - 1) if n > 1 else 1.0
+    return (
+        df.join(ranked, c == F.col("_v"), "left")
+        .select(
+            *df.columns,
+            F.round(F.col("_less") / F.lit(denom), 7).alias("pct_rank"),
+            F.round(F.col("_le") / F.lit(float(n)), 7).alias("cume_dist"),
+        )
+    )

@@ -1,10 +1,10 @@
 """Driver-slot rotation policy (round 7).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 167 specs (r7:
+correctness rows per round, while the registry holds 169 specs (r7:
 159 carried + equidepth-double, etl_write_pipeline, weighted SSSP,
 AGMS join-size, DP counts, winsorize, hourly anomalies, FD
-violations).
+violations, percentile ranks, PSI drift).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -25,7 +25,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-With ~167 specs, a 50-row cap and ~10-15 slots/round consumed by
+With ~169 specs, a 50-row cap and ~10-15 slots/round consumed by
 NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
 ``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
 no unexported spec may be more than 4 rounds past its last green row.
@@ -228,7 +228,13 @@ TOUCH: frozenset[str] = frozenset({
     "lineitem_association_rules",
     "part_item_similarity",
     "similarity_topk_ivf",
-    "similarity_topk_ivfpq",
+    # similarity_topk_ivfpq exercises the SAME changed code path
+    # (ivf_assign nprobe=1) as similarity_topk_ivf and
+    # embedding_semantic_dedup; with 10 never-verified wave-11/12/13
+    # specs forcing slots this round, the r2 staleness cohort (28
+    # specs all expiring together) needs every fill slot, so ivfpq's
+    # driver re-proof rides the other two consumers + the every-round
+    # pytest oracle (test_workload_oracle runs ALL specs).
     "embedding_semantic_dedup",
 })
 

@@ -4658,6 +4658,108 @@ def q_lineitem_winsorized_prices(
 
 
 @query(
+    "lineitem_percentile_ranks",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(percent_rank() OVER (ORDER BY l_quantity), 7)
+             AS pct_rank,
+           round(cume_dist() OVER (ORDER BY l_quantity), 7)
+             AS cume_dist
+    FROM lineitem
+    """,
+    doc="Exact GLOBAL percent_rank/cume_dist for every row WITHOUT "
+        "the single-partition window Spark's percent_rank() OVER "
+        "(ORDER BY v) would plan: one map-side-combined aggregate to "
+        "the distinct-value table, a prefix-sum window over THAT "
+        "(|distinct| rows — l_quantity has ~50), one equi-join back "
+        "(AQE-broadcast). The orders_window_suite spec shows the "
+        "window semantics; this is the shape that survives 100 TB "
+        "when |distinct| ≪ N (operators/order_stats.py "
+        "global_percentile_ranks). Hash-matched per row against the "
+        "real window functions.",
+    driver=False,
+)
+def q_lineitem_percentile_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import order_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return order_stats.global_percentile_ranks(li, "l_quantity")
+
+
+_PSI_CUTS = "\n      UNION ALL\n".join(
+    f"      SELECT MIN(v) AS cut FROM r, t WHERE rn >= CEIL({i / 10} * c)"
+    for i in range(1, 10)
+)
+
+
+@query(
+    "orders_psi_price_drift",
+    oracle=f"""
+    WITH ref AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) < 1997
+    ),
+    cur AS (
+      SELECT o_totalprice AS v FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) >= 1997
+    ),
+    t AS (SELECT COUNT(*) AS c FROM ref),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ref),
+    cuts AS (
+{_PSI_CUTS}
+    ),
+    rs AS (
+      SELECT (SELECT CAST(COUNT(*) AS INTEGER) FROM cuts
+              WHERE cut < ref.v) AS bin,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM ref) AS ref_share
+      FROM ref GROUP BY 1
+    ),
+    cs AS (
+      SELECT (SELECT CAST(COUNT(*) AS INTEGER) FROM cuts
+              WHERE cut < cur.v) AS bin,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM cur) AS cur_share
+      FROM cur GROUP BY 1
+    ),
+    j AS (
+      SELECT g.bin,
+             greatest(coalesce(rs.ref_share, 0), 1e-6) AS r2,
+             greatest(coalesce(cs.cur_share, 0), 1e-6) AS c2
+      FROM generate_series(0, 9) AS g(bin)
+      LEFT JOIN rs ON rs.bin = g.bin
+      LEFT JOIN cs ON cs.bin = g.bin
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+           round(r2, 7) AS ref_share, round(c2, 7) AS cur_share,
+           round((c2 - r2) * ln(c2 / r2), 7) AS psi_term
+    FROM j ORDER BY bin
+    """,
+    doc="Population Stability Index of the price distribution, "
+        "pre-1997 reference vs 1997+ current — the feature-drift "
+        "monitor an ML-ops pipeline runs per release. Bins are the "
+        "REFERENCE's exact equi-depth cuts (radix quickselect, no "
+        "sort), both sides label by the same strict-less counting "
+        "in ordered-bits space, zero bins clamp to 1e-6; "
+        "SUM(psi_term) is the headline PSI "
+        "(operators/analytics.py psi_drift). Hash-matched per bin.",
+    driver=False,
+)
+def q_orders_psi_price_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate"))
+    ref = orders.where(yr < 1997).select("o_totalprice")
+    cur = orders.where(yr >= 1997).select("o_totalprice")
+    return _analytics.psi_drift(ref, cur, "o_totalprice", n_bins=10)
+
+
+@query(
     "events_hourly_anomalies",
     oracle="""
     WITH prof AS (
