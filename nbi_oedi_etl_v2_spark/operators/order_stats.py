@@ -251,12 +251,24 @@ def exact_quantiles_radix(
     v = df.select(
         _to_walk_col(df, value_col, floating).alias("v")
     ).where(F.col("v").isNotNull())
-    n = v.count()
-    if n == 0:
-        return _result_df(spark, quantiles, [None] * len(quantiles), floating)
-    return _result_df(
-        spark, quantiles, _radix_walk(v, quantiles, n, False), floating
-    )
+    # materialize the walk column ONCE: the four digit levels each
+    # trigger a job, and re-running the scan + (for doubles) the
+    # ordered-bits transform per level dominated the walk — measured
+    # at sf1 on l_extendedprice: 57.9 s recomputed → 8.7 s cached
+    # (the transform is ~6 s/pass; the cached levels read 8-byte
+    # longs). The cache is one long per non-NULL row.
+    v = v.persist()
+    try:
+        n = v.count()
+        if n == 0:
+            return _result_df(
+                spark, quantiles, [None] * len(quantiles), floating
+            )
+        return _result_df(
+            spark, quantiles, _radix_walk(v, quantiles, n, False), floating
+        )
+    finally:
+        v.unpersist()
 
 
 def exact_weighted_quantiles_radix(
@@ -283,12 +295,20 @@ def exact_weighted_quantiles_radix(
         _to_walk_col(df, value_col, floating).alias("v"),
         F.col(f"`{weight_col}`").cast("long").alias("w"),
     ).where(F.col("v").isNotNull() & (F.col("w") > 0))
-    total = v.agg(F.sum("w")).first()[0]
-    if not total:
-        return _result_df(spark, quantiles, [None] * len(quantiles), floating)
-    return _result_df(
-        spark, quantiles, _radix_walk(v, quantiles, total, True), floating
-    )
+    # same one-materialization rule as exact_quantiles_radix: the four
+    # levels share the (v, w) projection instead of re-deriving it
+    v = v.persist()
+    try:
+        total = v.agg(F.sum("w")).first()[0]
+        if not total:
+            return _result_df(
+                spark, quantiles, [None] * len(quantiles), floating
+            )
+        return _result_df(
+            spark, quantiles, _radix_walk(v, quantiles, total, True), floating
+        )
+    finally:
+        v.unpersist()
 
 
 def equidepth_buckets(

@@ -745,3 +745,65 @@ def test_ols2_single_pass_partial_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "lineitem_ols2_price_model")
     assert plan.count("FileScan") == 1
     assert "partial_sum" in plan
+
+
+def test_sssp_round_is_keyed_joins_no_cartesian(spark, sf_dir):
+    # the spec's returned frame is the final localCheckpoint scan
+    # (rounds ran eagerly), so pin the negatives there...
+    plan = plan_of(spark, sf_dir, "part_copurchase_sssp")
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # ...and the positive shape on one hand-built relaxation round:
+    # keyed equi-join + a min that map-side combines
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 1)], "src long, dst long, w long"
+    )
+    dist = spark.createDataFrame([(1, 0)], "node long, dist long")
+    relaxed = e.join(dist, e["src"] == dist["node"]).select(
+        F.col("dst").alias("node"), (dist["dist"] + F.col("w")).alias("dist")
+    )
+    rnd = (
+        dist.unionByName(relaxed)
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    round_plan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in round_plan
+    assert "CartesianProduct" not in round_plan
+
+
+def test_agms_sketch_is_map_side_folded(spark, sf_dir):
+    # 64 signed counters per side fold BEFORE any exchange, the exact
+    # twin group-counts partial-aggregate, and nothing goes cartesian
+    # (the two 1-row sketch joins plan as broadcast nested loops)
+    plan = plan_of(spark, sf_dir, "orders_lineitem_join_size_agms")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert plan.count("FileScan") <= 4  # 2 sides x (sketch + exact twin)
+
+
+def test_dp_release_is_one_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_dp_noised_counts")
+    assert plan.count("FileScan") == 1
+    assert "partial_count" in plan        # map-side combine
+    assert "Join" not in plan             # noise is a map expression
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan         # md5/conv/ln stay JVM-side
+
+
+def test_hourly_anomalies_profile_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_hourly_anomalies")
+    assert "BroadcastHashJoin" in plan    # 24-row profile, never shuffled
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan          # moment sums map-side combine
+
+
+def test_winsorize_is_map_only_after_cuts(spark, sf_dir):
+    # the labeling pass: one scan, no join, no shuffle of data rows
+    # (the radix cut-point passes run eagerly inside the query fn)
+    plan = plan_of(spark, sf_dir, "lineitem_winsorized_prices")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Exchange" not in plan
