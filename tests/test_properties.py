@@ -234,3 +234,57 @@ def test_bpe_apply_matches_sequential_reference(spark, words, merges):
     got = {r.w: list(r.syms) for r in bpe.apply_merges(df, merges).collect()}
     for w in set(words):
         assert got[w] == _py_apply(w, merges), (w, merges)
+
+
+# --- round-7 order-stats additions --------------------------------------
+
+wvals = st.lists(
+    st.floats(
+        allow_nan=False, allow_infinity=False, allow_subnormal=True,
+        min_value=-1e12, max_value=1e12,
+    ),
+    min_size=2, max_size=40,
+)
+
+
+@FEW
+@given(vals=wvals)
+def test_winsorize_matches_sorted_reference(spark, vals):
+    import math
+
+    from nbi_oedi_etl_v2_spark.operators.order_stats import winsorize
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        (r.v, r.v_winsorized)
+        for r in winsorize(spark, df, "v", 0.25, 0.75).collect()
+    ]
+    s = sorted(vals)
+    n = len(s)
+    lo = s[max(1, math.ceil(0.25 * n - 1e-9)) - 1]
+    hi = s[max(1, math.ceil(0.75 * n - 1e-9)) - 1]
+    for v, w in got:
+        assert w == min(max(v, lo), hi), (v, w, lo, hi)
+
+
+@FEW
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=40))
+def test_percentile_ranks_match_counting_reference(spark, vals):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import (
+        global_percentile_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v long"
+    )
+    got = {
+        r.id: (r.pct_rank, r.cume_dist)
+        for r in global_percentile_ranks(df, "v").collect()
+    }
+    n = len(vals)
+    denom = n - 1 if n > 1 else 1
+    for i, v in enumerate(vals):
+        less = sum(1 for x in vals if x < v)
+        le = sum(1 for x in vals if x <= v)
+        assert got[i] == (round(less / denom, 7), round(le / n, 7)), i
