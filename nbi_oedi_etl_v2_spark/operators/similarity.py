@@ -306,12 +306,18 @@ def ivf_centroids_kmeans(
     vec_col: str = "embedding",
     nlist: int = 1024,
     iterations: int = 2,
+    assign_strategy: str = "arrow",
 ) -> DataFrame:
     """IVF centroid table for LARGE ``nlist`` via the L2 Lloyd trainer
     (operators/cluster.py) — the VERDICT r6 item-3 consumer: an IVF
-    index at 100 TB wants nlist in the thousands, where
-    ``lloyd_kmeans`` auto-routes assignment through the broadcast-join
-    form instead of nlist×dim inlined literals. On L2-NORMALIZED
+    index at 100 TB wants nlist in the thousands, where the literal
+    assign's k·d inlined doubles choke the analyzer. Default
+    ``assign_strategy="arrow"`` (BLAS matmul distances): the r7 sf10
+    soak showed the broadcast-join form fixes the plan but its
+    interpreted zip_with fold is the next wall at k·N this size —
+    and an index build wants the clustering, not fold-exact bits
+    (pass "broadcast" when byte-stable assignment matters more than
+    wall-clock). On L2-NORMALIZED
     embeddings (``normalize_embeddings_arrow``) L2 argmin ≡ cosine
     argmax, so the trained cells match :func:`ivf_centroids`'s
     cosine semantics; on unnormalized inputs the cells are Euclidean
@@ -322,7 +328,8 @@ def ivf_centroids_kmeans(
     from . import cluster
 
     cents, _ = cluster.lloyd_kmeans(
-        corpus, id_col, vec_col, k=nlist, iters=iterations
+        corpus, id_col, vec_col, k=nlist, iters=iterations,
+        assign_strategy=assign_strategy,
     )
     spark = corpus.sparkSession
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]

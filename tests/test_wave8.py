@@ -210,3 +210,41 @@ def test_ivf_assign_nprobe1_agg_matches_window(spark, sf_dir):
         .collect()
     }
     assert agg == win
+
+
+def test_arrow_assign_matches_fold_on_separated_data(spark):
+    # on well-separated blobs the BLAS argmin and the sequential fold
+    # must agree exactly; sq_dist agrees to float tolerance
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    lit = {
+        r.id: (r.cluster_id, r.sq_dist)
+        for r in cluster.assign_clusters(_toy(spark), "v", cents).collect()
+    }
+    arr = {
+        r.id: (r.cluster_id, r.sq_dist)
+        for r in cluster.assign_clusters_arrow(
+            _toy(spark), "id", "v", cents
+        ).collect()
+    }
+    assert set(lit) == set(arr)
+    for i in lit:
+        assert lit[i][0] == arr[i][0]
+        assert abs(lit[i][1] - arr[i][1]) < 1e-9
+
+
+def test_arrow_assign_exact_tie_takes_low_id(spark):
+    df = spark.createDataFrame([(1, [5.0])], "id long, v array<float>")
+    out = cluster.assign_clusters_arrow(
+        df, "id", "v", [[0.0], [10.0]]
+    ).collect()[0]
+    assert out.cluster_id == 0 and abs(out.sq_dist - 25.0) < 1e-12
+
+
+def test_lloyd_arrow_strategy_runs_end_to_end(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = cluster.lloyd_kmeans(
+        emb, "vec_id", "embedding", k=4, iters=1, assign_strategy="arrow"
+    )
+    assert len(cents) == 4
+    assert assigned.count() == emb.count()
+    assert assigned.where(F.col("cluster_id").isNull()).count() == 0
