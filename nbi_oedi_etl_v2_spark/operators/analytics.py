@@ -544,3 +544,41 @@ def psi_drift(
             (F.col("c") - F.col("r")) * F.log(F.col("c") / F.col("r")), 7
         ).alias("psi_term"),
     ).orderBy("bin")
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition-matrix estimate over per-key
+    event sequences: (prev_state, state) counts and the row-normalized
+    MLE probability — the session-flow model behind next-event
+    prediction and anomalous-path scoring.
+
+    Shape: ONE shuffle keyed by ``key_col`` for the lag window (the
+    order columns must make the within-key order total, or the lag is
+    nondeterministic), then a hash aggregate down to at most
+    |states|² rows; the normalizing row-sum window runs on that tiny
+    table. Probability rounds to 7dp for engine comparability.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(key_col, *order_cols, state_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .where(F.col("_prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("_prev").alias("prev_state"),
+        F.col(state_col).alias("next_state"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("prev_state")
+    return counts.select(
+        "prev_state",
+        "next_state",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 7
+        ).alias("prob"),
+    )

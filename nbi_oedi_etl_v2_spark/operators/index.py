@@ -180,3 +180,46 @@ def bm25_oracle_sql(
     ORDER BY bm25 DESC, doc
     LIMIT {k}
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher) of N ranked
+    retrieval lists — the standard hybrid-search combiner for a
+    lexical (BM25) and a dense (embedding-cosine) ranking:
+    rrf(d) = Σ_lists 1/(c + rank_list(d)), absent-from-list terms
+    contribute nothing.
+
+    Shape: UNION of the (id, rank) lists then ONE hash aggregate —
+    no N-way outer join, so the plan is list-length-linear and the
+    shuffle carries only the (typically top-k-bounded) ranked lists,
+    never the corpus. Final top-k orders by the ROUNDED score (7dp)
+    with the id tie-break so the cut is engine-deterministic.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col(f"`{id_col}`").alias("_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = u.groupBy("_id").agg(
+        F.round(F.sum("contrib"), 7).alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "rrf", "n_lists")
+    )

@@ -884,3 +884,56 @@ def ivfpq_cosine_topk(
             "rank",
         )
     )
+
+
+def achlioptas_signs(in_dims: int, out_dims: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for ``random_projection`` —
+    Achlioptas' database-friendly JL variant (s=1: pure signs, no
+    scaling constant needed when the caller only compares projected
+    distances). Derived from a splitmix-style integer walk so the
+    matrix is reproducible from (dims, seed) alone and an oracle can
+    embed the identical literals."""
+    signs: list[list[int]] = []
+    x = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(out_dims):
+        row = []
+        for _ in range(in_dims):
+            x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+            row.append(1 if (x >> 32) & 1 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    signs: list[list[int]] | None = None,
+    out_dims: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of an embedding column
+    onto ``out_dims`` ±1 Achlioptas directions — the cheap
+    dimensionality-reduction pass before LSH banding or a coarse ANN
+    index when d is large.
+
+    MAP-ONLY by construction: each output coordinate is one
+    sequential ``zip_with``/``aggregate`` fold of the (cast-to-double)
+    vector against an inlined ±1 literal row — k·d literals in the
+    plan, the same budget as the bit-matched k-means assign, fine for
+    k·d ≲ 16k (beyond that the Arrow/BLAS assign pattern applies).
+    Zero exchanges at any scale; output is rounded to 7 so the fold
+    is engine-comparable term by term (products and the
+    left-to-right sum associate identically in IEEE double).
+    """
+    if signs is None:
+        signs = achlioptas_signs(64, out_dims, seed)
+    cols = [F.col(f"`{id_col}`")]
+    for j, row in enumerate(signs):
+        lits = ", ".join(f"{s}D" for s in row)
+        fold = (
+            f"aggregate(zip_with(cast(`{vec_col}` as array<double>), "
+            f"array({lits}), (x, s) -> x * s), 0D, (acc, v) -> acc + v)"
+        )
+        cols.append(F.round(F.expr(fold), 7).alias(f"p{j:02d}"))
+    return df.select(*cols)

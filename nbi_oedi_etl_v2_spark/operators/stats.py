@@ -454,3 +454,120 @@ def ols_fit(
             gram[i, j] = gram[j, i] = row[f"g_{i}_{j}"]
     sol, *_ = np.linalg.lstsq(gram, vec, rcond=None)
     return [float(c) for c in sol]
+
+
+def histogram_split_finder(
+    df: DataFrame,
+    features: list[str],
+    label_col: str,
+    n_bins: int = 32,
+) -> DataFrame:
+    """Best decision-stump split per feature by Gini gain over
+    equal-width histograms — the distributed split-finding primitive
+    GBDT trainers (LightGBM/XGBoost ``hist``) run per tree node.
+
+    The 100 TB shape: one tiny min/max aggregate, then ONE scan that
+    unpivots each row to (feature, bin, y) map-side (``stack`` is a
+    narrow projection, not a shuffle) and hash-aggregates with
+    map-side combine to at most ``len(features) × n_bins`` rows;
+    every cumulative/total window and the per-feature argmax run on
+    that histogram table, never on data-sized rows. Gain arithmetic
+    is plain IEEE double with a fixed association order and a 7dp
+    round, so a SQL oracle reproduces it bit-for-bit.
+
+    ``label_col`` must be a 0/1 integer column; returns one row per
+    feature: (feature, split_bin, threshold, gain, n_left, n_right)
+    where the split sends ``v <= threshold`` (bins 0..split_bin) left.
+    A feature with no valid split (all rows in one bin — e.g. a
+    constant column) yields NO row: every candidate has an empty
+    right side, which the ``cn < tn`` filter excludes.
+    """
+    from pyspark.sql import Window
+
+    nb = float(n_bins)
+    stats = df.agg(
+        *[
+            m
+            for f in features
+            for m in (F.min(f).alias(f"mn_{f}"), F.max(f).alias(f"mx_{f}"))
+        ]
+    )
+    d = df.select(*features, F.col(label_col).alias("_y")).join(
+        F.broadcast(stats)
+    )
+    stack_args = []
+    for f in features:
+        mn, mx = F.col(f"mn_{f}"), F.col(f"mx_{f}")
+        raw = F.floor((F.col(f) - mn) / (mx - mn) * F.lit(nb)).cast("int")
+        b = (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.least(raw, F.lit(n_bins - 1)))
+            .alias(f"b_{f}")
+        )
+        stack_args.append((f, b))
+    binned = d.select(*[b for _, b in stack_args], "_y").selectExpr(
+        "stack({}, {}) as (feature, bin)".format(
+            len(features),
+            ", ".join(f"'{f}', b_{f}" for f, _ in stack_args),
+        ),
+        "_y",
+    )
+    hist = binned.groupBy("feature", "bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos")
+    )
+    w_cum = Window.partitionBy("feature").orderBy("bin")
+    w_all = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "bin",
+        F.sum("n").over(w_cum).alias("cn"),
+        F.sum("pos").over(w_cum).alias("cp"),
+        F.sum("n").over(w_all).alias("tn"),
+        F.sum("pos").over(w_all).alias("tp"),
+    ).where(F.col("cn") < F.col("tn"))
+
+    def gini(p):
+        return F.lit(1.0) - p * p - (F.lit(1.0) - p) * (F.lit(1.0) - p)
+
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    pp = dbl(F.col("tp")) / dbl(F.col("tn"))
+    pl = dbl(F.col("cp")) / dbl(F.col("cn"))
+    pr = dbl(F.col("tp") - F.col("cp")) / dbl(F.col("tn") - F.col("cn"))
+    wl = dbl(F.col("cn")) / dbl(F.col("tn"))
+    wr = dbl(F.col("tn") - F.col("cn")) / dbl(F.col("tn"))
+    gained = cum.select(
+        "feature",
+        "bin",
+        F.round(gini(pp) - wl * gini(pl) - wr * gini(pr), 7).alias("gain"),
+        F.col("cn").cast("bigint").alias("n_left"),
+        (F.col("tn") - F.col("cn")).cast("bigint").alias("n_right"),
+    )
+    w_pick = Window.partitionBy("feature").orderBy(
+        F.col("gain").desc(), F.col("bin").asc()
+    )
+    best = (
+        gained.withColumn("_r", F.row_number().over(w_pick))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+    case = None
+    for f in features:
+        mn, mx = F.col(f"mn_{f}"), F.col(f"mx_{f}")
+        t = mn + (F.col("bin").cast("double") + F.lit(1.0)) * (
+            (mx - mn) / F.lit(nb)
+        )
+        case = F.when(F.col("feature") == f, t) if case is None else case.when(
+            F.col("feature") == f, t
+        )
+    return (
+        best.join(F.broadcast(stats))
+        .select(
+            "feature",
+            F.col("bin").alias("split_bin"),
+            F.round(case, 7).alias("threshold"),
+            "gain",
+            "n_left",
+            "n_right",
+        )
+        .orderBy("feature")
+    )

@@ -1,8 +1,9 @@
 """Driver-slot rotation policy (round 7).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 169 specs (r7:
-159 carried + equidepth-double, etl_write_pipeline, weighted SSSP,
+correctness rows per round, while the registry holds 173 specs (r7:
+159 carried + wave-14 (RRF hybrid fusion, JL random projection,
+stump split finder, Markov transitions) + equidepth-double, etl_write_pipeline, weighted SSSP,
 AGMS join-size, DP counts, winsorize, hourly anomalies, FD
 violations, percentile ranks, PSI drift).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
@@ -25,7 +26,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-With ~169 specs, a 50-row cap and ~10-15 slots/round consumed by
+With ~173 specs, a 50-row cap and ~10-15 slots/round consumed by
 NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
 ``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
 no unexported spec may be more than 4 rounds past its last green row.

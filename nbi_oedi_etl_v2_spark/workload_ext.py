@@ -5483,3 +5483,260 @@ def q_part_item_similarity(
         basket.item_similarity_topn(bi, "b", "i", n=5, min_support=50)
         .orderBy("item_a", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14 — hybrid retrieval fusion, JL projection, GBDT split
+# finding, Markov session flows.
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ["vector", "spark", "merge"]
+
+
+def _rrf_oracle_sql() -> str:
+    from .operators.index import bm25_oracle_sql
+
+    lex0 = bm25_oracle_sql("documents", "doc_id", "text", _RRF_TERMS, k=50)
+    # bm25_oracle_sql returns a full SELECT (with its own WITH); DuckDB
+    # nests it verbatim as a subquery.
+    dot = _DOT_FOLD.format(a="q.vec", b="c.vec")
+    return f"""
+    WITH {_duck_norms()},
+    lex0 AS ({lex0}),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM lex0
+    ),
+    ds AS (
+      SELECT c.vec_id AS doc_id,
+             {dot} / (q.norm * c.norm) AS cosine
+      FROM n c JOIN n q ON q.vec_id = 0 AND q.vec_id != c.vec_id
+    ),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+      FROM ds QUALIFY rank <= 50
+    ),
+    u AS (
+      SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) AS contrib FROM lex
+      UNION ALL
+      SELECT doc_id, 1.0 / (60.0 + CAST(rank AS DOUBLE)) FROM dense
+    )
+    SELECT doc_id, round(sum(contrib), 7) AS rrf,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM u GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query(
+    "text_hybrid_rrf_topk",
+    oracle=None,  # assembled below (shares the BM25 oracle generator)
+    doc="Hybrid search: Reciprocal Rank Fusion (1/(60+rank)) of the "
+        "BM25 top-50 lexical list and the embedding-cosine top-50 "
+        "dense list for the vec_id=0 query — UNION + ONE hash "
+        "aggregate, no outer join, so the fusion plan is "
+        "list-bounded regardless of corpus size "
+        "(operators/index.py rrf_fuse). Both input rankings "
+        "tie-break on doc id and the fused top-10 cuts on the "
+        "ROUNDED 7dp score, so the cut is engine-deterministic. "
+        "Hash-matched against the dual-CTE + window oracle.",
+    headline=True,
+)
+def q_text_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import index as idx
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = idx.bm25_topk(docs, "doc_id", "text", _RRF_TERMS, k=50)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(w).alias("rank"))
+    dense = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") == 0), "vec_id", "embedding", k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return idx.rrf_fuse([lex, dense], "doc_id", k=10, c=60)
+
+
+_RP_OUT_DIMS = 8
+
+
+def _rp_signs() -> list[list[int]]:
+    return similarity.achlioptas_signs(64, _RP_OUT_DIMS, seed=7)
+
+
+def _rp_oracle_sql() -> str:
+    cols = []
+    for j, row in enumerate(_rp_signs()):
+        chain = "0.0"
+        for i, s in enumerate(row):
+            chain = f"({chain} + (vec[{i + 1}] * {s}.0))"
+        cols.append(f"round({chain}, 7) AS p{j:02d}")
+    sel = ",\n           ".join(cols)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    )
+    SELECT vec_id, {sel}
+    FROM v
+    """
+
+
+@query(
+    "embeddings_random_projection",
+    oracle=None,  # assembled below (embeds the ±1 sign literals)
+    doc="Johnson-Lindenstrauss dimensionality reduction 64→8 with the "
+        "deterministic Achlioptas ±1 sign matrix: each output "
+        "coordinate is one sequential zip_with/aggregate fold against "
+        "inlined sign literals — MAP-ONLY, zero exchanges at any "
+        "scale; the preprocessing pass before LSH banding or a coarse "
+        "ANN index when d is large (operators/similarity.py "
+        "random_projection). Fold order and double products associate "
+        "identically in the SQL twin; 7dp round per coordinate.",
+)
+def q_embeddings_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, "vec_id", "embedding", signs=_rp_signs()
+    )
+
+
+_STUMP_FEATURES = ["l_discount", "l_quantity", "l_tax"]
+_STUMP_BINS = 32
+
+
+def _stump_oracle_sql() -> str:
+    nb = float(_STUMP_BINS)
+    stats_cols = ", ".join(
+        f"min({f}) AS mn_{f}, max({f}) AS mx_{f}" for f in _STUMP_FEATURES
+    )
+    branches = "\n      UNION ALL\n".join(
+        f"""      SELECT '{f}' AS feature,
+             CASE WHEN mx_{f} = mn_{f} THEN 0
+                  ELSE LEAST(CAST(FLOOR(({f} - mn_{f}) / (mx_{f} - mn_{f}) * {nb}) AS INT), {_STUMP_BINS - 1}) END AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem, stats"""
+        for f in _STUMP_FEATURES
+    )
+
+    def gini(p: str) -> str:
+        return f"(1.0 - {p} * {p} - (1.0 - {p}) * (1.0 - {p}))"
+
+    pp = "(CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE))"
+    pl = "(CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE))"
+    pr = "(CAST(tp - cp AS DOUBLE) / CAST(tn - cn AS DOUBLE))"
+    wl = "(CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE))"
+    wr = "(CAST(tn - cn AS DOUBLE) / CAST(tn AS DOUBLE))"
+    gain = f"round({gini(pp)} - {wl} * {gini(pl)} - {wr} * {gini(pr)}, 7)"
+    thr_case = " ".join(
+        f"WHEN '{f}' THEN mn_{f} + (CAST(bin AS DOUBLE) + 1.0) * ((mx_{f} - mn_{f}) / {nb})"
+        for f in _STUMP_FEATURES
+    )
+    return f"""
+    WITH stats AS (SELECT {stats_cols} FROM lineitem),
+    b AS (
+{branches}
+    ),
+    h AS (SELECT feature, bin, count(*) AS n, sum(y) AS pos
+          FROM b GROUP BY feature, bin),
+    cum AS (
+      SELECT feature, bin,
+             sum(n)   OVER (PARTITION BY feature ORDER BY bin) AS cn,
+             sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS cp,
+             sum(n)   OVER (PARTITION BY feature) AS tn,
+             sum(pos) OVER (PARTITION BY feature) AS tp
+      FROM h
+    ),
+    g AS (
+      SELECT feature, bin, {gain} AS gain,
+             CAST(cn AS BIGINT) AS n_left,
+             CAST(tn - cn AS BIGINT) AS n_right
+      FROM cum WHERE cn < tn
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY feature ORDER BY gain DESC, bin ASC) AS rn
+      FROM g
+    )
+    SELECT feature, CAST(bin AS INT) AS split_bin,
+           round(CASE feature {thr_case} END, 7) AS threshold,
+           gain, n_left, n_right
+    FROM best, stats WHERE rn = 1
+    ORDER BY feature
+    """
+
+
+@query(
+    "lineitem_stump_splits",
+    oracle=None,  # assembled below (generated per feature)
+    doc="Distributed decision-stump split finder by Gini gain — the "
+        "histogram primitive GBDT trainers run per node: one tiny "
+        "min/max aggregate, ONE data scan unpivoted map-side to "
+        "(feature, bin, y) and hash-aggregated with map-side combine "
+        "to ≤ features×32 rows; cumulative windows, gain arithmetic "
+        "and the per-feature argmax all run histogram-sized "
+        "(operators/stats.py histogram_split_finder). Gain/threshold "
+        "are fixed-association IEEE doubles rounded to 7dp — "
+        "hash-matched against the window-cumsum oracle.",
+    headline=True,
+)
+def q_lineitem_stump_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import stats as st
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *_STUMP_FEATURES,
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_return"),
+    )
+    return st.histogram_split_finder(
+        li, _STUMP_FEATURES, "is_return", n_bins=_STUMP_BINS
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    c AS (
+      SELECT prev AS prev_state, event_type AS next_state,
+             count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_state, next_state, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY prev_state) AS DOUBLE), 7)
+             AS prob
+    FROM c
+    """,
+    doc="First-order Markov transition-matrix estimate over per-user "
+        "event sequences (lag ordered by (ts, event_id) — a TOTAL "
+        "within-key order, so the pair stream is deterministic): ONE "
+        "user-keyed shuffle for the window, then a hash aggregate to "
+        "≤|states|² rows; the row-normalizing sum runs on that tiny "
+        "table (operators/analytics.py markov_transitions). The "
+        "session-flow model behind next-event prediction and "
+        "anomalous-path scoring. Hash-matched per transition cell.",
+)
+def q_events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return _analytics.markov_transitions(
+        events, "user_id", ["ts", "event_id"], "event_type"
+    )
+
+
+def _install_wave14_oracles() -> None:
+    REGISTRY["text_hybrid_rrf_topk"].oracle = _rrf_oracle_sql()
+    REGISTRY["embeddings_random_projection"].oracle = _rp_oracle_sql()
+    REGISTRY["lineitem_stump_splits"].oracle = _stump_oracle_sql()
+
+
+_install_wave14_oracles()

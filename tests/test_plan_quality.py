@@ -807,3 +807,45 @@ def test_winsorize_is_map_only_after_cuts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "lineitem_winsorized_prices")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    # JL projection must be a pure narrow projection: one scan, zero
+    # exchanges of any kind — the fold runs where the data sits.
+    plan = plan_of(spark, sf_dir, "embeddings_random_projection")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_stump_split_histogram_shape(spark, sf_dir):
+    # The data-sized path is ONE scan unpivoted map-side and combined
+    # into per-partition histograms before the shuffle; the gain
+    # windows and argmax run histogram-sized. No sort-merge join, no
+    # cartesian on data-sized inputs (the 1-row stats join is a
+    # broadcast).
+    plan = plan_of(spark, sf_dir, "lineitem_stump_splits")
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats side
+
+
+def test_rrf_fusion_is_union_plus_one_agg(spark, sf_dir):
+    # The fusion itself must not plan an outer join of the ranked
+    # lists: union + hash aggregate with map-side partial_sum, and
+    # the final cut is a TakeOrdered, never a global sort.
+    plan = plan_of(spark, sf_dir, "text_hybrid_rrf_topk")
+    assert "Union" in plan
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_markov_single_data_sized_shuffle(spark, sf_dir):
+    # One user-keyed exchange feeds the lag window; everything after
+    # the (prev,next) aggregate is |states|^2-sized. The aggregate
+    # must combine map-side.
+    plan = plan_of(spark, sf_dir, "events_markov_transitions")
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
