@@ -223,3 +223,100 @@ def rrf_fuse(
         .limit(k)
         .select(F.col("_id").alias(id_col), "rrf", "n_lists")
     )
+
+
+def nb_token_logodds(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+    k: int = 50,
+) -> DataFrame:
+    """Multinomial Naive-Bayes training pass: per-token class counts
+    and the Laplace-smoothed log-odds
+    ln((n_pos+α)/(T_pos+αV)) − ln((n_neg+α)/(T_neg+αV)) — the
+    classical cheap text classifier (and the feature-attribution
+    readout: the top-k tokens returned are the strongest positive
+    discriminators).
+
+    ONE tokenize scan → ONE (token) hash aggregate with map-side
+    combine; class totals and the vocabulary size V reduce from the
+    vocab-sized table, never the corpus, and broadcast back. All
+    inputs to the two ln() are exact integer counts (the BM25
+    transcendental argument: ≤1 ulp engine skew, 5dp round), and the
+    top-k cut orders by the ROUNDED score with the token tie-break.
+    ``label_col`` must be 0/1 int; ties at the cut are deterministic.
+    """
+    toks = _token_rows(df, id_col, text_col).join(
+        df.select(
+            F.col(f"`{id_col}`").alias("doc"),
+            F.col(f"`{label_col}`").alias("_y"),
+        ),
+        "doc",
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum("_y").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).cast("bigint").alias("n_neg"),
+    )
+    totals = per_tok.agg(
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+        F.sum("n_neg").cast("bigint").alias("t_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    scored = per_tok.join(F.broadcast(totals)).select(
+        "tok",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.log(
+                (F.col("n_pos") + alpha)
+                / (F.col("t_pos") + alpha * F.col("v"))
+            )
+            - F.log(
+                (F.col("n_neg") + alpha)
+                / (F.col("t_neg") + alpha * F.col("v"))
+            ),
+            5,
+        ).alias("log_odds"),
+    )
+    return scored.orderBy(F.col("log_odds").desc(), F.col("tok")).limit(k)
+
+
+def nb_token_logodds_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    label_expr: str,
+    alpha: float = 1.0,
+    k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`nb_token_logodds` (same tokenizer, same
+    smoothing arithmetic, same 5dp round and tie-break)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc,
+             unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS tok
+      FROM {table}
+    ),
+    lab AS (SELECT {id_col} AS doc, {label_expr} AS y FROM {table}),
+    pt AS (
+      SELECT tok,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+      FROM toks JOIN lab USING (doc) GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS t_pos,
+             CAST(sum(n_neg) AS BIGINT) AS t_neg,
+             CAST(count(*) AS BIGINT) AS v
+      FROM pt
+    )
+    SELECT tok, n_pos, n_neg,
+           round(ln((n_pos + {alpha}) / (t_pos + {alpha} * v))
+                 - ln((n_neg + {alpha}) / (t_neg + {alpha} * v)), 5)
+             AS log_odds
+    FROM pt, tot
+    ORDER BY log_odds DESC, tok
+    LIMIT {k}
+    """

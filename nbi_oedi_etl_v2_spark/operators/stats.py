@@ -571,3 +571,228 @@ def histogram_split_finder(
         )
         .orderBy("feature")
     )
+
+
+# Cramer 3×3 solve, shared TEXT templates: the Spark driver evals
+# these with Python floats and the DuckDB twin splices the same
+# strings over its aggregate columns, so the solve is token-for-token
+# identical in both engines (the ols2 convention, one dimension up).
+CRAMER3_DET = (
+    "a11 * (a22 * a33 - a23 * a32) "
+    "- a12 * (a21 * a33 - a23 * a31) "
+    "+ a13 * (a21 * a32 - a22 * a31)"
+)
+CRAMER3_D1 = (
+    "g1 * (a22 * a33 - a23 * a32) "
+    "- a12 * (g2 * a33 - a23 * g3) "
+    "+ a13 * (g2 * a32 - a22 * g3)"
+)
+CRAMER3_D2 = (
+    "a11 * (g2 * a33 - a23 * g3) "
+    "- g1 * (a21 * a33 - a23 * a31) "
+    "+ a13 * (a21 * g3 - g2 * a31)"
+)
+CRAMER3_D3 = (
+    "a11 * (a22 * g3 - g2 * a32) "
+    "- a12 * (a21 * g3 - g2 * a31) "
+    "+ g1 * (a21 * a32 - a22 * a31)"
+)
+
+
+def _cramer3(vals: dict[str, float]) -> tuple[float, float, float]:
+    det = eval(CRAMER3_DET, {}, vals)  # noqa: S307 — fixed internal template
+    d1 = eval(CRAMER3_D1, {}, vals)  # noqa: S307
+    d2 = eval(CRAMER3_D2, {}, vals)  # noqa: S307
+    d3 = eval(CRAMER3_D3, {}, vals)  # noqa: S307
+    return d1 / det, d2 / det, d3 / det
+
+
+def _irls_step_agg(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    label_col: str,
+    b: tuple[float, float, float],
+    cnt_col: str | None = None,
+) -> DataFrame:
+    """One Newton step's 1-row aggregate: the 3×3 Fisher information
+    (6 distinct entries) and score (3 entries) at β=``b`` as
+    exact-decimal sums — the whole data-sized plan of a step.
+
+    With ``cnt_col`` (the sufficient-statistics path) each addend is
+    ``CAST(term AS DECIMAL(25,10)) × CAST(cnt AS DECIMAL(12,0))`` —
+    precision 25+12+1=38, scale 10, so the product is EXACT and equals
+    the row-level decimal sum of ``cnt`` identical addends bit for
+    bit: the two paths are interchangeable under the same oracle."""
+    X1, X2 = F.col(x1).cast("double"), F.col(x2).cast("double")
+    y = F.col(label_col).cast("double")
+    eta = F.lit(b[0]) + X1 * F.lit(b[1]) + X2 * F.lit(b[2])
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    w = mu * (F.lit(1.0) - mu)
+    r = y - mu
+    if cnt_col is None:
+        def s(term):
+            return dsum(term)
+    else:
+        cnt = F.col(cnt_col).cast("decimal(12,0)")
+
+        def s(term):
+            return F.sum(term.cast("decimal(25,10)") * cnt).cast("double")
+    return df.agg(
+        s(w).alias("a11"),
+        s(w * X1).alias("a12"),
+        s(w * X2).alias("a13"),
+        s(w * X1 * X1).alias("a22"),
+        s(w * X1 * X2).alias("a23"),
+        s(w * X2 * X2).alias("a33"),
+        s(r).alias("g1"),
+        s(r * X1).alias("g2"),
+        s(r * X2).alias("g3"),
+    )
+
+
+def logistic_irls2(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    label_col: str,
+    steps: int = 3,
+    sufficient_cells: bool = False,
+):
+    """Binary logistic regression (intercept + 2 features) by
+    Newton-Raphson from β=0 — the in-engine trainer for a
+    quality-filter / routing classifier, the GLM sibling of the
+    closed-form OLS operators.
+
+    Per step: ONE map-side-combinable aggregate computes the 3×3
+    Fisher information X'WX (6 distinct entries, W = μ(1−μ)) and the
+    score X'(y−μ) (3 entries) as exact-decimal sums of the per-row
+    double terms; the driver solves the 3×3 system with the shared
+    Cramer templates and feeds the new β back as plan literals. Driver
+    state is 9 numbers per step — the k-means shape. At 100 TB each
+    step is one scan; ``steps`` is fixed and small (Newton converges
+    quadratically).
+
+    ``sufficient_cells=True`` is the low-cardinality fast path: the
+    data is scanned ONCE into cached (x1, x2, y) sufficient-statistic
+    cells with counts (a plain long-count hash aggregate — no decimal
+    arithmetic in the big scan), and every Newton step aggregates the
+    cell table with each addend an EXACT ``decimal(term) × count``
+    product — bit-identical to the row-level decimal sum, so both
+    paths satisfy the same oracle. Measured at sf0.1 this turns
+    3 × (nine 600k-row BigDecimal aggregates ≈ 4.5 s/step, the
+    order-insensitivity tax) into one count scan + three ~550-cell
+    aggregates. Use it when |distinct (x1,x2,y)| ≪ N; the row path
+    stays for continuous features.
+
+    Engine parity: μ involves exp(), the one transcendental (JVM vs
+    libm agree to ≤1 ulp — the BM25 argument); every per-row term is
+    cast DECIMAL(38,10) before summing so partial-agg order can't
+    bite, and outputs round to 6dp. Returns (step, b0, b1, b2) for
+    steps 1..``steps``.
+
+    See also ``histogram_split_finder`` (the tree-based sibling).
+    """
+    spark = df.sparkSession
+    src, cnt_col = df, None
+    if sufficient_cells:
+        src = (
+            df.groupBy(x1, x2, label_col)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .persist()
+        )
+        cnt_col = "_cnt"
+    b = (0.0, 0.0, 0.0)
+    out = []
+    for step in range(1, steps + 1):
+        row = _irls_step_agg(
+            src, x1, x2, label_col, b, cnt_col=cnt_col
+        ).collect()[0]
+        vals = {
+            "a11": row["a11"], "a12": row["a12"], "a13": row["a13"],
+            "a21": row["a12"], "a22": row["a22"], "a23": row["a23"],
+            "a31": row["a13"], "a32": row["a23"], "a33": row["a33"],
+            "g1": row["g1"], "g2": row["g2"], "g3": row["g3"],
+        }
+        d1, d2, d3 = _cramer3(vals)
+        b = (b[0] + d1, b[1] + d2, b[2] + d3)
+        out.append((step, b[0], b[1], b[2]))
+    if sufficient_cells:
+        src.unpersist()
+    res = spark.createDataFrame(out, "step int, b0 double, b1 double, b2 double")
+    return res.select(
+        "step",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+    )
+
+
+def logistic_irls2_oracle_sql(
+    table: str,
+    x1: str,
+    x2: str,
+    label_expr: str,
+    steps: int = 3,
+) -> str:
+    """DuckDB twin of :func:`logistic_irls2`: the same Newton steps
+    unrolled as CTE layers, the same per-term exact-decimal sums
+    (``dsum_sql``), the same Cramer templates over the aggregate
+    columns — β flows between layers as scalar columns instead of
+    plan literals."""
+    from ..functions import dsum_sql
+
+    def step_ctes(step: int) -> str:
+        if step == 1:
+            eta = "(0.0 + ({x1} * 0.0) + ({x2} * 0.0))"
+        else:
+            eta = "(b0 + ({x1} * b1) + ({x2} * b2))"
+        eta = eta.format(x1=f"CAST({x1} AS DOUBLE)", x2=f"CAST({x2} AS DOUBLE)")
+        src = table if step == 1 else f"{table}, b{step - 1}"
+        mu = f"(1.0 / (1.0 + exp(-{eta})))"
+        w = f"({mu} * (1.0 - {mu}))"
+        r = f"(CAST({label_expr} AS DOUBLE) - {mu})"
+        cx1, cx2 = f"CAST({x1} AS DOUBLE)", f"CAST({x2} AS DOUBLE)"
+        s = f"""
+    s{step} AS (
+      SELECT
+        {dsum_sql(w)} AS a11,
+        {dsum_sql(f"{w} * {cx1}")} AS a12,
+        {dsum_sql(f"{w} * {cx2}")} AS a13,
+        {dsum_sql(f"{w} * {cx1} * {cx1}")} AS a22,
+        {dsum_sql(f"{w} * {cx1} * {cx2}")} AS a23,
+        {dsum_sql(f"{w} * {cx2} * {cx2}")} AS a33,
+        {dsum_sql(r)} AS g1,
+        {dsum_sql(f"{r} * {cx1}")} AS g2,
+        {dsum_sql(f"{r} * {cx2}")} AS g3
+      FROM {src}
+    )"""
+        sym = {"a21": "a12", "a31": "a13", "a32": "a23"}
+        det = CRAMER3_DET
+        d1, d2, d3 = CRAMER3_D1, CRAMER3_D2, CRAMER3_D3
+        for alias, real in sym.items():
+            det = det.replace(alias, real)
+            d1 = d1.replace(alias, real)
+            d2 = d2.replace(alias, real)
+            d3 = d3.replace(alias, real)
+        prev = ("0.0", "0.0", "0.0") if step == 1 else ("b0", "b1", "b2")
+        src_b = f"s{step}" if step == 1 else f"s{step}, b{step - 1}"
+        s += f""",
+    b{step} AS (
+      SELECT {prev[0]} + (({d1}) / ({det})) AS b0,
+             {prev[1]} + (({d2}) / ({det})) AS b1,
+             {prev[2]} + (({d3}) / ({det})) AS b2
+      FROM {src_b}
+    )"""
+        return s
+
+    ctes = ",".join(step_ctes(s) for s in range(1, steps + 1))
+    selects = "\n    UNION ALL\n".join(
+        f"    SELECT {s} AS step, round(b0, 6) AS b0, round(b1, 6) AS b1, "
+        f"round(b2, 6) AS b2 FROM b{s}"
+        for s in range(1, steps + 1)
+    )
+    return f"""
+    WITH{ctes}
+{selects}
+    """

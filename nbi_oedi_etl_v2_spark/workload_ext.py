@@ -5740,3 +5740,99 @@ def _install_wave14_oracles() -> None:
 
 
 _install_wave14_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Wave 15 — in-engine classifier training: Newton-IRLS logistic
+# regression (GLM sibling of the OLS family) and multinomial
+# Naive-Bayes token log-odds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_logreg_return_model",
+    oracle=None,  # assembled below (unrolled Newton-step twin)
+    doc="Binary logistic regression (intercept + l_discount + "
+        "l_quantity → P(returnflag='R')) by 3 Newton-Raphson steps "
+        "from β=0: per step ONE map-side-combinable aggregate of the "
+        "3×3 Fisher information and score as exact-decimal sums, a "
+        "9-number driver solve via shared Cramer text templates, and "
+        "β fed back as plan literals — the k-means driver-state shape "
+        "applied to a GLM (operators/stats.py logistic_irls2). The "
+        "DuckDB twin unrolls the same steps as CTE layers with "
+        "token-identical arithmetic; exp() is the one transcendental "
+        "(≤1 ulp skew, 6dp round — the BM25 argument). Hash-matched "
+        "per (step, β) row.",
+    headline=True,
+)
+def q_lineitem_logreg_return_model(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount",
+        "l_quantity",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+    )
+    return _stats.logistic_irls2(
+        li,
+        "l_discount",
+        "l_quantity",
+        "is_r",
+        steps=3,
+        # the feature grid is 11 discounts × 50 quantities × 2 labels:
+        # sufficient-statistic cells make the 3 Newton steps ONE
+        # count scan + three ~1100-cell aggregates, bit-identical to
+        # (and hash-matched against) the row-level oracle
+        sufficient_cells=True,
+    )
+
+
+@query(
+    "documents_nb_token_logodds",
+    oracle=None,  # assembled below
+    doc="Multinomial Naive-Bayes training pass on the documents "
+        "corpus (class: lang='en'): per-token class counts from ONE "
+        "tokenize scan + ONE map-side-combined token aggregate, "
+        "Laplace-smoothed log-odds from exact integer counts (two "
+        "ln(), 5dp round), top-50 positive discriminators with the "
+        "rounded-score + token tie-break cut "
+        "(operators/index.py nb_token_logodds). The cheap text "
+        "classifier a corpus pipeline trains for quality/language "
+        "routing; vocab-sized state end-to-end. Hash-matched.",
+)
+def q_documents_nb_token_logodds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators import index as idx
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_en", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    return idx.nb_token_logodds(docs, "doc_id", "text", "is_en", alpha=1.0, k=50)
+
+
+def _install_wave15_oracles() -> None:
+    from .operators import index as idx
+
+    REGISTRY["lineitem_logreg_return_model"].oracle = (
+        _stats.logistic_irls2_oracle_sql(
+            "lineitem",
+            "l_discount",
+            "l_quantity",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+            steps=3,
+        )
+    )
+    REGISTRY["documents_nb_token_logodds"].oracle = (
+        idx.nb_token_logodds_oracle_sql(
+            "documents",
+            "doc_id",
+            "text",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+            alpha=1.0,
+            k=50,
+        )
+    )
+
+
+_install_wave15_oracles()

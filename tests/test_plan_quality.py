@@ -849,3 +849,14 @@ def test_markov_single_data_sized_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_nb_logodds_vocab_sized_tail(spark, sf_dir):
+    # one tokenize scan feeds the token aggregate (map-side combined);
+    # totals broadcast back; final cut is a TakeOrdered, no global sort
+    plan = plan_of(spark, sf_dir, "documents_nb_token_logodds")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

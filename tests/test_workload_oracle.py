@@ -50,16 +50,21 @@ def test_driver_export_policy():
     # PIN — the port of the reference\'s sql/saved-queries.sql:10-45;
     # the literal parity contract never rotates out (VERDICT r3 §gap 2)
     assert rotation.PIN <= export
-    # every never-driver-verified spec gets its first row this round
+    # every never-driver-verified spec gets its first row this round,
+    # except an explicit (documented, one-round-only) deferral
     never = {s for s in ALL_SPECS if s not in rotation.VERIFIED_ROUNDS}
-    assert never <= export, never - export
+    assert never - rotation.DEFER_FIRST_ROW <= export, never - export
+    # deferrals must be never-verified specs (a spec with a green row
+    # can't hide here) and must not also hold a slot
+    assert rotation.DEFER_FIRST_ROW <= never
+    assert not (rotation.DEFER_FIRST_ROW & export)
     # operators whose code changed this round re-prove themselves,
     # and the VERDICT-advised re-verifications hold slots
     assert rotation.TOUCH <= export
     assert rotation.ADVISED <= export
     # the staleness bound: no unexported spec is more than
     # STALENESS_BOUND_ROUNDS rounds past its last green driver row
-    for s in set(ALL_SPECS) - export:
+    for s in set(ALL_SPECS) - export - rotation.DEFER_FIRST_ROW:
         age = rotation.CURRENT_ROUND - rotation.VERIFIED_ROUNDS[s]
         assert age <= rotation.STALENESS_BOUND_ROUNDS, (s, age)
     # the fill is oldest-first: no unexported spec may be STALER than
@@ -71,7 +76,7 @@ def test_driver_export_policy():
     ]
     if fill_ages:
         newest_fill = min(fill_ages)
-        for s in set(ALL_SPECS) - export:
+        for s in set(ALL_SPECS) - export - rotation.DEFER_FIRST_ROW:
             age = rotation.CURRENT_ROUND - rotation.VERIFIED_ROUNDS[s]
             assert age <= newest_fill, (s, age, newest_fill)
 
