@@ -694,6 +694,29 @@ def logistic_irls2(
     See also ``histogram_split_finder`` (the tree-based sibling).
     """
     spark = df.sparkSession
+    out = irls2_fit(df, x1, x2, label_col, steps, sufficient_cells)
+    res = spark.createDataFrame(out, "step int, b0 double, b1 double, b2 double")
+    return res.select(
+        "step",
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+    )
+
+
+def irls2_fit(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    label_col: str,
+    steps: int = 3,
+    sufficient_cells: bool = False,
+) -> list[tuple[int, float, float, float]]:
+    """The raw Newton iteration behind :func:`logistic_irls2`:
+    returns UNROUNDED per-step (step, b0, b1, b2) — evaluation
+    operators feed the final β back into scoring expressions, so they
+    need the exact doubles the engine computed, not the 6dp display
+    rounding."""
     src, cnt_col = df, None
     if sufficient_cells:
         src = (
@@ -719,27 +742,19 @@ def logistic_irls2(
         out.append((step, b[0], b[1], b[2]))
     if sufficient_cells:
         src.unpersist()
-    res = spark.createDataFrame(out, "step int, b0 double, b1 double, b2 double")
-    return res.select(
-        "step",
-        F.round("b0", 6).alias("b0"),
-        F.round("b1", 6).alias("b1"),
-        F.round("b2", 6).alias("b2"),
-    )
+    return out
 
 
-def logistic_irls2_oracle_sql(
+def irls2_cte_body(
     table: str,
     x1: str,
     x2: str,
     label_expr: str,
     steps: int = 3,
 ) -> str:
-    """DuckDB twin of :func:`logistic_irls2`: the same Newton steps
-    unrolled as CTE layers, the same per-term exact-decimal sums
-    (``dsum_sql``), the same Cramer templates over the aggregate
-    columns — β flows between layers as scalar columns instead of
-    plan literals."""
+    """The unrolled Newton-step CTE chain (``s1,b1,...,s{n},b{n}``)
+    shared by the model oracle and the evaluation oracles — the final
+    betas live in CTE ``b{steps}`` as unrounded doubles."""
     from ..functions import dsum_sql
 
     def step_ctes(step: int) -> str:
@@ -786,7 +801,22 @@ def logistic_irls2_oracle_sql(
     )"""
         return s
 
-    ctes = ",".join(step_ctes(s) for s in range(1, steps + 1))
+    return ",".join(step_ctes(s) for s in range(1, steps + 1))
+
+
+def logistic_irls2_oracle_sql(
+    table: str,
+    x1: str,
+    x2: str,
+    label_expr: str,
+    steps: int = 3,
+) -> str:
+    """DuckDB twin of :func:`logistic_irls2`: the same Newton steps
+    unrolled as CTE layers, the same per-term exact-decimal sums
+    (``dsum_sql``), the same Cramer templates over the aggregate
+    columns — β flows between layers as scalar columns instead of
+    plan literals."""
+    ctes = irls2_cte_body(table, x1, x2, label_expr, steps)
     selects = "\n    UNION ALL\n".join(
         f"    SELECT {s} AS step, round(b0, 6) AS b0, round(b1, 6) AS b1, "
         f"round(b2, 6) AS b2 FROM b{s}"
@@ -796,3 +826,134 @@ def logistic_irls2_oracle_sql(
     WITH{ctes}
 {selects}
     """
+
+
+def score_histogram(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    weight_col: str | None = None,
+    ndp: int = 7,
+) -> DataFrame:
+    """(score, n, n_pos) per DISTINCT ``ndp``-rounded score — the
+    sufficient statistic for threshold-free binary-classifier
+    evaluation (AUC, PR curves, calibration). One map-side-combined
+    hash aggregate; everything downstream runs |distinct scores|-sized
+    (the ``global_percentile_ranks`` applicability condition: when
+    scores are continuous at extreme scale, widen ``ndp`` down /
+    bin first). ``weight_col`` lets pre-aggregated sufficient-cell
+    inputs stand in for rows exactly (counts add; the score is a
+    function of the cell)."""
+    s = F.round(F.col(score_col), ndp)
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    y = F.col(label_col).cast("bigint")
+    return df.groupBy(s.alias("score")).agg(
+        F.sum(w).alias("n"), F.sum(w * y).alias("n_pos")
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """ROC-AUC by the tie-corrected Mann-Whitney rank sum, computed
+    distributed without ever ranking rows: over the distinct-score
+    histogram, the average rank of a score group is closed-form from
+    the running count, so 2U = Σ n_pos·(2·cum_n − n + 1) − P·(P+1)
+    and AUC = 2U / (2·P·N) — every intermediate an EXACT integer
+    (DECIMAL(38,0) — survives 1e12-row classes), one double division
+    at the end, 7dp round. Engine-identical by construction.
+
+    Returns one row: (auc, n_pos, n_neg)."""
+    from pyspark.sql import Window
+
+    h = score_histogram(df, score_col, label_col, weight_col)
+    w_cum = Window.orderBy("score")
+    cum = h.select(
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+    )
+    d38 = "decimal(38,0)"
+    one = F.lit(1).cast(d38)
+    two = F.lit(2).cast(d38)
+    tot = cum.agg(
+        F.sum(
+            F.col("n_pos").cast(d38)
+            * (
+                F.lit(2).cast(d38) * F.col("cum_n").cast(d38)
+                - F.col("n").cast(d38)
+                + one
+            )
+        ).alias("rank_sum_2"),
+        F.sum(F.col("n_pos").cast(d38)).alias("p"),
+        F.sum(F.col("n").cast(d38)).alias("t"),
+    )
+    p, t = F.col("p"), F.col("t")
+    num = F.col("rank_sum_2") - p * (p + one)
+    den = two * p * (t - p)
+    return tot.select(
+        F.round(
+            num.cast("double") / den.cast("double"), 7
+        ).alias("auc"),
+        p.cast("bigint").alias("n_pos"),
+        (t - p).cast("bigint").alias("n_neg"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at each threshold
+    (predict positive when score ≥ t), from the distinct-score
+    histogram: the data is scanned once, the per-threshold sums run
+    on |distinct|×|thresholds| tiny rows. Counts are exact integers;
+    the three ratios are single divisions of exact counts, 7dp.
+    NULL precision when a threshold predicts nothing positive; NULL
+    F1 only when additionally no actual positives exist."""
+    spark = df.sparkSession
+    h = score_histogram(df, score_col, label_col, weight_col)
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    j = h.join(F.broadcast(grid))
+    hit = F.col("score") >= F.col("threshold")
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when(hit, F.col("n_pos")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(
+            F.when(hit, F.col("n") - F.col("n_pos")).otherwise(F.lit(0))
+        ).alias("fp"),
+        F.sum("n_pos").alias("p"),
+        F.sum("n").alias("t_all"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("p") - tp
+    tn = F.col("t_all") - F.col("p") - fp
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        "threshold",
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.when(
+            tp + fp > 0, F.round(dbl(tp) / dbl(tp + fp), 7)
+        ).alias("precision"),
+        F.when(
+            F.col("p") > 0, F.round(dbl(tp) / dbl(F.col("p")), 7)
+        ).alias("recall"),
+        F.when(
+            (tp + tp + fp + fn) > 0,
+            F.round(dbl(tp + tp) / dbl(tp + tp + fp + fn), 7),
+        ).alias("f1"),
+    ).orderBy("threshold")

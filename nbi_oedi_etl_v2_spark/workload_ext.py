@@ -5836,3 +5836,147 @@ def _install_wave15_oracles() -> None:
 
 
 _install_wave15_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Wave 16 — in-engine model EVALUATION: rank-sum AUC and PR curves
+# over the wave-15 logistic model's scores (train → evaluate, all
+# hash-matched end-to-end).
+# ---------------------------------------------------------------------------
+
+_EVAL_SCORE_SQL = (
+    "round((1.0 / (1.0 + exp(-(b0 + (CAST(l_discount AS DOUBLE) * b1) "
+    "+ (CAST(l_quantity AS DOUBLE) * b2))))), 7)"
+)
+_PR_THRESHOLDS = [0.25, 0.3, 0.325, 0.33, 0.3325, 0.335, 0.34, 0.35, 0.4]
+
+
+def _eval_scored_ctes() -> str:
+    body = _stats.irls2_cte_body(
+        "lineitem",
+        "l_discount",
+        "l_quantity",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+        steps=3,
+    )
+    return f"""{body},
+    scored AS (
+      SELECT {_EVAL_SCORE_SQL} AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem, b3
+    ),
+    h AS (SELECT score, count(*) AS n, sum(y) AS n_pos
+          FROM scored GROUP BY score)"""
+
+
+def _auc_oracle_sql() -> str:
+    return f"""
+    WITH{_eval_scored_ctes()},
+    cum AS (
+      SELECT n, n_pos, sum(n) OVER (ORDER BY score) AS cum_n FROM h
+    ),
+    tot AS (
+      SELECT sum(n_pos * (2 * cum_n - n + 1)) AS rank_sum_2,
+             sum(n_pos) AS p, sum(n) AS t FROM cum
+    )
+    SELECT round(CAST(rank_sum_2 - p * (p + 1) AS DOUBLE)
+                 / CAST(2 * p * (t - p) AS DOUBLE), 7) AS auc,
+           CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg
+    FROM tot
+    """
+
+
+def _pr_oracle_sql() -> str:
+    ts = ", ".join(repr(t) for t in _PR_THRESHOLDS)
+    return f"""
+    WITH{_eval_scored_ctes()},
+    g AS (SELECT unnest([{ts}]) AS threshold),
+    a AS (
+      SELECT threshold,
+             sum(CASE WHEN score >= threshold THEN n_pos ELSE 0 END) AS tp,
+             sum(CASE WHEN score >= threshold THEN n - n_pos ELSE 0 END) AS fp,
+             sum(n_pos) AS p, sum(n) AS t_all
+      FROM h, g GROUP BY threshold
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(p - tp AS BIGINT) AS fn,
+           CAST(t_all - p - fp AS BIGINT) AS tn,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 7)
+           END AS "precision",
+           CASE WHEN p > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 7)
+           END AS recall,
+           CASE WHEN tp + tp + fp + (p - tp) > 0
+                THEN round(CAST(tp + tp AS DOUBLE)
+                           / CAST(tp + tp + fp + (p - tp) AS DOUBLE), 7)
+           END AS f1
+    FROM a ORDER BY threshold
+    """
+
+
+def _eval_scored_cells(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount",
+        "l_quantity",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+    )
+    b = _stats.irls2_fit(
+        li, "l_discount", "l_quantity", "is_r", steps=3, sufficient_cells=True
+    )[-1]
+    cells = li.groupBy("l_discount", "l_quantity", "is_r").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    X1 = F.col("l_discount").cast("double")
+    X2 = F.col("l_quantity").cast("double")
+    eta = F.lit(b[1]) + X1 * F.lit(b[2]) + X2 * F.lit(b[3])
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    return cells.select(
+        F.round(mu, 7).alias("score"), "is_r", "cnt"
+    )
+
+
+@query(
+    "lineitem_logreg_auc",
+    oracle=None,  # assembled below (shares the IRLS CTE body)
+    doc="ROC-AUC of the wave-15 logistic model by the tie-corrected "
+        "Mann-Whitney rank sum WITHOUT ranking rows: the distinct-"
+        "score histogram's running counts give each tie group's "
+        "average rank in closed form, every intermediate is an exact "
+        "DECIMAL(38,0) integer and the single final division rounds "
+        "to 7dp (operators/stats.py binary_auc). Train → score → "
+        "evaluate is two scans end-to-end via sufficient cells; the "
+        "oracle re-derives β through the unrolled IRLS CTEs and "
+        "ranks row-level — the cell path must agree exactly.",
+)
+def q_lineitem_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _eval_scored_cells(spark, sf_dir)
+    return _stats.binary_auc(scored, "score", "is_r", weight_col="cnt")
+
+
+@query(
+    "lineitem_logreg_pr_curve",
+    oracle=None,  # assembled below
+    doc="Confusion matrix + precision/recall/F1 of the wave-15 "
+        "logistic model at 9 fixed thresholds, computed from the "
+        "distinct-score histogram (one scan; per-threshold sums run "
+        "on |distinct|×9 tiny rows; exact-integer counts, single-"
+        "division ratios, 7dp; NULL precision/F1 where nothing is "
+        "predicted positive) — operators/stats.py pr_curve. "
+        "Hash-matched per threshold row.",
+)
+def q_lineitem_logreg_pr_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = _eval_scored_cells(spark, sf_dir)
+    return _stats.pr_curve(
+        scored, "score", "is_r", _PR_THRESHOLDS, weight_col="cnt"
+    )
+
+
+def _install_wave16_oracles() -> None:
+    REGISTRY["lineitem_logreg_auc"].oracle = _auc_oracle_sql()
+    REGISTRY["lineitem_logreg_pr_curve"].oracle = _pr_oracle_sql()
+
+
+_install_wave16_oracles()

@@ -1,0 +1,79 @@
+"""Wave-16 operator tests: rank-sum AUC and PR curves."""
+
+import pytest
+
+from nbi_oedi_etl_v2_spark.operators.stats import binary_auc, pr_curve
+
+
+def _auc_reference(pairs):
+    """O(n²) literal AUC: P(score_pos > score_neg) + ½P(tie)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_auc_matches_bruteforce_with_ties(spark):
+    import random
+
+    rnd = random.Random(21)
+    pairs = [(round(rnd.uniform(0, 1), 1), rnd.randint(0, 1))
+             for _ in range(300)]  # 1dp scores → heavy ties
+    df = spark.createDataFrame(pairs, "score double, y int")
+    row = binary_auc(df, "score", "y").collect()[0]
+    assert row.auc == pytest.approx(_auc_reference(pairs), abs=1e-6)
+    assert row.n_pos == sum(y for _, y in pairs)
+    assert row.n_pos + row.n_neg == len(pairs)
+
+
+def test_auc_perfect_and_inverted_separation(spark):
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    assert binary_auc(df, "score", "y").collect()[0].auc == 1.0
+    inv = spark.createDataFrame(
+        [(-s, y) for s, y in rows], "score double, y int"
+    )
+    assert binary_auc(inv, "score", "y").collect()[0].auc == 0.0
+
+
+def test_auc_weighted_equals_replicated_rows(spark):
+    cells = [(0.2, 0, 5), (0.2, 1, 1), (0.7, 1, 4), (0.7, 0, 2)]
+    wdf = spark.createDataFrame(cells, "score double, y int, cnt long")
+    rows = [(s, y) for s, y, c in cells for _ in range(c)]
+    rdf = spark.createDataFrame(rows, "score double, y int")
+    got_w = binary_auc(wdf, "score", "y", weight_col="cnt").collect()[0]
+    got_r = binary_auc(rdf, "score", "y").collect()[0]
+    assert tuple(got_w) == tuple(got_r)
+
+
+def test_pr_curve_hand_computed(spark):
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.threshold: r for r in
+           pr_curve(df, "score", "y", [0.5, 0.95]).collect()}
+    t = out[0.5]
+    assert (t.tp, t.fp, t.fn, t.tn) == (3, 1, 0, 2)
+    assert t.precision == 0.75 and t.recall == 1.0
+    assert t.f1 == pytest.approx(2 * 3 / (2 * 3 + 1 + 0), abs=1e-7)
+    hi = out[0.95]
+    assert (hi.tp, hi.fp) == (0, 0)
+    # precision undefined (no predicted positives); F1 defined (=0)
+    # because actual positives exist (fn > 0)
+    assert hi.precision is None and hi.f1 == 0.0 and hi.recall == 0.0
+
+
+def test_pr_curve_weighted_equals_replicated(spark):
+    cells = [(0.9, 1, 3), (0.4, 0, 4), (0.4, 1, 2)]
+    wdf = spark.createDataFrame(cells, "score double, y int, cnt long")
+    rows = [(s, y) for s, y, c in cells for _ in range(c)]
+    rdf = spark.createDataFrame(rows, "score double, y int")
+    got_w = [tuple(r) for r in
+             pr_curve(wdf, "score", "y", [0.5], weight_col="cnt").collect()]
+    got_r = [tuple(r) for r in pr_curve(rdf, "score", "y", [0.5]).collect()]
+    assert got_w == got_r
