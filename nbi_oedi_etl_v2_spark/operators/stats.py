@@ -711,14 +711,25 @@ def irls2_fit(
     label_col: str,
     steps: int = 3,
     sufficient_cells: bool = False,
+    weight_col: str | None = None,
 ) -> list[tuple[int, float, float, float]]:
     """The raw Newton iteration behind :func:`logistic_irls2`:
     returns UNROUNDED per-step (step, b0, b1, b2) — evaluation
     operators feed the final β back into scoring expressions, so they
     need the exact doubles the engine computed, not the 6dp display
-    rounding."""
-    src, cnt_col = df, None
-    if sufficient_cells:
+    rounding.
+
+    ``weight_col``: the input is ALREADY a sufficient-cell table
+    (each row stands for ``weight`` identical observations); several
+    rows may share (x1, x2, label) — the exact decimal(term)×count
+    addends still sum to the row-level decimal sum, so e.g. the
+    cross-validation operator can slice one global fold-cell table
+    per fold without rescanning data."""
+    if weight_col is not None:
+        src, cnt_col = df, weight_col
+    elif not sufficient_cells:
+        src, cnt_col = df, None
+    if sufficient_cells and weight_col is None:
         src = (
             df.groupBy(x1, x2, label_col)
             .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -740,7 +751,7 @@ def irls2_fit(
         d1, d2, d3 = _cramer3(vals)
         b = (b[0] + d1, b[1] + d2, b[2] + d3)
         out.append((step, b[0], b[1], b[2]))
-    if sufficient_cells:
+    if sufficient_cells and weight_col is None:
         src.unpersist()
     return out
 
@@ -751,10 +762,13 @@ def irls2_cte_body(
     x2: str,
     label_expr: str,
     steps: int = 3,
+    prefix: str = "",
 ) -> str:
     """The unrolled Newton-step CTE chain (``s1,b1,...,s{n},b{n}``)
     shared by the model oracle and the evaluation oracles — the final
-    betas live in CTE ``b{steps}`` as unrounded doubles."""
+    betas live in CTE ``{prefix}b{steps}`` as unrounded doubles.
+    ``prefix`` disambiguates several chains in one statement (the
+    cross-validation oracle trains one model per fold)."""
     from ..functions import dsum_sql
 
     def step_ctes(step: int) -> str:
@@ -763,13 +777,13 @@ def irls2_cte_body(
         else:
             eta = "(b0 + ({x1} * b1) + ({x2} * b2))"
         eta = eta.format(x1=f"CAST({x1} AS DOUBLE)", x2=f"CAST({x2} AS DOUBLE)")
-        src = table if step == 1 else f"{table}, b{step - 1}"
+        src = table if step == 1 else f"{table}, {prefix}b{step - 1}"
         mu = f"(1.0 / (1.0 + exp(-{eta})))"
         w = f"({mu} * (1.0 - {mu}))"
         r = f"(CAST({label_expr} AS DOUBLE) - {mu})"
         cx1, cx2 = f"CAST({x1} AS DOUBLE)", f"CAST({x2} AS DOUBLE)"
         s = f"""
-    s{step} AS (
+    {prefix}s{step} AS (
       SELECT
         {dsum_sql(w)} AS a11,
         {dsum_sql(f"{w} * {cx1}")} AS a12,
@@ -791,9 +805,13 @@ def irls2_cte_body(
             d2 = d2.replace(alias, real)
             d3 = d3.replace(alias, real)
         prev = ("0.0", "0.0", "0.0") if step == 1 else ("b0", "b1", "b2")
-        src_b = f"s{step}" if step == 1 else f"s{step}, b{step - 1}"
+        src_b = (
+            f"{prefix}s{step}"
+            if step == 1
+            else f"{prefix}s{step}, {prefix}b{step - 1}"
+        )
         s += f""",
-    b{step} AS (
+    {prefix}b{step} AS (
       SELECT {prev[0]} + (({d1}) / ({det})) AS b0,
              {prev[1]} + (({d2}) / ({det})) AS b1,
              {prev[2]} + (({d3}) / ({det})) AS b2
@@ -957,3 +975,106 @@ def pr_curve(
             F.round(dbl(tp + tp) / dbl(tp + tp + fp + fn), 7),
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+def logistic_cv_auc(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    label_col: str,
+    fold_col: str,
+    n_folds: int = 5,
+    steps: int = 3,
+) -> DataFrame:
+    """K-fold cross-validated AUC of the 2-feature IRLS logistic
+    model — the honest generalization estimate a quality-filter
+    pipeline reports, computed with ONE data scan total: the scan
+    builds a global (x1, x2, label, fold) sufficient-cell table
+    (≤ |grid|·k rows, persisted), then every fold's train
+    (``fold != k``, via the weighted ``irls2_fit``) and its held-out
+    scoring + rank-sum AUC run on that tiny table. 100 TB cost =
+    one count scan, independent of k.
+
+    ``fold_col`` must be a deterministic 0..k-1 integer column (the
+    caller picks the hash — engine-portable integer arithmetic, not
+    an RNG). Returns (fold, auc, n_pos, n_neg) per fold, AUC 7dp.
+    """
+    spark = df.sparkSession
+    cells = (
+        df.groupBy(x1, x2, label_col, fold_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .persist()
+    )
+    X1, X2 = F.col(x1).cast("double"), F.col(x2).cast("double")
+    out = []
+    for k in range(n_folds):
+        train = cells.where(F.col(fold_col) != k)
+        b = irls2_fit(
+            train, x1, x2, label_col, steps=steps, weight_col="_cnt"
+        )[-1]
+        eta = F.lit(b[1]) + X1 * F.lit(b[2]) + X2 * F.lit(b[3])
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        held = cells.where(F.col(fold_col) == k).select(
+            F.round(mu, 7).alias("score"),
+            F.col(label_col).alias("_y"),
+            "_cnt",
+        )
+        row = binary_auc(held, "score", "_y", weight_col="_cnt").collect()[0]
+        out.append((k, row["auc"], row["n_pos"], row["n_neg"]))
+    cells.unpersist()
+    return spark.createDataFrame(
+        out, "fold int, auc double, n_pos bigint, n_neg bigint"
+    )
+
+
+def logistic_cv_auc_oracle_sql(
+    table: str,
+    x1: str,
+    x2: str,
+    label_expr: str,
+    fold_expr: str,
+    n_folds: int = 5,
+    steps: int = 3,
+) -> str:
+    """DuckDB twin of :func:`logistic_cv_auc`: per fold, the unrolled
+    IRLS chain (prefixed CTEs) over the row-level train slice, then
+    row-level scoring of the held-out slice and the same closed-form
+    rank-sum AUC."""
+    parts, selects = [], []
+    score = (
+        "round((1.0 / (1.0 + exp(-(b0 + (CAST({x1} AS DOUBLE) * b1) "
+        "+ (CAST({x2} AS DOUBLE) * b2))))), 7)"
+    ).format(x1=x1, x2=x2)
+    for k in range(n_folds):
+        p = f"f{k}_"
+        train = f"(SELECT * FROM {table} WHERE ({fold_expr}) <> {k})"
+        parts.append(
+            irls2_cte_body(train, x1, x2, label_expr, steps, prefix=p)
+        )
+        parts.append(f"""
+    {p}scored AS (
+      SELECT {score} AS score, {label_expr} AS y
+      FROM (SELECT * FROM {table} WHERE ({fold_expr}) = {k}), {p}b{steps}
+    ),
+    {p}h AS (SELECT score, count(*) AS n, sum(y) AS n_pos
+             FROM {p}scored GROUP BY score),
+    {p}cum AS (
+      SELECT n, n_pos, sum(n) OVER (ORDER BY score) AS cum_n FROM {p}h
+    ),
+    {p}tot AS (
+      SELECT sum(n_pos * (2 * cum_n - n + 1)) AS rank_sum_2,
+             sum(n_pos) AS p, sum(n) AS t FROM {p}cum
+    )""")
+        selects.append(
+            f"    SELECT {k} AS fold,"
+            f" round(CAST(rank_sum_2 - p * (p + 1) AS DOUBLE)"
+            f" / CAST(2 * p * (t - p) AS DOUBLE), 7) AS auc,"
+            f" CAST(p AS BIGINT) AS n_pos, CAST(t - p AS BIGINT) AS n_neg"
+            f" FROM {p}tot"
+        )
+    ctes = ",".join(parts)
+    body = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH{ctes}
+{body}
+    """

@@ -5980,3 +5980,63 @@ def _install_wave16_oracles() -> None:
 
 
 _install_wave16_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Wave 17 — k-fold cross-validation: the generalization estimate,
+# one data scan total.
+# ---------------------------------------------------------------------------
+
+_CV_FOLD_SQL = "(l_orderkey * 2654435761 + l_linenumber * 40503) % 5"
+
+
+@query(
+    "lineitem_logreg_cv_auc",
+    oracle=None,  # assembled below (5 prefixed IRLS chains)
+    doc="5-fold cross-validated AUC of the logistic return-flag "
+        "model: folds from engine-portable integer hashing (no RNG), "
+        "ONE data scan builds a global (x1, x2, y, fold) "
+        "sufficient-cell table, and every fold's 3-step IRLS training "
+        "(weighted exact-decimal cells), held-out scoring and "
+        "closed-form rank-sum AUC run on that tiny cached table — "
+        "5-fold CV for the cost of one count scan at any scale "
+        "(operators/stats.py logistic_cv_auc). The oracle re-trains "
+        "all five models row-level through prefixed unrolled-IRLS "
+        "CTE chains; the cell path must match exactly. Hash-matched "
+        "per fold.",
+)
+def q_lineitem_logreg_cv_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_discount",
+        "l_quantity",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+        (
+            (
+                F.col("l_orderkey") * F.lit(2654435761)
+                + F.col("l_linenumber") * F.lit(40503)
+            )
+            % 5
+        ).cast("int").alias("fold"),
+    )
+    return _stats.logistic_cv_auc(
+        li, "l_discount", "l_quantity", "is_r", "fold", n_folds=5, steps=3
+    )
+
+
+def _install_wave17_oracles() -> None:
+    REGISTRY["lineitem_logreg_cv_auc"].oracle = (
+        _stats.logistic_cv_auc_oracle_sql(
+            "lineitem",
+            "l_discount",
+            "l_quantity",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END",
+            _CV_FOLD_SQL,
+            n_folds=5,
+            steps=3,
+        )
+    )
+
+
+_install_wave17_oracles()

@@ -77,3 +77,48 @@ def test_pr_curve_weighted_equals_replicated(spark):
              pr_curve(wdf, "score", "y", [0.5], weight_col="cnt").collect()]
     got_r = [tuple(r) for r in pr_curve(rdf, "score", "y", [0.5]).collect()]
     assert got_w == got_r
+
+
+# ---------------------------------------------------------------------------
+# logistic_cv_auc (wave 17)
+# ---------------------------------------------------------------------------
+
+def test_cv_auc_matches_manual_per_fold_composition(spark):
+    import random
+
+    from pyspark.sql import functions as F
+    from nbi_oedi_etl_v2_spark.operators.stats import (
+        binary_auc,
+        irls2_fit,
+        logistic_cv_auc,
+    )
+
+    rnd = random.Random(31)
+    rows = [(float(rnd.randint(0, 5)), float(rnd.randint(0, 3)),
+             rnd.randint(0, 1), i % 3) for i in range(600)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int, fold int")
+    got = {r.fold: tuple(r)[1:] for r in
+           logistic_cv_auc(df, "x1", "x2", "y", "fold", n_folds=3).collect()}
+    for k in range(3):
+        train = df.where(F.col("fold") != k)
+        b = irls2_fit(train, "x1", "x2", "y", steps=3)[-1]  # ROW path
+        X1, X2 = F.col("x1").cast("double"), F.col("x2").cast("double")
+        mu = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(b[1]) + X1 * F.lit(b[2]) + X2 * F.lit(b[3])))
+        )
+        held = df.where(F.col("fold") == k).select(
+            F.round(mu, 7).alias("score"), "y"
+        )
+        want = binary_auc(held, "score", "y").collect()[0]
+        assert got[k] == (want.auc, want.n_pos, want.n_neg), k
+
+
+def test_cv_auc_fold_counts_partition_the_data(spark):
+    rows = [(float(i % 7), float(i % 4), i % 2, i % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y int, fold int")
+    from nbi_oedi_etl_v2_spark.operators.stats import logistic_cv_auc
+
+    out = logistic_cv_auc(df, "x1", "x2", "y", "fold", n_folds=5).collect()
+    assert len(out) == 5
+    assert sum(r.n_pos + r.n_neg for r in out) == 500
