@@ -288,3 +288,37 @@ def test_percentile_ranks_match_counting_reference(spark, vals):
         less = sum(1 for x in vals if x < v)
         le = sum(1 for x in vals if x <= v)
         assert got[i] == (round(less / denom, 7), round(le / n, 7)), i
+
+
+# ---------------------------------------------------------------------------
+# wave-16 rank-sum AUC: property sweep vs the O(n²) definition
+# ---------------------------------------------------------------------------
+
+auc_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # scores/7 → heavy ties
+        st.integers(min_value=0, max_value=1),
+    ),
+    min_size=4,
+    max_size=60,
+)
+
+
+@FEW
+@given(pairs=auc_pairs)
+def test_binary_auc_matches_quadratic_definition(spark, pairs):
+    from nbi_oedi_etl_v2_spark.operators.stats import binary_auc
+
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return  # AUC undefined with a single class
+    df = spark.createDataFrame(
+        [(s / 7.0, y) for s, y in pairs], "score double, y int"
+    )
+    got = binary_auc(df, "score", "y").collect()[0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert got.auc == round(want, 7) or abs(got.auc - want) < 1e-9
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
