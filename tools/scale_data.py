@@ -118,11 +118,24 @@ def scale(k: int, src_dir: str, out_dir: str) -> None:
         if name in ("region", "nation"):
             parts = [tmpl]
         else:
-            parts = [tmpl.format(i=i) for i in range(k)]
-        union = "\nUNION ALL\n".join(parts)
+            # the replica index multiplies 10^7-scale strides: as a
+            # bare literal DuckDB types it INT32 and overflows at
+            # i*stride ≥ 2^31 (K>~200); force 64-bit arithmetic
+            parts = [tmpl.format(i=f"CAST({i} AS BIGINT)") for i in range(k)]
+        # a single K-way UNION ALL parses as a K-deep left chain and
+        # trips DuckDB's max_expression_depth at K≈1000; accumulate in
+        # chunks through a temp table instead (same rows, same order)
+        chunk = 100
+        con.execute("DROP TABLE IF EXISTS _acc")
+        first = "\nUNION ALL\n".join(parts[:chunk])
+        con.execute(f"CREATE TEMP TABLE _acc AS {first}")
+        for lo in range(chunk, len(parts), chunk):
+            u = "\nUNION ALL\n".join(parts[lo : lo + chunk])
+            con.execute(f"INSERT INTO _acc {u}")
         con.execute(
-            f"COPY ({union}) TO '{out}' (FORMAT PARQUET, COMPRESSION SNAPPY)"
+            f"COPY _acc TO '{out}' (FORMAT PARQUET, COMPRESSION SNAPPY)"
         )
+        con.execute("DROP TABLE _acc")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
         print(f"{name}: {n} rows -> {out}")
 
