@@ -1078,3 +1078,93 @@ def logistic_cv_auc_oracle_sql(
     WITH{ctes}
 {body}
     """
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Reliability diagram + per-bin Expected-Calibration-Error terms
+    for a probabilistic classifier: scores binned into ``n_bins``
+    equal-width [0,1) buckets; per bin the exact observation count,
+    the exact-decimal mean predicted probability, the empirical
+    positive rate (exact integer ratio), and |gap| — the ECE addend
+    before the Σ n/N weighting.
+
+    Runs on the distinct-score histogram, so everything after the one
+    scan is |distinct|-sized; the weighted mean uses the exact
+    decimal(score)×count trick (cells ≡ rows bit-for-bit). One
+    division + one subtraction per bin, 7dp."""
+    h = score_histogram(df, score_col, label_col, weight_col)
+    b = F.least(
+        F.floor(F.col("score") * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    cnt = F.col("n").cast("decimal(12,0)")
+    agg = h.groupBy(b.alias("bin")).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("score").cast("decimal(25,10)") * cnt).alias("_ssum"),
+    )
+    mean_pred = F.col("_ssum").cast("double") / F.col("n").cast("double")
+    frac_pos = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(mean_pred, 7).alias("mean_pred"),
+        F.round(frac_pos, 7).alias("frac_pos"),
+        F.round(F.abs(mean_pred - frac_pos), 7).alias("abs_gap"),
+    ).orderBy("bin")
+
+
+def mi_contingency(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Mutual-information contingency cells for several categorical
+    features against one label, in ONE unpivoted scan: per (feature,
+    value, label) cell the exact count and the pointwise MI term
+    p(x,y)·ln(p(x,y)/(p(x)·p(y))) — the feature-selection screen a
+    training pipeline runs before model fitting. Cells are emitted
+    UNSUMMED so the only transcendental is one ln() per output row
+    over exact integer ratios (the BM25 argument; 7dp): no
+    cross-engine summation of transcendentals anywhere. Consumers
+    sum mi_term per feature for the ranking.
+
+    Shape: stack to (feature, x, y) map-side, ONE hash aggregate to
+    Σ|domain_i|×|labels| rows; marginals derive from window sums on
+    that tiny table."""
+    from pyspark.sql import Window
+
+    stacked = df.selectExpr(
+        "stack({}, {}) as (feature, x)".format(
+            len(feature_cols),
+            ", ".join(
+                f"'{f}', CAST(`{f}` AS STRING)" for f in feature_cols
+            ),
+        ),
+        f"CAST(`{label_col}` AS STRING) as y",
+    )
+    cells = stacked.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    w_f = Window.partitionBy("feature")
+    w_x = Window.partitionBy("feature", "x")
+    w_y = Window.partitionBy("feature", "y")
+    n = F.sum("n_xy").over(w_f).cast("double")
+    nx = F.sum("n_xy").over(w_x).cast("double")
+    ny = F.sum("n_xy").over(w_y).cast("double")
+    nxy = F.col("n_xy").cast("double")
+    pxy = nxy / n
+    term = pxy * F.log((nxy * n) / (nx * ny))
+    return cells.select(
+        "feature",
+        "x",
+        "y",
+        F.col("n_xy").cast("bigint").alias("n_xy"),
+        F.round(term, 7).alias("mi_term"),
+    )

@@ -6040,3 +6040,112 @@ def _install_wave17_oracles() -> None:
 
 
 _install_wave17_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Wave 18 — calibration diagnostics and mutual-information feature
+# screening.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_logreg_calibration",
+    oracle=None,  # assembled below (shares the scored-histogram CTEs)
+    doc="Reliability diagram + per-bin ECE terms for the wave-15 "
+        "logistic model: scores binned into 10 equal-width buckets "
+        "over the distinct-score histogram; per bin the exact count, "
+        "exact-decimal mean predicted probability "
+        "(decimal(score)×count — cells ≡ rows), exact-ratio "
+        "empirical rate, and |gap| (operators/stats.py "
+        "calibration_bins). The 'is my quality filter's 0.8 really "
+        "0.8' check. Hash-matched per bin.",
+)
+def q_lineitem_logreg_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = _eval_scored_cells(spark, sf_dir)
+    return _stats.calibration_bins(
+        scored, "score", "is_r", n_bins=10, weight_col="cnt"
+    )
+
+
+@query(
+    "orders_mi_feature_cells",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS lbl
+      FROM orders
+    ),
+    b AS (
+      SELECT 'o_orderpriority' AS feature,
+             CAST(o_orderpriority AS VARCHAR) AS x, lbl AS y FROM src
+      UNION ALL
+      SELECT 'o_year', CAST(o_year AS VARCHAR), lbl FROM src
+    ),
+    c AS (SELECT feature, x, y, count(*) AS n_xy FROM b GROUP BY 1, 2, 3)
+    SELECT feature, x, y, CAST(n_xy AS BIGINT) AS n_xy,
+           round((CAST(n_xy AS DOUBLE)
+                  / CAST(sum(n_xy) OVER (PARTITION BY feature) AS DOUBLE))
+                 * ln((CAST(n_xy AS DOUBLE)
+                       * CAST(sum(n_xy) OVER (PARTITION BY feature) AS DOUBLE))
+                      / (CAST(sum(n_xy) OVER (PARTITION BY feature, x) AS DOUBLE)
+                         * CAST(sum(n_xy) OVER (PARTITION BY feature, y) AS DOUBLE))),
+                 7) AS mi_term
+    FROM c
+    """,
+    doc="Mutual-information contingency cells for two categorical "
+        "features (order priority, order year) against a high-value "
+        "label, ONE unpivoted scan + ONE hash aggregate to "
+        "Σ|domain|×2 rows; marginals from window sums on that tiny "
+        "table; cells emitted UNSUMMED so the only transcendental is "
+        "one ln() per row over exact integer ratios "
+        "(operators/stats.py mi_contingency) — the feature-selection "
+        "screen before model fitting. Hash-matched per cell.",
+)
+def q_orders_mi_feature_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+        F.when(F.col("o_totalprice") > 150000, "hi")
+        .otherwise("lo")
+        .alias("lbl"),
+    )
+    return _stats.mi_contingency(
+        orders, ["o_orderpriority", "o_year"], "lbl"
+    )
+
+
+def _calibration_oracle_sql() -> str:
+    return f"""
+    WITH{_eval_scored_ctes()},
+    bb AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin, score, n, n_pos
+      FROM h
+    ),
+    a AS (
+      SELECT bin, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(CAST(SUM(CAST(score AS DECIMAL(25,10))
+                           * CAST(n AS DECIMAL(12,0))) AS VARCHAR)
+                  AS DOUBLE) AS _ssum
+      FROM bb GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           round(_ssum / CAST(n AS DOUBLE), 7) AS mean_pred,
+           round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 7) AS frac_pos,
+           round(abs(_ssum / CAST(n AS DOUBLE)
+                     - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 7)
+             AS abs_gap
+    FROM a ORDER BY bin
+    """
+
+
+def _install_wave18_oracles() -> None:
+    REGISTRY["lineitem_logreg_calibration"].oracle = _calibration_oracle_sql()
+
+
+_install_wave18_oracles()

@@ -122,3 +122,44 @@ def test_cv_auc_fold_counts_partition_the_data(spark):
     out = logistic_cv_auc(df, "x1", "x2", "y", "fold", n_folds=5).collect()
     assert len(out) == 5
     assert sum(r.n_pos + r.n_neg for r in out) == 500
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins / mi_contingency (wave 18)
+# ---------------------------------------------------------------------------
+
+def test_calibration_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import calibration_bins
+
+    rows = [(0.05, 0), (0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1),
+            (1.0, 1)]
+    df = spark.createDataFrame(rows, "score double, y int")
+    out = {r.bin: r for r in
+           calibration_bins(df, "score", "y", n_bins=10).collect()}
+    lo = out[0]
+    assert (lo.n, lo.n_pos) == (3, 1)
+    assert lo.mean_pred == 0.05
+    assert lo.frac_pos == pytest.approx(1 / 3, abs=1e-7)
+    hi = out[9]  # score 1.0 clamps into the last bin
+    assert (hi.n, hi.n_pos) == (3, 3)
+    assert hi.mean_pred == pytest.approx((0.95 * 2 + 1.0) / 3, abs=1e-7)
+    assert hi.frac_pos == 1.0 and hi.abs_gap == pytest.approx(
+        abs((0.95 * 2 + 1.0) / 3 - 1.0), abs=1e-7)
+
+
+def test_mi_terms_sum_to_known_mi(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from nbi_oedi_etl_v2_spark.operators.stats import mi_contingency
+
+    # perfectly dependent feature: MI = H(Y) = ln 2 for a 50/50 label;
+    # independent feature: MI = 0
+    rows = [(("a" if i % 2 == 0 else "b"), ("u" if i % 4 < 2 else "v"),
+             ("hi" if i % 2 == 0 else "lo")) for i in range(400)]
+    df = spark.createDataFrame(rows, "dep string, ind string, lbl string")
+    out = mi_contingency(df, ["dep", "ind"], "lbl")
+    sums = {r.feature: r.s for r in
+            out.groupBy("feature").agg(F.sum("mi_term").alias("s")).collect()}
+    assert sums["dep"] == pytest.approx(math.log(2), abs=1e-5)
+    assert sums["ind"] == pytest.approx(0.0, abs=1e-5)
