@@ -1168,3 +1168,46 @@ def mi_contingency(
         F.col("n_xy").cast("bigint").alias("n_xy"),
         F.round(term, 7).alias("mi_term"),
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_cols: list[str],
+    cat_col: str,
+    label_col: str,
+    m: float = 10.0,
+) -> DataFrame:
+    """Leave-one-out smoothed target encoding of a categorical
+    feature — the high-cardinality encoder gradient-boosting
+    pipelines use instead of one-hot:
+    enc(row) = (g·m + Σ_category y − y_row) / (m + n_category − 1),
+    with g the global positive rate and m the smoothing
+    pseudo-count. Excluding the row's own label kills the
+    target-leakage one-hot-free encoders otherwise suffer; a
+    singleton category degrades exactly to the smoothed prior g.
+
+    Shape: ONE hash aggregate to |categories| rows (map-side
+    combined, exact integer counts), broadcast back over the data,
+    then a map-only rational expression per row — no transcendentals
+    anywhere, so the 7dp round is decoration, not a tolerance.
+    ``label_col`` must be 0/1 int."""
+    y = F.col(label_col).cast("bigint")
+    cat_stats = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias("_nx"), F.sum(y).alias("_sx")
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_s")
+    )
+    g = F.col("_s").cast("double") / F.col("_n").cast("double")
+    enc = (
+        g * F.lit(m) + (F.col("_sx") - y).cast("double")
+    ) / (F.lit(m) + (F.col("_nx") - F.lit(1)).cast("double"))
+    return (
+        df.join(F.broadcast(cat_stats), cat_col)
+        .join(F.broadcast(glob))
+        .select(
+            *key_cols,
+            cat_col,
+            F.round(enc, 7).alias("target_enc"),
+        )
+    )

@@ -6149,3 +6149,49 @@ def _install_wave18_oracles() -> None:
 
 
 _install_wave18_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Wave 19 — leave-one-out target encoding.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_target_encode_priority",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    cs AS (
+      SELECT o_orderpriority, count(*) AS nx, sum(y) AS sx
+      FROM lab GROUP BY o_orderpriority
+    ),
+    gl AS (SELECT count(*) AS n, sum(y) AS s FROM lab)
+    SELECT o_orderkey, o_orderpriority,
+           round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 10.0
+                  + CAST(sx - y AS DOUBLE))
+                 / (10.0 + CAST(nx - 1 AS DOUBLE)), 7) AS target_enc
+    FROM lab JOIN cs USING (o_orderpriority) CROSS JOIN gl
+    """,
+    doc="Leave-one-out smoothed target encoding of order priority by "
+        "the high-value rate (m=10 pseudo-counts): ONE category "
+        "aggregate broadcast back + a map-only rational per row; "
+        "excluding the row's own label kills target leakage, "
+        "singleton categories degrade to the smoothed prior "
+        "(operators/stats.py target_encode_loo). Pure integer/"
+        "rational arithmetic — no transcendentals — so the 7dp round "
+        "is decoration. Hash-matched per row.",
+)
+def q_orders_target_encode_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    return _stats.target_encode_loo(
+        orders, ["o_orderkey"], "o_orderpriority", "y", m=10.0
+    )

@@ -163,3 +163,35 @@ def test_mi_terms_sum_to_known_mi(spark):
             out.groupBy("feature").agg(F.sum("mi_term").alias("s")).collect()}
     assert sums["dep"] == pytest.approx(math.log(2), abs=1e-5)
     assert sums["ind"] == pytest.approx(0.0, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# target_encode_loo (wave 19)
+# ---------------------------------------------------------------------------
+
+def test_target_encode_hand_computed_and_leakage_free(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import target_encode_loo
+
+    rows = [(1, "a", 1), (2, "a", 0), (3, "a", 1), (4, "b", 0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y int")
+    got = {r.id: r.target_enc for r in
+           target_encode_loo(df, ["id"], "cat", "y", m=2.0).collect()}
+    g = 2 / 4  # global rate
+    # category a: nx=3, sx=2; LOO excludes the row's own label
+    assert got[1] == round((g * 2 + (2 - 1)) / (2 + 2), 7)
+    assert got[2] == round((g * 2 + (2 - 0)) / (2 + 2), 7)
+    # rows 1 and 3 share (cat, y) → identical encodings; row 2 differs
+    assert got[1] == got[3] != got[2]
+    # singleton category degrades exactly to the smoothed prior g
+    assert got[4] == round((g * 2 + 0) / (2 + 0), 7) == round(g, 7)
+
+
+def test_target_encode_plan_broadcasts_category_stats(spark, sf_dir):
+    from nbi_oedi_etl_v2_spark import workload
+
+    df = workload.all_specs()["orders_target_encode_priority"].fn(
+        spark, sf_dir
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
