@@ -5,6 +5,12 @@ the same noop-sink forcing bench.py uses.
 Usage: python tools/soak.py <sf_dir> <query> [query ...] [--n 3]
 Prints one JSON line per query: {"query": ..., "sf_dir": ...,
 "min"/"med"/"max": seconds, "n": reps}.
+
+Protocol (SCALE.md "Soak-protocol finding", round 7): at sf10+ run
+ONE query per invocation — queries sharing a session contaminate each
+other 5-10x (heap growth charges later queries; the first query pays
+the cold page-cache read of multi-GB files). Fresh session per query,
+n>=2, report the median; the min approximates the warm-cache cost.
 """
 
 from __future__ import annotations
