@@ -251,13 +251,16 @@ def exact_quantiles_radix(
     v = df.select(
         _to_walk_col(df, value_col, floating).alias("v")
     ).where(F.col("v").isNotNull())
-    # materialize the walk column ONCE: the four digit levels each
-    # trigger a job, and re-running the scan + (for doubles) the
-    # ordered-bits transform per level dominated the walk — measured
-    # at sf1 on l_extendedprice: 57.9 s recomputed → 8.7 s cached
-    # (the transform is ~6 s/pass; the cached levels read 8-byte
-    # longs). The cache is one long per non-NULL row.
-    v = v.persist()
+    # materialize the walk column ONCE — but only when re-deriving it
+    # is expensive, i.e. the FLOATING path's ordered-bits transform
+    # (measured at sf1 on raw l_extendedprice: 57.9 s recomputed →
+    # 8.7 s cached). For integral inputs the walk column is a cheap
+    # cast and the cache build itself becomes the wall at scale: the
+    # sf100 profile measured persist-build 315 s vs 12 s per raw
+    # histogram pass on 600M longs — five recomputed passes beat the
+    # cache 5×. The cache is one long per non-NULL row when used.
+    if floating:
+        v = v.persist()
     try:
         n = v.count()
         if n == 0:
@@ -268,7 +271,8 @@ def exact_quantiles_radix(
             spark, quantiles, _radix_walk(v, quantiles, n, False), floating
         )
     finally:
-        v.unpersist()
+        if floating:
+            v.unpersist()
 
 
 def exact_weighted_quantiles_radix(
@@ -295,9 +299,11 @@ def exact_weighted_quantiles_radix(
         _to_walk_col(df, value_col, floating).alias("v"),
         F.col(f"`{weight_col}`").cast("long").alias("w"),
     ).where(F.col("v").isNotNull() & (F.col("w") > 0))
-    # same one-materialization rule as exact_quantiles_radix: the four
-    # levels share the (v, w) projection instead of re-deriving it
-    v = v.persist()
+    # same conditional-materialization rule as exact_quantiles_radix:
+    # cache the (v, w) projection only when the floating transform
+    # makes re-deriving it expensive
+    if floating:
+        v = v.persist()
     try:
         total = v.agg(F.sum("w")).first()[0]
         if not total:
@@ -308,7 +314,8 @@ def exact_weighted_quantiles_radix(
             spark, quantiles, _radix_walk(v, quantiles, total, True), floating
         )
     finally:
-        v.unpersist()
+        if floating:
+            v.unpersist()
 
 
 def equidepth_buckets(

@@ -244,6 +244,12 @@ TOUCH: frozenset[str] = frozenset({
     #   SEPARATE basket_truncation_accounting function; the pair/CF
     #   outputs are untouched and association_rules re-proves the
     #   module's shared pruning path.
+    # - lineitem_exact/weighted/double_price_quantiles: the late-r7
+    #   order_stats change makes the walk-column persist CONDITIONAL
+    #   (floating transform only) — value-neutral by construction
+    #   (persist on/off cannot change results); the shared walk is
+    #   re-proven by lineitem_equidepth_deciles' TOUCH slot plus the
+    #   8-spec radix family hash re-check run at the change.
 })
 
 # ADVISED - explicit re-verification asks from VERDICT r6: none this
