@@ -582,3 +582,72 @@ def markov_transitions(
             F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 7
         ).alias("prob"),
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: str,
+    drift: str = "0",
+    threshold: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores per key — the classic
+    Page (1954) sequential drift detector a monitoring warehouse runs
+    over every metric series: S⁺_t = max(0, S⁺_{t-1} + x_t − target −
+    drift) flags sustained upward shifts, S⁻_t symmetrically downward.
+
+    The recurrence looks inherently sequential (non-associative
+    because of the max-with-0 reset), but it has an exact closed form
+    over prefix sums: with C_t = Σ_{i≤t} (x_i − target − drift) and
+    C_0 = 0,
+
+        S⁺_t = C_t − min_{0≤j≤t} C_j
+
+    (induction: a reset to 0 happens exactly when C_t becomes the new
+    prefix minimum). So the whole detector is ONE window partition —
+    a running SUM and a running MIN over the same (key, order) window
+    — instead of a per-key sequential fold: one keyed shuffle, then
+    map-side window evaluation, no UDF, no iteration. The same
+    identity with the sign flipped gives S⁻.
+
+    Exactness: the running sums are computed over ``DECIMAL(38,10)``
+    casts of the value (the repo-wide float-parity rule — double
+    prefix sums would drift between engines), and ``target`` /
+    ``drift`` are decimal string literals, so every S_t is an exact
+    rational and hash-matches an oracle replaying the same windows.
+
+    Returns per-row (key, order cols, value, s_hi, s_lo[, alert]) —
+    ``threshold`` (decimal string) adds the boolean crossing flag.
+    At 100 TB the output is input-sized; aggregate downstream (the
+    registered query reduces to a per-key alert summary).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must make the within-key order total")
+    from ..functions import SUM_DECIMAL
+
+    k = F.col(f"`{key_col}`")
+    v = F.col(f"`{value_col}`").cast(SUM_DECIMAL)
+    t_plus = F.lit(target).cast(SUM_DECIMAL) + F.lit(drift).cast(SUM_DECIMAL)
+    t_minus = F.lit(target).cast(SUM_DECIMAL) - F.lit(drift).cast(SUM_DECIMAL)
+    w = (
+        Window.partitionBy(k)
+        .orderBy(*[F.col(f"`{c}`") for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit("0").cast(SUM_DECIMAL)
+    out = (
+        df.select(key_col, *order_cols, value_col)
+        .withColumn("_c_hi", F.sum(v - t_plus).over(w))
+        .withColumn("_c_lo", F.sum(t_minus - v).over(w))
+        .withColumn("s_hi", F.col("_c_hi") - F.least(zero, F.min("_c_hi").over(w)))
+        .withColumn("s_lo", F.col("_c_lo") - F.least(zero, F.min("_c_lo").over(w)))
+        .drop("_c_hi", "_c_lo")
+    )
+    if threshold is not None:
+        h = F.lit(threshold).cast(SUM_DECIMAL)
+        out = out.withColumn(
+            "alert", (F.col("s_hi") > h) | (F.col("s_lo") > h)
+        )
+    return out

@@ -582,3 +582,102 @@ def label_propagation_oracle_sql(rounds: int = 5) -> str:
     SELECT node, lbl AS community FROM l{rounds} ORDER BY node
     """
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    round_counter: list | None = None,
+) -> DataFrame:
+    """k-core decomposition (fixed k): iteratively peel nodes of
+    degree < k until the survivor set is stable — the densest-region
+    extractor behind spam-cluster mining, community seeding and graph
+    sparsification. Input edges must be SYMMETRIC (both directions
+    present, as ``copurchase_edges`` emits) so out-degree equals
+    undirected degree; the peel is then a pure function of the edge
+    set: (1) degree = one hash agg by src, (2) survivors = degree ≥ k,
+    (3) keep edges with BOTH endpoints surviving = two semi-joins
+    keyed by node. Every shuffle is keyed by node id — the PageRank
+    profile — and each round's survivor set only shrinks, so the work
+    is monotonically decreasing: the opposite of a frontier explosion.
+
+    Early exit is result-invariant: survivors(round) is monotone
+    non-increasing and bounded, so the first round that removes no
+    node proves the fixed point and every further round is a no-op —
+    a fixed-round oracle unrolled PAST convergence matches
+    bit-for-bit. ``round_counter`` receives one entry per executed
+    round (the early-exit pytest observable). Peeling converges in
+    O(#distinct degree levels) rounds in practice; ``max_rounds``
+    bounds the worst case (a path graph peels one layer per round).
+
+    Per-round materialization: the filtered edge table is
+    ``localCheckpoint``ed (plan depth stays flat in rounds — the BFS
+    lesson) and the survivor count is read from the SAME
+    materialization the next round consumes, so convergence probing
+    adds no extra scan. Returns (node, degree) for the k-core members
+    with their within-core degree.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cur = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    prev_nodes = -1
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.where(F.col("degree") >= k).select(
+            F.col("src").alias("node")
+        ).localCheckpoint()
+        n_keep = keep.count()
+        if round_counter is not None:
+            round_counter.append(n_keep)
+        if n_keep == prev_nodes:
+            break
+        prev_nodes = n_keep
+        cur = (
+            cur.join(keep, cur["src"] == keep["node"], "left_semi")
+            .join(keep, cur["dst"] == keep["node"], "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )
+
+
+def kcore_oracle_sql(k: int, rounds: int = 8) -> str:
+    """DuckDB mirror of :func:`kcore` over the lineitem co-purchase
+    graph — the peel unrolled ``rounds`` times (early exit is
+    result-invariant, so unrolling past convergence matches the
+    early-exiting engine bit-for-bit). Every CTE is MATERIALIZED:
+    each level references its predecessor three times (n twice, e
+    once), and DuckDB's default inlining would re-evaluate the chain
+    3^rounds times."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    )"""
+    steps = []
+    for i in range(rounds):
+        steps.append(f""",
+    n{i + 1} AS MATERIALIZED (
+      SELECT src AS node FROM e{i} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i} e
+      JOIN n{i + 1} a ON e.src = a.node
+      JOIN n{i + 1} b ON e.dst = b.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT src AS node, COUNT(*) AS degree
+    FROM e{rounds} GROUP BY src ORDER BY node
+    """
+    )

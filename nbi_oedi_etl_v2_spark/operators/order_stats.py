@@ -485,3 +485,64 @@ def global_percentile_ranks(
             F.round(F.col("_le") / F.lit(float(n)), 7).alias("cume_dist"),
         )
     )
+
+
+def mad_outlier_scores(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    cutoff: float = 3.0,
+    stats_out: list | None = None,
+) -> DataFrame:
+    """Robust outlier flags by median / MAD — the outlier rule that
+    survives the outliers themselves (mean/stddev get dragged by the
+    very tail they're supposed to flag; the median and the median
+    absolute deviation have 50 % breakdown points).
+
+    Composition, not new machinery: the global median is one
+    :func:`exact_quantiles_radix` call (four bounded histogram
+    passes, no sort), the MAD is a second radix call on the derived
+    ``|x − median|`` column, and the flag is ONE map-only comparison
+    ``|x − median| > cutoff·MAD`` per row. Total cost at any N: eight
+    map-only histogram passes + one map pass, ≤65,536-cell driver
+    state, zero row shuffles — the same designed-for-100-TB shape as
+    the quantile siblings.
+
+    Exactness: both medians are the exact lower order statistic
+    (``k = ceil(n/2)``, the family convention), selected DATA values.
+    ``|x − m|``, ``cutoff·MAD`` and the comparison are single IEEE
+    double operations — correctly rounded and engine-identical — so
+    a window-rank oracle reproduces every flag bit-for-bit. NaNs
+    rank greatest in the selections (family rule); NULLs carry no
+    rank and get NULL flags.
+
+    Returns ``df`` + ``abs_dev`` (double) + ``is_outlier`` (boolean);
+    pass a list as ``stats_out`` to additionally receive the computed
+    ``(median, mad)`` — callers that also report the statistics reuse
+    the histogram passes already paid instead of re-selecting.
+    Aggregate downstream for a bounded summary — the registered
+    query reduces to per-group outlier counts.
+    """
+    if cutoff <= 0:
+        raise ValueError("cutoff must be positive")
+    c = F.col(f"`{value_col}`")
+    med_rows = exact_quantiles_radix(spark, df, value_col, [0.5]).collect()
+    m = med_rows[0]["value"]
+    if m is None:  # empty / all-NULL input
+        return df.withColumn("abs_dev", F.lit(None).cast("double")) \
+                 .withColumn("is_outlier", F.lit(None).cast("boolean"))
+    dev = F.abs(c.cast("double") - F.lit(float(m)))
+    devs = df.select(dev.alias("_dev"))
+    mad = exact_quantiles_radix(spark, devs, "_dev", [0.5]).collect()[0]["value"]
+    if stats_out is not None:
+        stats_out.append((float(m), float(mad)))
+    thr = F.lit(float(cutoff)) * F.lit(float(mad))
+    return (
+        df.withColumn("abs_dev", dev)
+        .withColumn(
+            "is_outlier",
+            F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.col("abs_dev") > thr
+            ),
+        )
+    )

@@ -16,9 +16,10 @@ arithmetic so the whole report is DuckDB-oracle-able row for row.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -158,3 +159,156 @@ def fd_violations(
         )
         .where(F.col("n_dependent_values") > 1)
     )
+
+
+# log10(1 + 1/d) for d = 1..9, materialized once as Python floats so
+# BOTH engines inline the identical double literals — computing log10
+# inside either plan would tie the hash match to two libm builds
+BENFORD_EXPECTED: dict[int, float] = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integer measure —
+    the classic fabricated-data / broken-feed screen: naturally
+    occurring multi-scale quantities put digit d first with
+    probability log10(1+1/d) (30.1 % ones … 4.6 % nines); a feed
+    that drifts from the curve was truncated, defaulted, or invented.
+
+    One hash aggregate on a 9-value key: the first digit comes from
+    ``substr(cast(v AS string), 1, 1)`` — integer-to-string is
+    engine-identical where float formatting is not, so callers route
+    money through the integer-cents convention first (the leading
+    digit of cents differs from the leading digit of dollars;
+    EITHER is a valid Benford screen — the law is scale-invariant —
+    but pick one and keep it). Rows NULL or ≤ 0 are excluded (no
+    leading digit; Benford only speaks to positive magnitudes).
+
+    Returns 9 rows (digit, n, share, expected, chi2_term) — share an
+    exact-ratio round(·,7), expected the inlined literal, chi2_term
+    the per-digit Pearson X² contribution n_total·(share−exp)²/exp
+    (kept per-digit: summing 9 doubles would reintroduce order
+    sensitivity for zero diagnostic gain). Digits with zero rows
+    still appear (n=0) so the report shape is fixed.
+    """
+    v = F.col(f"`{value_col}`")
+    src = df.where(v.isNotNull() & (v > 0)).select(
+        F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = src.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    spark = df.sparkSession
+    grid = spark.createDataFrame([(d,) for d in range(1, 10)], "digit int")
+    full = grid.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    exp = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d in range(1, 10)
+                for x in (d, BENFORD_EXPECTED[d])
+            ]
+        ),
+        F.col("digit"),
+    )
+    share = F.col("n").cast("double") / total.cast("double")
+    return full.select(
+        "digit",
+        "n",
+        F.round(share, 7).alias("share"),
+        F.round(exp, 7).alias("expected"),
+        F.round(
+            total.cast("double") * (share - exp) * (share - exp) / exp, 7
+        ).alias("chi2_term"),
+    )
+
+
+def table_profile(df: DataFrame) -> DataFrame:
+    """One-pass whole-table column profile — the first query anyone
+    runs against an unfamiliar 100 TB table: per column, row count,
+    null count, EXACT distinct count, and typed min/max. Returns one
+    row per column:
+
+        (column, n_rows, n_nulls, ndv, min_num, max_num,
+         min_str, max_str, min_ts, max_ts)
+
+    with min/max populated in the family column that matches the
+    input type (numerics as double, strings as-is, timestamps as-is;
+    other types profile counts only). Typed family columns — NOT a
+    stringified grab-bag — because float/timestamp→string formatting
+    is engine-specific while the values themselves compare exactly.
+
+    Shape: ONE aggregate over the table computes all 5·p statistics
+    side by side; the p exact ``count_distinct``s make Catalyst plan
+    it as one Expand (each row fans out p ways, one shuffle keyed by
+    (column_id, value) after map-side partial dedup) — a single pass
+    over the data, p× the shuffle rows, zero driver state. The p×1
+    result row then unpivots to p rows with an inline explode — no
+    collect. For approximate-is-fine profiling at much lower shuffle
+    cost, swap ``approx_count_distinct`` in; this one is the exact
+    oracle-able form.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    num_types = (
+        ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, DecimalType,
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_rows")]
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_t = F.lit(None).cast("timestamp")
+    for f in df.schema.fields:
+        c = F.col(f"`{f.name}`")
+        aggs.append((F.count(F.lit(1)) - F.count(c)).cast("bigint")
+                    .alias(f"_nulls_{f.name}"))
+        aggs.append(F.count_distinct(c).cast("bigint")
+                    .alias(f"_ndv_{f.name}"))
+        if isinstance(f.dataType, num_types):
+            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+            mns, mxs, mnt, mxt = null_s, null_s, null_t, null_t
+        elif isinstance(f.dataType, StringType):
+            mn, mx = null_d, null_d
+            mns, mxs = F.min(c), F.max(c)
+            mnt, mxt = null_t, null_t
+        elif isinstance(f.dataType, TimestampType):
+            mn, mx, mns, mxs = null_d, null_d, null_s, null_s
+            mnt, mxt = F.min(c), F.max(c)
+        else:
+            mn, mx, mns, mxs, mnt, mxt = (
+                null_d, null_d, null_s, null_s, null_t, null_t,
+            )
+        aggs += [
+            mn.alias(f"_min_num_{f.name}"), mx.alias(f"_max_num_{f.name}"),
+            mns.alias(f"_min_str_{f.name}"), mxs.alias(f"_max_str_{f.name}"),
+            mnt.alias(f"_min_ts_{f.name}"), mxt.alias(f"_max_ts_{f.name}"),
+        ]
+    one = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.col("_rows").alias("n_rows"),
+            F.col(f"`_nulls_{f.name}`").alias("n_nulls"),
+            F.col(f"`_ndv_{f.name}`").alias("ndv"),
+            F.col(f"`_min_num_{f.name}`").alias("min_num"),
+            F.col(f"`_max_num_{f.name}`").alias("max_num"),
+            F.col(f"`_min_str_{f.name}`").alias("min_str"),
+            F.col(f"`_max_str_{f.name}`").alias("max_str"),
+            F.col(f"`_min_ts_{f.name}`").alias("min_ts"),
+            F.col(f"`_max_ts_{f.name}`").alias("max_ts"),
+        )
+        for f in df.schema.fields
+    ])
+    return one.select(F.explode(structs).alias("p")).select("p.*")

@@ -937,3 +937,152 @@ def random_projection(
         )
         cols.append(F.round(F.expr(fold), 7).alias(f"p{j:02d}"))
     return df.select(*cols)
+
+
+def mine_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    margin: float = 0.1,
+    probes: int = 4,
+    buckets: int = 256,
+) -> DataFrame:
+    """Contrastive triplet mining — build (anchor, positive, negative)
+    training triples from a labeled embedding table, the data-prep
+    step in front of every metric-learning / embedding-finetune run.
+    Everything is DETERMINISTIC (so the set is reproducible and
+    oracle-able), and nothing goes quadratic:
+
+    * positive(a): the smallest same-label id ≠ a — from the first
+      TWO ids per label (one ``row_number`` window over the label
+      key), so labels of any size cost two rows each. Singleton
+      labels yield no triplet (no positive exists).
+    * negative(a): deterministic hash probing against a
+      BUCKET-MINIMUM table — each row hashes into one of ``buckets``
+      md5 buckets; the (bucket, label) → min-id table (``buckets ×
+      |labels|`` rows, broadcast) is the only structure probed. An
+      anchor probes buckets ``(b+1) … (b+probes) mod buckets`` and
+      takes the first probe whose bucket-minimum has a DIFFERENT
+      label (ties: smallest candidate id). Per-anchor work is a
+      lookup into the tiny broadcast table — never a scan of the
+      other-label universe. With ≥2 labels roughly spread over
+      buckets, all ``probes`` failing is vanishingly rare; anchors
+      with no hit are dropped, and the oracle replays the same
+      probes, so the drop is matched, not silent.
+    * distances: cosine for (a,p) and (a,n) via the engine's
+      sequential ``zip_with``/``aggregate`` folds (identical fold
+      order in the SQL twin), rounded to 7 dp.
+
+    Returns (anchor_id, pos_id, neg_id, cos_ap, cos_an, is_hard,
+    is_semi_hard): hard = the negative is MORE similar than the
+    positive (cos_an ≥ cos_ap); semi-hard = the FaceNet band
+    (cos_ap − margin < cos_an < cos_ap) — the triplets worth
+    training on. Shape at 100 TB: one label-keyed window, one
+    bucket agg, one broadcast lookup join, three id-keyed joins for
+    the vectors — all shuffles keyed by id or label, output
+    anchor-count rows.
+    """
+    if probes < 1 or buckets < 2:
+        raise ValueError("need probes >= 1 and buckets >= 2")
+    from .curation import _md5_byte0
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(f"`{id_col}`").cast("long").alias("id"),
+        F.col(f"`{label_col}`").alias("lbl"),
+        F.col(f"`{vec_col}`").alias("_emb"),
+    )
+    ids = base.select(
+        "id",
+        "lbl",
+        (_md5_byte0(F.col("id").cast("string")) % F.lit(buckets)).alias("b"),
+    )
+    # first two ids per label -> positive choice without a self-join
+    w = Window.partitionBy("lbl").orderBy("id")
+    top2 = (
+        ids.select("id", "lbl")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .groupBy("lbl")
+        .agg(
+            F.min(F.when(F.col("_rn") == 1, F.col("id"))).alias("_p1"),
+            F.min(F.when(F.col("_rn") == 2, F.col("id"))).alias("_p2"),
+        )
+    )
+    anchors = (
+        ids.join(F.broadcast(top2), "lbl")
+        .withColumn(
+            "pos_id",
+            F.when(F.col("id") != F.col("_p1"), F.col("_p1")).otherwise(
+                F.col("_p2")
+            ),
+        )
+        .where(F.col("pos_id").isNotNull())
+        .select("id", "lbl", "b", "pos_id")
+    )
+    # distinct names: probe and bucket_mins share the `ids` lineage,
+    # and a self-join on same-named columns would hit Spark's
+    # ambiguous-reference resolution
+    bucket_mins = (
+        ids.groupBy("b", "lbl")
+        .agg(F.min("id").alias("cand_id"))
+        .select(
+            F.col("b").alias("mb"),
+            F.col("lbl").alias("mlbl"),
+            "cand_id",
+        )
+    )
+    probe = anchors.select(
+        "id",
+        "lbl",
+        "pos_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    ((F.col("b") + j) % F.lit(buckets)).alias("pb"),
+                )
+                for j in range(1, probes + 1)
+            ])
+        ).alias("pr"),
+    ).select("id", "lbl", "pos_id", "pr.j", "pr.pb")
+    hits = probe.join(
+        F.broadcast(bucket_mins),
+        (F.col("pb") == F.col("mb")) & (F.col("lbl") != F.col("mlbl")),
+    ).select("id", "lbl", "pos_id", "j", "cand_id")
+    w_pick = Window.partitionBy("id").orderBy("j", "cand_id")
+    trip = (
+        hits.withColumn("_pk", F.row_number().over(w_pick))
+        .where(F.col("_pk") == 1)
+        .select("id", "pos_id", F.col("cand_id").alias("neg_id"))
+    )
+    v = with_norm(base.select("id", "_emb"), "_emb").select("id", "vec", "norm")
+    cos = lambda va, na, vb, nb: F.round(  # noqa: E731
+        F.expr(_dot(va, vb)) / (F.col(na) * F.col(nb)), 7
+    )
+    out = (
+        trip.join(v.select(F.col("id"), F.col("vec").alias("v_a"), F.col("norm").alias("n_a")), "id")
+        .join(
+            v.select(F.col("id").alias("pos_id"), F.col("vec").alias("v_p"), F.col("norm").alias("n_p")),
+            "pos_id",
+        )
+        .join(
+            v.select(F.col("id").alias("neg_id"), F.col("vec").alias("v_n"), F.col("norm").alias("n_n")),
+            "neg_id",
+        )
+        .withColumn("cos_ap", cos("v_a", "n_a", "v_p", "n_p"))
+        .withColumn("cos_an", cos("v_a", "n_a", "v_n", "n_n"))
+    )
+    return out.select(
+        F.col("id").alias("anchor_id"),
+        "pos_id",
+        "neg_id",
+        "cos_ap",
+        "cos_an",
+        (F.col("cos_an") >= F.col("cos_ap")).alias("is_hard"),
+        (
+            (F.col("cos_an") < F.col("cos_ap"))
+            & (F.col("cos_an") > F.col("cos_ap") - F.lit(margin))
+        ).alias("is_semi_hard"),
+    )

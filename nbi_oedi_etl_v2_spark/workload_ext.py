@@ -6195,3 +6195,440 @@ def q_orders_target_encode_priority(
     return _stats.target_encode_loo(
         orders, ["o_orderkey"], "o_orderpriority", "y", m=10.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 20 — CUSUM change-point detection.
+# ---------------------------------------------------------------------------
+
+# S+_t = C_t - min(0, min_{j<=t} C_j) with exact DECIMAL(38,10) prefix
+# sums; the oracle replays the identical windows. Decimal -> double
+# readout goes through VARCHAR on the DuckDB side (the davg_sql rule:
+# DuckDB's direct DECIMAL->DOUBLE cast is not correctly rounded).
+_CUSUM_ORACLE = """
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST(value AS DECIMAL(38,10)) AS v
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, ts, event_id,
+             SUM(v - CAST(55 AS DECIMAL(38,10)))
+               OVER w AS c_hi,
+             SUM(CAST(45 AS DECIMAL(38,10)) - v)
+               OVER w AS c_lo
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    -- CASE, not LEAST: DuckDB's LEAST over decimals returns DOUBLE,
+    -- which would break the exact-rational parity with Spark.
+    sc AS (
+      SELECT event_type, ts, event_id,
+             c_hi - (CASE WHEN MIN(c_hi) OVER w < CAST(0 AS DECIMAL(38,10))
+                          THEN MIN(c_hi) OVER w
+                          ELSE CAST(0 AS DECIMAL(38,10)) END) AS s_hi,
+             c_lo - (CASE WHEN MIN(c_lo) OVER w < CAST(0 AS DECIMAL(38,10))
+                          THEN MIN(c_lo) OVER w
+                          ELSE CAST(0 AS DECIMAL(38,10)) END) AS s_lo
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           count(*) FILTER (WHERE s_hi > 500 OR s_lo > 500)
+             AS n_alerts,
+           min(ts) FILTER (WHERE s_hi > 500 OR s_lo > 500)
+             AS first_alert_ts,
+           CAST(CAST(max(s_hi) AS VARCHAR) AS DOUBLE) AS max_s_hi,
+           CAST(CAST(max(s_lo) AS VARCHAR) AS DOUBLE) AS max_s_lo
+    FROM sc GROUP BY event_type
+    """
+
+
+@query(
+    "events_cusum_changepoints",
+    oracle=_CUSUM_ORACLE,
+    doc="Two-sided CUSUM change-point detection per event type "
+        "(target 50, drift allowance 5, decision interval h=500): the "
+        "sequential max(0, S+y) recurrence rewritten as its exact "
+        "prefix-sum closed form S_t = C_t - min prefix C, so the "
+        "whole detector is ONE keyed window partition (running "
+        "DECIMAL sum + running min) instead of a per-key fold — no "
+        "UDF, no iteration, one shuffle keyed by event_type "
+        "(operators/analytics.py cusum_scores). Per-key alert "
+        "summary out; exact rational S values hash-matched.",
+    headline=True,
+)
+def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = analytics.cusum_scores(
+        ev,
+        "event_type",
+        ["ts", "event_id"],
+        "value",
+        target="50",
+        drift="5",
+        threshold="500",
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.when(F.col("alert"), 1)).alias("n_alerts"),
+        F.min(F.when(F.col("alert"), F.col("ts"))).alias("first_alert_ts"),
+        F.max("s_hi").cast("double").alias("max_s_hi"),
+        F.max("s_lo").cast("double").alias("max_s_lo"),
+    )
+
+
+@query(
+    "lineitem_mad_outliers",
+    oracle="""
+    WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS v
+               FROM lineitem),
+    n AS (SELECT COUNT(*) AS c FROM s),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+    med AS (SELECT MIN(v) AS m FROM r, n WHERE rn >= CEIL(0.5 * c)),
+    d AS (SELECT flag, abs(v - m) AS dev FROM s, med),
+    r2 AS (SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM d),
+    mad AS (SELECT MIN(dev) AS md FROM r2, n WHERE rn >= CEIL(0.5 * c))
+    SELECT flag, count(*) AS n,
+           count(*) FILTER (WHERE dev > 3.0 * md) AS n_outliers,
+           round(CAST(count(*) FILTER (WHERE dev > 3.0 * md) AS DOUBLE)
+                 / count(*), 7) AS outlier_share,
+           min(m) AS median, min(md) AS mad
+    FROM d, med, mad GROUP BY flag
+    """,
+    doc="Robust outlier audit of the raw DOUBLE price by median/MAD "
+        "(50% breakdown — the rule the outliers can't drag): both "
+        "medians are exact radix-quickselect order statistics through "
+        "the IEEE-754 bit transform (8 map-only histogram passes "
+        "total, no sort, no row shuffle), the flag one map-only "
+        "comparison; per-returnflag outlier rates out "
+        "(operators/order_stats.py mad_outlier_scores). Single-IEEE-op "
+        "derived values keep the window-rank oracle bit-exact.",
+)
+def q_lineitem_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import order_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    stats: list = []
+    scored = order_stats.mad_outlier_scores(
+        spark, li, "v", cutoff=3.0, stats_out=stats
+    )
+    m, mad = stats[0]
+    return scored.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+        F.round(
+            F.count(F.when(F.col("is_outlier"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            7,
+        ).alias("outlier_share"),
+        F.lit(float(m)).alias("median"),
+        F.lit(float(mad)).alias("mad"),
+    )
+
+
+@query(
+    "lineitem_conformal_interval",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS rid
+      FROM lineitem
+    ),
+    s AS (
+      SELECT x, y,
+             CASE WHEN substr(md5(rid), 1, 2) < '80' THEN 'train'
+                  WHEN substr(md5(rid), 1, 2) < 'c0' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM base
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+             {dsum_sql('x * y')} AS sxy, {dsum_sql('x * x')} AS sxx
+      FROM s WHERE split = 'train'
+    ),
+    f AS (
+      SELECT n AS n_train,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept
+      FROM m
+    ),
+    calr AS (
+      SELECT abs(y - (slope * x + intercept)) AS r
+      FROM s, f WHERE split = 'val'
+    ),
+    -- k from the same DOUBLE product the engine's driver computes
+    -- (a DECIMAL 0.9 would ceil differently on exact multiples)
+    kq AS (
+      SELECT COUNT(*) AS n_cal,
+             CAST(CEIL((COUNT(*) + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) AS k
+      FROM calr
+    ),
+    sel AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calr),
+    q AS (SELECT MIN(r) AS q_hat FROM sel, kq WHERE rn >= k),
+    t AS (
+      SELECT abs(y - (slope * x + intercept)) AS r
+      FROM s, f WHERE split = 'test'
+    )
+    SELECT min(f.n_train) AS n_train,
+           min(kq.n_cal) AS n_cal,
+           count(*) AS n_test,
+           min(f.slope) AS slope,
+           min(f.intercept) AS intercept,
+           min(q.q_hat) AS q_hat,
+           count(*) FILTER (WHERE t.r <= q.q_hat) AS n_covered,
+           round(CAST(count(*) FILTER (WHERE t.r <= q.q_hat) AS DOUBLE)
+                 / count(*), 7) AS coverage
+    FROM t CROSS JOIN f CROSS JOIN kq CROSS JOIN q
+    """,
+    doc="Split-conformal prediction interval around the one-pass OLS "
+        "price model (alpha=0.1): deterministic md5 train/cal/test "
+        "split, exact-decimal OLS fit on train, the k=ceil((n+1)0.9)"
+        "-th smallest calibration |residual| selected by the exact "
+        "radix order statistic (no sort), and the distribution-free "
+        "coverage audit on held-out test rows "
+        "(operators/stats.py conformal_ols_interval). Finite-sample "
+        "guarantee coverage >= 0.9 regardless of the residual "
+        "distribution — the model-error bar a 100 TB feature "
+        "pipeline can actually afford. One row out, bit-exact.",
+)
+def q_lineitem_conformal_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    return _stats.conformal_ols_interval(
+        spark, li, "x", "y", "rid", alpha=0.1, train_frac=0.5, cal_frac=0.25
+    )
+
+
+def _benford_oracle_sql() -> str:
+    """Oracle generated FROM the package's literal table so both
+    engines inline bit-identical expected shares (computing log10
+    in-plan would tie the match to two libm builds)."""
+    from .operators.quality import BENFORD_EXPECTED
+
+    case = " ".join(
+        f"WHEN {d} THEN {BENFORD_EXPECTED[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH src AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND round(l_extendedprice * 100) > 0
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM src GROUP BY digit),
+    filled AS (
+      SELECT g.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM (SELECT UNNEST(generate_series(1, 9)) AS digit) g
+      LEFT JOIN counts c USING (digit)
+    ),
+    -- literal CAST: DuckDB parses the share literals as DECIMAL
+    t AS (SELECT SUM(n) OVER () AS total, digit, n,
+                 CAST(CASE digit {case} END AS DOUBLE) AS exp
+          FROM filled)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 7) AS share,
+           round(exp, 7) AS expected,
+           round(CAST(total AS DOUBLE)
+                 * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp)
+                 * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - exp)
+                 / exp, 7) AS chi2_term
+    FROM t
+    """
+
+
+@query(
+    "lineitem_benford_audit",
+    oracle=_benford_oracle_sql(),
+    doc="Benford's-law first-digit audit of lineitem price cents — "
+        "the fabricated-data / broken-feed screen: one hash "
+        "aggregate on a 9-value key, expected shares inlined as "
+        "literals from one shared table, per-digit Pearson X2 "
+        "contributions kept unsummed (exact-ratio shares; no "
+        "transcendental evaluated in-plan) "
+        "(operators/quality.py benford_audit). 9 rows, bit-exact.",
+)
+def q_lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    ).select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    return quality.benford_audit(li, "cents")
+
+
+from .operators import graph as _graph  # noqa: E402
+
+
+@query(
+    "part_copurchase_kcore",
+    oracle=_graph.kcore_oracle_sql(k=80, rounds=8),
+    doc="k-core decomposition (k=80) of the part co-purchase graph: "
+        "iterative peel of degree<k nodes — per round one degree "
+        "aggregate + two node-keyed semi-joins, survivor set monotone "
+        "shrinking, result-invariant early exit at the fixed point "
+        "(operators/graph.py kcore). The oracle unrolls 8 peel rounds "
+        "(convergence at sf0.01 is 5+1); (node, within-core degree) "
+        "out, bit-exact.",
+    headline=True,
+)
+def q_part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return _graph.kcore(_graph.copurchase_edges(li), k=80, max_rounds=8)
+
+
+def _profile_oracle_col(name: str, fam: str) -> str:
+    mn = {"num": f"CAST(min({name}) AS DOUBLE)", "str": "CAST(NULL AS DOUBLE)",
+          "ts": "CAST(NULL AS DOUBLE)"}[fam]
+    mx = {"num": f"CAST(max({name}) AS DOUBLE)", "str": "CAST(NULL AS DOUBLE)",
+          "ts": "CAST(NULL AS DOUBLE)"}[fam]
+    mns = {"str": f"min({name})", "num": "CAST(NULL AS VARCHAR)",
+           "ts": "CAST(NULL AS VARCHAR)"}[fam]
+    mxs = {"str": f"max({name})", "num": "CAST(NULL AS VARCHAR)",
+           "ts": "CAST(NULL AS VARCHAR)"}[fam]
+    mnt = {"ts": f"min({name})", "num": "CAST(NULL AS TIMESTAMP)",
+           "str": "CAST(NULL AS TIMESTAMP)"}[fam]
+    mxt = {"ts": f"max({name})", "num": "CAST(NULL AS TIMESTAMP)",
+           "str": "CAST(NULL AS TIMESTAMP)"}[fam]
+    return f"""
+    SELECT '{name}' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS ndv,
+           {mn} AS min_num, {mx} AS max_num,
+           {mns} AS min_str, {mxs} AS max_str,
+           {mnt} AS min_ts, {mxt} AS max_ts
+    FROM orders"""
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+]
+
+
+@query(
+    "orders_table_profile",
+    oracle="\nUNION ALL\n".join(
+        _profile_oracle_col(n, f) for n, f in _PROFILE_COLS
+    ),
+    doc="One-pass whole-table column profile of orders: per column "
+        "row/null counts, EXACT distinct count and typed min/max, all "
+        "from ONE aggregate (Catalyst plans the p count-distincts as "
+        "a single Expand — one shuffle, map-side partial dedup), "
+        "unpivoted to p rows by an inline explode — the first query "
+        "anyone runs on an unfamiliar 100 TB table "
+        "(operators/quality.py table_profile). Bit-exact per cell.",
+    headline=True,
+)
+def q_orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality
+
+    return quality.table_profile(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Wave 21 — contrastive triplet mining.
+# ---------------------------------------------------------------------------
+
+_TRIPLET_MB = _md5_byte0_sql("CAST(vec_id AS VARCHAR)")
+
+
+@query(
+    "embeddings_triplet_mining",
+    oracle=f"""
+    WITH ids AS (
+      SELECT vec_id AS id, label AS lbl,
+             {_TRIPLET_MB} % 256 AS b
+      FROM embeddings
+    ),
+    top2 AS (
+      SELECT lbl,
+             min(CASE WHEN rn = 1 THEN id END) AS p1,
+             min(CASE WHEN rn = 2 THEN id END) AS p2
+      FROM (SELECT id, lbl,
+                   row_number() OVER (PARTITION BY lbl ORDER BY id) AS rn
+            FROM ids)
+      WHERE rn <= 2 GROUP BY lbl
+    ),
+    anchors AS (
+      SELECT i.id, i.lbl, i.b,
+             CASE WHEN i.id <> t.p1 THEN t.p1 ELSE t.p2 END AS pos_id
+      FROM ids i JOIN top2 t USING (lbl)
+      WHERE (CASE WHEN i.id <> t.p1 THEN t.p1 ELSE t.p2 END) IS NOT NULL
+    ),
+    bucket_mins AS (
+      SELECT b, lbl, min(id) AS cand_id FROM ids GROUP BY b, lbl
+    ),
+    probe AS (
+      SELECT a.id, a.lbl, a.pos_id, j,
+             (a.b + j) % 256 AS pb
+      FROM anchors a, (SELECT UNNEST(generate_series(1, 4)) AS j)
+    ),
+    hits AS (
+      SELECT p.id, p.pos_id, p.j, m.cand_id,
+             row_number() OVER (PARTITION BY p.id
+                                ORDER BY p.j, m.cand_id) AS pk
+      FROM probe p JOIN bucket_mins m
+        ON p.pb = m.b AND p.lbl <> m.lbl
+    ),
+    trip AS (
+      SELECT id, pos_id, cand_id AS neg_id FROM hits WHERE pk = 1
+    ),
+    v AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ),
+    n AS (SELECT id, vec, sqrt({_DOT_FOLD.format(a='vec', b='vec')}) AS norm
+          FROM v),
+    d AS (
+      SELECT t.id AS anchor_id, t.pos_id, t.neg_id,
+             round({_DOT_FOLD.format(a='a.vec', b='p.vec')}
+                   / (a.norm * p.norm), 7) AS cos_ap,
+             round({_DOT_FOLD.format(a='a.vec', b='ng.vec')}
+                   / (a.norm * ng.norm), 7) AS cos_an
+      FROM trip t
+      JOIN n a ON a.id = t.id
+      JOIN n p ON p.id = t.pos_id
+      JOIN n ng ON ng.id = t.neg_id
+    )
+    SELECT anchor_id, pos_id, neg_id, cos_ap, cos_an,
+           cos_an >= cos_ap AS is_hard,
+           cos_an < cos_ap AND cos_an > cos_ap - 0.1 AS is_semi_hard
+    FROM d
+    """,
+    doc="Contrastive triplet mining over the labeled embedding table "
+        "(anchor, positive, negative) + FaceNet hard/semi-hard flags "
+        "(margin 0.1): positives from a two-ids-per-label window, "
+        "negatives by deterministic md5 probing of a buckets-x-labels "
+        "minimum table (broadcast; per-anchor work is a tiny lookup, "
+        "never an other-label scan), cosines via the fixed zip_with "
+        "folds (operators/similarity.py mine_triplets). Anchor-count "
+        "rows out, bit-exact.",
+)
+def q_embeddings_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mine_triplets(
+        emb, "vec_id", "embedding", "label", margin=0.1, probes=4, buckets=256
+    )

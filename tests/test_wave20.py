@@ -1,0 +1,259 @@
+"""Wave-20 operator tests: CUSUM change-points, MAD robust scores,
+split-conformal intervals, k-core, Benford audit, table profile."""
+
+from decimal import Decimal
+
+import pytest
+
+from nbi_oedi_etl_v2_spark.operators.analytics import cusum_scores
+
+
+def _cusum_reference(xs, target, drift):
+    """Literal Page recurrence: S_t = max(0, S_{t-1} + y_t), on the
+    same DECIMAL(38,10) quantization the operator applies."""
+    q = Decimal("1e-10")
+    s_hi = s_lo = Decimal(0)
+    out = []
+    for x in xs:
+        v = Decimal(str(x)).quantize(q)
+        s_hi = max(Decimal(0), s_hi + v - target - drift)
+        s_lo = max(Decimal(0), s_lo + target - drift - v)
+        out.append((s_hi, s_lo))
+    return out
+
+
+def test_cusum_matches_sequential_fold(spark):
+    import random
+
+    rnd = random.Random(20)
+    xs = [round(rnd.uniform(0, 10), 2) for _ in range(200)]
+    # inject a sustained +shift so the upper side actually accumulates
+    xs[120:160] = [x + 8 for x in xs[120:160]]
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)], "k string, i long, v double"
+    )
+    got = (
+        cusum_scores(df, "k", ["i"], "v", target="5", drift="0.5")
+        .orderBy("i")
+        .collect()
+    )
+    ref = _cusum_reference(xs, Decimal(5), Decimal("0.5"))
+    for row, (hi, lo) in zip(got, ref):
+        assert Decimal(row.s_hi) == hi
+        assert Decimal(row.s_lo) == lo
+
+
+def test_cusum_alert_flag_and_reset(spark):
+    # constant at target → S stays 0 everywhere; one spike resets away
+    rows = [("k", i, 5.0) for i in range(10)]
+    rows[4] = ("k", 4, 105.0)
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = (
+        cusum_scores(df, "k", ["i"], "v", target="5", drift="0", threshold="50")
+        .orderBy("i")
+        .collect()
+    )
+    assert [float(r.s_hi) for r in got] == [0, 0, 0, 0, 100, 100, 100, 100, 100, 100]
+    assert [r.alert for r in got] == [False] * 4 + [True] * 6
+
+
+def test_cusum_requires_order(spark):
+    df = spark.createDataFrame([("k", 1, 1.0)], "k string, i long, v double")
+    with pytest.raises(ValueError):
+        cusum_scores(df, "k", [], "v", target="0")
+
+
+def test_mad_outliers_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import mad_outlier_scores
+
+    # values 1..9 plus a wild point: median(ceil-convention over 10
+    # rows → 5th smallest = 5), devs {4,3,2,1,0,1,2,3,4,95} → MAD = 2
+    xs = [float(i) for i in range(1, 10)] + [100.0]
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    stats = []
+    got = mad_outlier_scores(spark, df, "v", cutoff=3.0, stats_out=stats)
+    assert stats == [(5.0, 2.0)]
+    flagged = sorted(r.v for r in got.where("is_outlier").collect())
+    # |x-5| > 6 → x > 11 or x < -1: only the wild point
+    assert flagged == [100.0]
+
+
+def test_mad_outliers_null_and_empty(spark):
+    from nbi_oedi_etl_v2_spark.operators.order_stats import mad_outlier_scores
+
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,), (3.0,)], "v double")
+    rows = {r.v: r.is_outlier for r in mad_outlier_scores(spark, df, "v").collect()}
+    assert rows[None] is None and rows[1.0] is not None
+    empty = spark.createDataFrame([], "v double")
+    out = mad_outlier_scores(spark, empty, "v")
+    assert out.count() == 0
+
+    with pytest.raises(ValueError):
+        mad_outlier_scores(spark, df, "v", cutoff=0.0)
+
+
+def test_conformal_coverage_guarantee(spark):
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.stats import conformal_ols_interval
+
+    rnd = random.Random(7)
+    rows = [
+        (i, float(x), 2.0 * x + 5 + rnd.gauss(0, 3))
+        for i, x in enumerate(rnd.uniform(0, 50) for _ in range(4000))
+    ]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    out = conformal_ols_interval(spark, df, "x", "y", "rid", alpha=0.2).collect()[0]
+    assert out.n_train + out.n_cal + out.n_test == 4000
+    # finite-sample guarantee is in expectation >= 0.8; with 1k test
+    # rows the realized rate stays well clear of collapse
+    assert out.coverage >= 0.75
+    assert out.q_hat > 0 and out.slope == pytest.approx(2.0, abs=0.2)
+
+
+def test_conformal_small_calibration_gives_inf(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import conformal_ols_interval
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(12)], "rid long, x double, y double"
+    )
+    out = conformal_ols_interval(spark, df, "x", "y", "rid", alpha=0.01).collect()[0]
+    # ceil((n_cal+1)*0.99) > n_cal for tiny calibration sets
+    assert out.q_hat == float("inf") and out.coverage == 1.0
+
+    with pytest.raises(ValueError):
+        conformal_ols_interval(spark, df, "x", "y", "rid", alpha=1.5)
+
+
+def test_benford_audit_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.quality import (
+        BENFORD_EXPECTED,
+        benford_audit,
+    )
+
+    vals = [1, 12, 123, 2, 25, 3, 9, 900, None, 0, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))  # fixed 9-row shape
+    assert rows[1].n == 3 and rows[2].n == 2 and rows[9].n == 2
+    assert rows[4].n == 0 and rows[4].share == 0.0
+    # NULL, 0, -5 excluded: total = 8
+    assert rows[1].share == pytest.approx(3 / 8, abs=1e-7)
+    assert rows[1].expected == pytest.approx(BENFORD_EXPECTED[1], abs=1e-7)
+    # chi2 term for an exactly-expected digit would be 0; check formula
+    exp = BENFORD_EXPECTED[2]
+    want = 8 * (2 / 8 - exp) ** 2 / exp
+    assert rows[2].chi2_term == pytest.approx(want, abs=1e-6)
+
+
+def _sym(pairs):
+    out = []
+    for a, b in pairs:
+        out += [(a, b), (b, a)]
+    return out
+
+
+def test_kcore_hand_graph(spark):
+    from nbi_oedi_etl_v2_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: the 2-core is the
+    # triangle alone (peeling 5 exposes 4, which then peels too)
+    edges = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]), "src long, dst long"
+    )
+    rc = []
+    got = {r.node: r.degree for r in kcore(edges, k=2, round_counter=rc).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # 5 peels in round 1, 4 in round 2, stable by round 4's probe
+    assert len(rc) >= 3 and rc[-1] == rc[-2] == 3
+
+
+def test_kcore_whole_graph_and_empty(spark):
+    from nbi_oedi_etl_v2_spark.operators.graph import kcore
+
+    tri = spark.createDataFrame(
+        _sym([(1, 2), (2, 3), (1, 3)]), "src long, dst long"
+    )
+    assert kcore(tri, k=2).count() == 3       # fixed point immediately
+    assert kcore(tri, k=3).count() == 0       # everything peels
+
+    with pytest.raises(ValueError):
+        kcore(tri, k=0)
+
+
+def test_table_profile_counts_and_types(spark):
+    from datetime import datetime
+
+    from nbi_oedi_etl_v2_spark.operators.quality import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, datetime(2024, 1, 1), [1]),
+         (2, None, None, None, None),
+         (2, "b", 2.5, datetime(2024, 1, 2), [2])],
+        "k long, s string, d double, t timestamp, arr array<int>",
+    )
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert set(prof) == {"k", "s", "d", "t", "arr"}
+    assert all(r.n_rows == 3 for r in prof.values())
+    assert prof["k"].ndv == 2 and prof["k"].n_nulls == 0
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 2.0
+    assert prof["s"].n_nulls == 1 and prof["s"].min_str == "a"
+    assert prof["d"].max_num == 2.5 and prof["d"].min_str is None
+    assert prof["t"].min_ts == datetime(2024, 1, 1)
+    # unprofilable family: counts still real, min/max all NULL
+    assert prof["arr"].ndv == 2 and prof["arr"].min_num is None
+
+
+def test_table_profile_single_pass_plan(spark):
+    from nbi_oedi_etl_v2_spark.operators.quality import table_profile
+
+    df = spark.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS s")
+    plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    # the p count-distincts fold into ONE Expand over one scan — not
+    # one aggregate-scan per column
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_triplet_mining_structure_and_flags(spark):
+    from nbi_oedi_etl_v2_spark.operators.similarity import mine_triplets
+
+    # two tight clusters on orthogonal axes + one singleton label
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.9, 0.1, 0.0], "a"),
+        (2, [0.0, 1.0, 0.0], "b"),
+        (3, [0.1, 0.9, 0.0], "b"),
+        (4, [0.0, 0.0, 1.0], "c"),  # singleton: no positive
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r.anchor_id: r for r in mine_triplets(df, margin=0.2, buckets=4).collect()}
+    # singleton label yields no triplet; everyone else anchors one
+    assert set(got) == {0, 1, 2, 3}
+    for r in got.values():
+        assert r.pos_id != r.anchor_id and r.neg_id != r.anchor_id
+        assert r.cos_ap > r.cos_an  # clusters are well separated
+        assert not r.is_hard and not r.is_semi_hard
+    # positive is the smallest same-label id (or the second for it)
+    assert got[1].pos_id == 0 and got[0].pos_id == 1
+
+    with pytest.raises(ValueError):
+        mine_triplets(df, probes=0)
+
+
+def test_triplet_mining_semi_hard_band(spark):
+    from nbi_oedi_etl_v2_spark.operators.similarity import mine_triplets
+
+    # negative inside (cos_ap - margin, cos_ap): semi-hard
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.95, 0.3122499], "a"),   # cos_ap ~ 0.95
+        (2, [0.9, 0.4358899], "b"),    # cos_an ~ 0.90 for anchor 0
+        (3, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r.anchor_id: r for r in mine_triplets(df, margin=0.2, buckets=2).collect()}
+    r0 = got[0]
+    if r0.neg_id == 2:
+        assert r0.cos_an < r0.cos_ap and r0.cos_an > r0.cos_ap - 0.2
+        assert r0.is_semi_hard and not r0.is_hard
