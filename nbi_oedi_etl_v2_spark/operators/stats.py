@@ -1302,3 +1302,106 @@ def conformal_ols_interval(
             7,
         ).alias("coverage"),
     )
+
+
+# cumulative Poisson(1) CDF, materialized once as Python floats so
+# both engines compare against bit-identical literals (the Benford
+# convention); weights cap at 7 (P[X>7] ≈ 1e-5 — at that tail the
+# resample weight distortion is far below bootstrap noise)
+import math as _math
+
+POISSON1_CDF: list[float] = [
+    _math.exp(-1.0)
+    * sum(1.0 / _math.factorial(i) for i in range(k + 1))
+    for k in range(7)
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 100,
+    alpha: float = 0.05,
+    salt: str = "boot",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean with
+    DETERMINISTIC Poisson resampling — error bars for any statistic
+    the CLT formula doesn't cover, computed distributed and exactly
+    reproducible. The classical multinomial bootstrap needs the
+    resample to know n (global coordination); the Poissonized
+    bootstrap (each row enters replicate r with weight ~ Poisson(1),
+    the n→∞ limit of its binomial count) makes each row's weight a
+    PURE FUNCTION of (row id, r, salt): u = the 52-bit md5 uniform
+    (the DP-noise machinery), weight = #{cdf thresholds < u} against
+    the shared literal CDF table. No RNG state, no coordination, no
+    collect — and both engines derive bit-identical weights.
+
+    Shape: ONE pass — each row explodes into ``b`` (replicate,
+    weight) pairs feeding a map-side-combined aggregate, so the
+    shuffle carries b·partitions partial rows, not b·N. Replicate
+    means are exact-decimal ratios (dsum(w·x)/Σw, the float-parity
+    rule); the CI is the (ceil(α/2·b), ceil((1−α/2)·b)) lower order
+    statistics of the b means — a window over the b-row table (tiny
+    by construction; this is NOT the single-partition-window
+    anti-pattern, the data never sorts).
+
+    Returns ONE row: (n, mean, b, ci_lo, ci_hi). Replicates that
+    draw zero total weight (probability e^-n per replicate) emit no
+    mean and the order statistics shift accordingly — matched by the
+    oracle, which replays the same arithmetic.
+    """
+    import math
+
+    if b < 2:
+        raise ValueError("need b >= 2 replicates")
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    x = F.col(f"`{value_col}`").cast("double")
+    rid = F.col(f"`{id_col}`").cast("string")
+    base = df.select(x.alias("_x"), rid.alias("_id"))
+    rep = base.select(
+        "_x",
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.lit(b))).alias("r"),
+    )
+    key = F.concat_ws("\x1f", F.lit(salt), F.col("_id"), F.col("r").cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("long")
+        / F.lit(float(2**52))
+    )
+    w = sum(
+        (F.when(u > F.lit(t), 1).otherwise(0) for t in POISSON1_CDF),
+        F.lit(0),
+    ).cast("long")
+    means = (
+        rep.withColumn("_w", w)
+        .groupBy("r")
+        .agg(
+            dsum(F.col("_w").cast("double") * F.col("_x")).alias("_swx"),
+            F.sum("_w").alias("_sw"),
+        )
+        .where(F.col("_sw") > 0)
+        .select((F.col("_swx") / F.col("_sw").cast("double")).alias("_m"))
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy("_m")
+    ranked = means.select(
+        "_m", F.row_number().over(w_rank).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_nb"),
+    )
+    k_lo = F.ceil(F.lit(alpha / 2.0) * F.col("_nb").cast("double"))
+    k_hi = F.ceil(F.lit(1.0 - alpha / 2.0) * F.col("_nb").cast("double"))
+    ci = ranked.agg(
+        F.min(F.when(F.col("_rn") >= k_lo, F.col("_m"))).alias("ci_lo"),
+        F.min(F.when(F.col("_rn") >= k_hi, F.col("_m"))).alias("ci_hi"),
+        F.max("_nb").cast("bigint").alias("b_effective"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (dsum(F.col("_x")) / F.count("_x")).alias("mean"),
+    )
+    return overall.crossJoin(ci).select(
+        "n", "mean", "b_effective", "ci_lo", "ci_hi"
+    )

@@ -6632,3 +6632,86 @@ def q_embeddings_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mine_triplets(
         emb, "vec_id", "embedding", "label", margin=0.1, probes=4, buckets=256
     )
+
+
+def _bootstrap_oracle_sql() -> str:
+    """DuckDB twin of stats.bootstrap_mean_ci on lineitem price —
+    same md5 52-bit uniforms, same literal Poisson(1) CDF table,
+    same exact-decimal replicate means, same ceil order statistics."""
+    from .operators.stats import POISSON1_CDF
+
+    w_terms = " + ".join(
+        f"(CASE WHEN u > {t!r} THEN 1 ELSE 0 END)" for t in POISSON1_CDF
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+             CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS rid
+      FROM lineitem
+    ),
+    rep AS (
+      SELECT x, rid, r
+      FROM base, (SELECT UNNEST(generate_series(1, 100)) AS r)
+    ),
+    uni AS (
+      SELECT x, r,
+             CAST(('0x' || substr(md5('boot' || chr(31) || rid
+                    || chr(31) || CAST(r AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM rep
+    ),
+    wgt AS (SELECT x, r, CAST({w_terms} AS BIGINT) AS w FROM uni),
+    means AS (
+      SELECT r,
+             {dsum_sql('CAST(w AS DOUBLE) * x')}
+               / CAST(SUM(w) AS DOUBLE) AS m
+      FROM wgt GROUP BY r HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM means
+    ),
+    ci AS (
+      SELECT
+        MIN(CASE WHEN rn >= CEIL(CAST(0.025 AS DOUBLE)
+                              * CAST(nb AS DOUBLE)) THEN m END) AS ci_lo,
+        MIN(CASE WHEN rn >= CEIL(CAST(0.975 AS DOUBLE)
+                              * CAST(nb AS DOUBLE)) THEN m END) AS ci_hi,
+        CAST(MAX(nb) AS BIGINT) AS b_effective
+      FROM ranked
+    ),
+    overall AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {davg_sql('x')} AS mean
+      FROM base
+    )
+    SELECT n, mean, b_effective, ci_lo, ci_hi FROM overall CROSS JOIN ci
+    """
+
+
+@query(
+    "lineitem_bootstrap_mean_ci",
+    oracle=_bootstrap_oracle_sql(),
+    doc="Percentile-bootstrap 95% CI for the mean price with "
+        "DETERMINISTIC Poissonized resampling (B=100): each row's "
+        "weight in replicate r is a pure function of md5(id,r) "
+        "against a literal Poisson(1) CDF table — no RNG state, no "
+        "coordination; one explode-fan-out pass feeds a map-side-"
+        "combined per-replicate aggregate (shuffle carries B x "
+        "partitions partials, not B x N rows), exact-decimal "
+        "replicate means, ceil order-statistic cut "
+        "(operators/stats.py bootstrap_mean_ci). One row, bit-exact.",
+)
+def q_lineitem_bootstrap_mean_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    return _stats.bootstrap_mean_ci(li, "x", "rid", b=100, alpha=0.05)

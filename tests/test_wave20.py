@@ -257,3 +257,32 @@ def test_triplet_mining_semi_hard_band(spark):
     if r0.neg_id == 2:
         assert r0.cos_an < r0.cos_ap and r0.cos_an > r0.cos_ap - 0.2
         assert r0.is_semi_hard and not r0.is_hard
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.stats import bootstrap_mean_ci
+
+    rnd = random.Random(11)
+    rows = [(i, rnd.gauss(10.0, 2.0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, x double")
+    out = bootstrap_mean_ci(df, "x", "rid", b=50).collect()[0]
+    assert out.n == 2000 and out.b_effective == 50
+    assert out.ci_lo < out.mean < out.ci_hi
+    # the 95% band on 2000 N(10,2) samples is ~±0.09 — sane width
+    assert 0.02 < out.ci_hi - out.ci_lo < 1.0
+    again = bootstrap_mean_ci(df, "x", "rid", b=50).collect()[0]
+    assert tuple(out) == tuple(again)  # pure function of (data, salt)
+    shifted = bootstrap_mean_ci(df, "x", "rid", b=50, salt="other").collect()[0]
+    assert shifted.ci_lo != out.ci_lo  # salt actually enters the hash
+
+
+def test_bootstrap_ci_validation(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "rid long, x double")
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "x", "rid", b=1)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "x", "rid", alpha=0.0)
