@@ -589,63 +589,98 @@ def kcore(
     k: int,
     max_rounds: int = 30,
     round_counter: list | None = None,
+    broadcast_nodes: bool | str = "auto",
 ) -> DataFrame:
     """k-core decomposition (fixed k): iteratively peel nodes of
     degree < k until the survivor set is stable — the densest-region
     extractor behind spam-cluster mining, community seeding and graph
     sparsification. Input edges must be SYMMETRIC (both directions
     present, as ``copurchase_edges`` emits) so out-degree equals
-    undirected degree; the peel is then a pure function of the edge
-    set: (1) degree = one hash agg by src, (2) survivors = degree ≥ k,
-    (3) keep edges with BOTH endpoints surviving = two semi-joins
-    keyed by node. Every shuffle is keyed by node id — the PageRank
-    profile — and each round's survivor set only shrinks, so the work
-    is monotonically decreasing: the opposite of a frontier explosion.
+    undirected degree.
+
+    State discipline (the labelprop lesson, learned here the hard
+    way: a first formulation ``localCheckpoint``ed the FILTERED EDGE
+    TABLE every round and OOMed at sf10 — 8 materialized copies of a
+    239M-edge table): the only per-round state is the NODE-sized
+    survivor set. The edge table is persisted ONCE; each round counts
+    degrees over ``edges ⋉ survivors ⋉ survivors`` (two semi-joins +
+    one hash agg), and survivors_{t+1} = {degree ≥ k} is
+    ``localCheckpoint``ed. Because survivors shrink monotonically,
+    filtering the ORIGINAL edges against the CURRENT survivor set is
+    identical to iterated edge deletion — bit-for-bit, with zero
+    edge-table materializations.
+
+    ``broadcast_nodes`` (labelprop's measured sf10 lever): "auto"
+    broadcasts the survivor set into the semi-joins when it is ≤5M
+    nodes, making every round MAP-ONLY over the persisted edges —
+    the per-round shuffle is just the (src) degree aggregate;
+    ``False`` forces shuffled semi-joins for billion-node graphs.
+    Join strategy never changes results.
 
     Early exit is result-invariant: survivors(round) is monotone
     non-increasing and bounded, so the first round that removes no
-    node proves the fixed point and every further round is a no-op —
-    a fixed-round oracle unrolled PAST convergence matches
-    bit-for-bit. ``round_counter`` receives one entry per executed
-    round (the early-exit pytest observable). Peeling converges in
-    O(#distinct degree levels) rounds in practice; ``max_rounds``
-    bounds the worst case (a path graph peels one layer per round).
+    node proves the fixed point — a fixed-round oracle unrolled PAST
+    convergence matches bit-for-bit. ``round_counter`` receives one
+    survivor count per executed round (the early-exit pytest
+    observable); ``max_rounds`` bounds the pathological
+    one-layer-per-round worst case (a path graph).
 
-    Per-round materialization: the filtered edge table is
-    ``localCheckpoint``ed (plan depth stays flat in rounds — the BFS
-    lesson) and the survivor count is read from the SAME
-    materialization the next round consumes, so convergence probing
-    adds no extra scan. Returns (node, degree) for the k-core members
-    with their within-core degree.
+    Returns (node, degree) for the k-core members with their
+    within-core degree.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    cur = edges.select(
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).localCheckpoint()
-    prev_nodes = -1
-    for _ in range(max_rounds):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-        keep = deg.where(F.col("degree") >= k).select(
-            F.col("src").alias("node")
-        ).localCheckpoint()
-        n_keep = keep.count()
-        if round_counter is not None:
-            round_counter.append(n_keep)
-        if n_keep == prev_nodes:
-            break
-        prev_nodes = n_keep
-        cur = (
-            cur.join(keep, cur["src"] == keep["node"], "left_semi")
-            .join(keep, cur["dst"] == keep["node"], "left_semi")
-            .localCheckpoint()
+    ).persist()
+    try:
+        surv = None  # None = "all nodes" (round 1 filters nothing)
+        prev_nodes = -1
+        for _ in range(max_rounds):
+            if surv is None:
+                alive = e
+            else:
+                s_b = (
+                    F.broadcast(surv)
+                    if broadcast_nodes is True
+                    or (broadcast_nodes == "auto" and prev_nodes <= 5_000_000)
+                    else surv
+                )
+                alive = e.join(
+                    s_b, e["src"] == s_b["node"], "left_semi"
+                ).join(s_b, F.col("dst") == s_b["node"], "left_semi")
+            deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            nxt = (
+                deg.where(F.col("degree") >= k)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint()
+            )
+            n_keep = nxt.count()
+            if round_counter is not None:
+                round_counter.append(n_keep)
+            surv = nxt
+            if n_keep == prev_nodes:
+                break
+            prev_nodes = n_keep
+        s_b = (
+            F.broadcast(surv)
+            if broadcast_nodes is True
+            or (broadcast_nodes == "auto" and prev_nodes <= 5_000_000)
+            else surv
         )
-    return (
-        cur.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.col("src").alias("node"), "degree")
-    )
+        final = e.join(s_b, e["src"] == s_b["node"], "left_semi").join(
+            s_b, F.col("dst") == s_b["node"], "left_semi"
+        )
+        return (
+            final.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("src").alias("node"), "degree")
+        )
+    finally:
+        e.unpersist()
 
 
 def kcore_oracle_sql(k: int, rounds: int = 8) -> str:

@@ -860,3 +860,55 @@ def test_nb_logodds_vocab_sized_tail(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_keyed_shuffle(spark, sf_dir):
+    # the prefix-sum rewrite buys ONE exchange: both running windows
+    # share the (event_type) partitioning; the alert summary agg is
+    # partial-aggregated on the same key, so no second data exchange
+    plan = plan_of(spark, sf_dir, "events_cusum_changepoints")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg reuse
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_table_profile_one_expand_one_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_table_profile")
+    assert plan.count("Expand") == 1          # p count-distincts fold
+    assert plan.count("FileScan") == 1        # ONE pass over the table
+    assert "partial_count" in plan            # map-side combine
+
+
+def test_triplet_mining_broadcast_lookup_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embeddings_triplet_mining")
+    # the negatives come from a broadcast bucket-min table, and the
+    # three vector joins stay keyed — never an all-pairs product
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bootstrap_map_side_combined_replicates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "lineitem_bootstrap_mean_ci")
+    # the B-replicate fan-out must partial-aggregate BEFORE the
+    # shuffle (B x partitions partial rows, not B x N data rows)
+    assert "partial_sum" in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_kcore_round_broadcast_semi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "part_copurchase_kcore")
+    # survivor sets broadcast into the semi-joins (auto rule), so the
+    # persisted edge table is never re-shuffled in the loop
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conformal_coverage_is_one_litfit_scan(spark, sf_dir):
+    # fit + calibration quantile are collected during construction
+    # (bounded driver state: 2 coefficients + 1 cut); the RETURNED
+    # plan must be one literal-parameter scan + partial-aggregated
+    # coverage count — no join, no second pass
+    plan = plan_of(spark, sf_dir, "lineitem_conformal_interval")
+    assert "partial_count" in plan
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
