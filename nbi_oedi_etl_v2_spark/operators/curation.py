@@ -635,3 +635,106 @@ def weighted_reservoir_sample(
             F.col("_wr_rank").cast("bigint").alias("res_rank"),
         )
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    id_col: str,
+    total_n: int,
+    salt: str = "neyman",
+) -> DataFrame:
+    """Neyman-allocated stratified sample: budget ``total_n`` rows,
+    allocated across strata proportionally to N_h·σ_h — the
+    variance-optimal allocation for estimating the population mean
+    (Neyman 1934): volatile strata get oversampled, constant strata
+    contribute (near-)nothing, and the resulting estimator beats
+    proportional allocation whenever the σ_h differ.
+
+    Fully IN-PLAN — no driver state at all: per-stratum N_h and σ_h
+    come from one map-side-combined aggregate (exact-DECIMAL moments,
+    the float-parity rule; σ = sqrt(max(0, E[x²]−mean²)) in doubles
+    from those exact readouts), the allocation weight joins back by a
+    BROADCAST of the strata table (strata are catalog-sized), and
+    membership is the deterministic md5 52-bit uniform compared to
+    the stratum's sampling fraction f_h = min(1, n_h/N_h) — a pure
+    function of (id, salt), so the sample is stable under
+    recomputation and corpus growth. One aggregate + one broadcast
+    join + one map-only filter; no shuffle carries data rows.
+
+    Statistical honesty: hash-threshold membership draws
+    Binomial(N_h, f_h) rows — the EXPECTED allocation is Neyman, the
+    realized count fluctuates ±O(√n_h) (exact-count sampling needs a
+    per-stratum top-k by hash, one extra keyed shuffle — trade
+    documented, not taken). σ_h = 0 strata get f_h = 0 (their mean
+    is known exactly from any single row — Neyman's limit is honest);
+    if ALL strata are constant the sample is empty.
+
+    Returns the input rows + (sigma_h, f_h, sampled) — filter on
+    ``sampled`` for the sample; the registered query aggregates the
+    per-stratum accounting (N_h, σ_h, f_h, realized count).
+    """
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    x = F.col(f"`{value_col}`").cast("double")
+    st = F.col(f"`{stratum_col}`")
+    from ..functions import dsum
+
+    stats = df.groupBy(st.alias("_st")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nh"),
+        (dsum(x) / F.count(F.lit(1))).alias("_mean"),
+        (dsum(x * x) / F.count(F.lit(1))).alias("_m2"),
+    ).select(
+        "_st",
+        "_nh",
+        F.sqrt(
+            F.greatest(
+                F.col("_m2") - F.col("_mean") * F.col("_mean"), F.lit(0.0)
+            )
+        ).alias("_sigma"),
+    )
+    w = Window.partitionBy()
+    alloc = stats.select(
+        "_st",
+        "_nh",
+        "_sigma",
+        (F.col("_nh").cast("double") * F.col("_sigma")).alias("_w"),
+    ).select(
+        "_st",
+        "_nh",
+        "_sigma",
+        F.least(
+            F.lit(1.0),
+            F.when(
+                F.sum("_w").over(w) > 0,
+                F.lit(float(total_n))
+                * F.col("_w")
+                / F.sum("_w").over(w)
+                / F.col("_nh").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ).alias("_f"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(salt), F.col(f"`{id_col}`").cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**52))
+    )
+    return (
+        df.join(F.broadcast(alloc), st == F.col("_st"))
+        .withColumn("sigma_h", F.col("_sigma"))
+        .withColumn("f_h", F.col("_f"))
+        .withColumn("sampled", u < F.col("_f"))
+        .drop("_st", "_nh", "_sigma", "_w", "_f")
+    )

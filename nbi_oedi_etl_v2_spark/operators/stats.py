@@ -1405,3 +1405,116 @@ def bootstrap_mean_ci(
     return overall.crossJoin(ci).select(
         "n", "mean", "b_effective", "ci_lo", "ci_hi"
     )
+
+
+# 1/log2(i+1) for ranks 1..k, materialized as Python floats so both
+# engines inline identical double literals (the Benford convention)
+def ndcg_discounts(k: int) -> list[float]:
+    return [1.0 / _math.log2(i + 1) for i in range(1, k + 1)]
+
+
+def ndcg_backtest(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    ts_col: str,
+    cutoff: str,
+    k: int = 3,
+) -> DataFrame:
+    """Temporal NDCG@k / hit-rate backtest of a frequency recommender
+    — the evaluation loop every recommender ships with: recommend
+    each user's top-k items from their PRE-cutoff history (count
+    desc, item asc — deterministic), score against their POST-cutoff
+    interactions (relevance = interaction count), and report per-user
+    DCG@k, ideal DCG@k, NDCG and hit flag.
+
+    Exactness discipline: relevances are integer counts; per-rank
+    relevances are pivoted into k columns (one conditional aggregate
+    each — never a SUM over per-user double rows, whose combine order
+    floats), and DCG is the FIXED-ORDER expression
+    ``r₁·d₁ + r₂·d₂ + … + r_k·d_k`` over literal discounts
+    ``1/log₂(i+1)`` shared from one Python table — no transcendental
+    evaluated in-plan, so the SQL twin matches bit-for-bit. NDCG
+    rounds to 7 dp; users with an empty post-cutoff window keep a
+    row with NULL ndcg (their IDCG is 0 — excluded from averages by
+    SQL NULL semantics downstream, never silently dropped).
+
+    Shape: two (user,item)-keyed aggregates (history, truth), two
+    k-bounded windows over the per-user count tables, one keyed
+    join — output is user-count rows, every shuffle keyed by user.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    u = F.col(f"`{user_col}`")
+    it = F.col(f"`{item_col}`")
+    ts = F.col(f"`{ts_col}`")
+    cut = F.lit(cutoff).cast("timestamp")
+    disc = ndcg_discounts(k)
+
+    hist = (
+        df.where(ts < cut)
+        .groupBy(u.alias("user"), it.alias("item"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_rec = Window.partitionBy("user").orderBy(
+        F.col("_n").desc(), F.col("item")
+    )
+    recs = (
+        hist.withColumn("rank", F.row_number().over(w_rec))
+        .where(F.col("rank") <= k)
+        .select("user", "item", "rank")
+    )
+    truth = (
+        df.where(ts >= cut)
+        .groupBy(u.alias("user"), it.alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+    scored = recs.join(truth, ["user", "item"], "left").select(
+        "user", "rank", F.coalesce("rel", F.lit(0)).cast("bigint").alias("rel")
+    )
+    per_rank = scored.groupBy("user").agg(*[
+        F.sum(F.when(F.col("rank") == i + 1, F.col("rel")).otherwise(0))
+        .cast("bigint")
+        .alias(f"_r{i + 1}")
+        for i in range(k)
+    ])
+    w_ideal = Window.partitionBy("user").orderBy(
+        F.col("rel").desc(), F.col("item")
+    )
+    ideal = (
+        truth.withColumn("_ir", F.row_number().over(w_ideal))
+        .where(F.col("_ir") <= k)
+        .groupBy("user")
+        .agg(*[
+            F.sum(F.when(F.col("_ir") == i + 1, F.col("rel")).otherwise(0))
+            .cast("bigint")
+            .alias(f"_i{i + 1}")
+            for i in range(k)
+        ])
+    )
+    joined = per_rank.join(ideal, "user", "left")
+
+    def _fold(prefix: str):
+        expr = F.lit(0.0)
+        for i, d in enumerate(disc):
+            expr = expr + F.coalesce(
+                F.col(f"{prefix}{i + 1}").cast("double"), F.lit(0.0)
+            ) * F.lit(d)
+        return expr
+
+    dcg, idcg = _fold("_r"), _fold("_i")
+    hits = sum(
+        (F.coalesce(F.col(f"_r{i + 1}"), F.lit(0)) for i in range(k)),
+        F.lit(0),
+    )
+    return joined.select(
+        "user",
+        F.round(dcg, 7).alias("dcg"),
+        F.round(idcg, 7).alias("idcg"),
+        F.round(
+            F.when(idcg > 0, dcg / idcg), 7
+        ).alias("ndcg"),
+        (hits > 0).alias("hit"),
+    )

@@ -516,3 +516,55 @@ def compressibility_invariants(
         F.col("_rt.roundtrip_ok").alias("roundtrip_ok"),
         (F.col("_rt.n_compressed") <= bound).alias("bounded_ok"),
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    salt: str = "fh",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009)
+    vectorizer: map each token to a column index by hash — the
+    vocabulary-free featurizer that needs NO fitted dictionary, no
+    broadcast state, and no second pass, which is what makes it the
+    default text featurizer at corpus scales where even the vocab
+    table is a coordination problem. Signed variant: a second hash
+    bit flips the token's contribution ±1, making collisions cancel
+    in expectation (the unbiased estimator from the paper).
+
+    Determinism/portability: token → one md5-52-bit integer h;
+    index = h mod dim, sign = −1 when (h mod 2·dim) ≥ dim else +1
+    (the next bit above the index, read without any division) —
+    integer arithmetic both engines reproduce bit-for-bit (the
+    DP-noise md5 machinery). Tokens are the house ``[a-z0-9]+`` lowercase words.
+
+    Shape: one map-only explode (tokens), one (doc, index) hash
+    aggregate with map-side combine — output is the sparse triple
+    table (doc, feature index, value), never a dense dim-wide row.
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = F.explode(F.expr(_tokens(text_col))).alias("_tok")
+    base = df.select(F.col(f"`{id_col}`").alias("doc"), toks)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(salt), F.col("_tok"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    sign = F.when((h % F.lit(2 * dim)) >= F.lit(dim), F.lit(-1)).otherwise(
+        F.lit(1)
+    )
+    return (
+        base.select(
+            "doc",
+            (h % F.lit(dim)).alias("feature"),
+            sign.cast("long").alias("_s"),
+        )
+        .groupBy("doc", "feature")
+        .agg(F.sum("_s").cast("bigint").alias("value"))
+        .where(F.col("value") != 0)
+    )

@@ -6715,3 +6715,192 @@ def q_lineitem_bootstrap_mean_ci(
         ).alias("rid"),
     )
     return _stats.bootstrap_mean_ci(li, "x", "rid", b=100, alpha=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Wave 22 — Neyman sampling, feature hashing, NDCG backtest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_neyman_sample",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_orderpriority AS st, CAST(COUNT(*) AS BIGINT) AS nh,
+             {dsum_sql('CAST(o_totalprice AS DOUBLE)')} / COUNT(*) AS mean,
+             {dsum_sql('CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)')}
+               / COUNT(*) AS m2
+      FROM orders GROUP BY o_orderpriority
+    ),
+    sig AS (
+      SELECT st, nh,
+             sqrt(greatest(m2 - mean * mean, CAST(0.0 AS DOUBLE))) AS sigma
+      FROM stats
+    ),
+    alloc AS (
+      SELECT st, nh, sigma,
+             least(CAST(1.0 AS DOUBLE),
+                   CASE WHEN SUM(CAST(nh AS DOUBLE) * sigma) OVER () > 0
+                        THEN CAST(1000.0 AS DOUBLE)
+                             * (CAST(nh AS DOUBLE) * sigma)
+                             / SUM(CAST(nh AS DOUBLE) * sigma) OVER ()
+                             / CAST(nh AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END) AS f
+      FROM sig
+    ),
+    rows_u AS (
+      SELECT o_orderpriority AS st,
+             CAST(('0x' || substr(md5('neyman' || chr(31)
+                    || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+      FROM orders
+    )
+    SELECT a.st AS stratum, a.nh AS n_rows,
+           round(a.sigma, 7) AS sigma,
+           round(a.f, 7) AS f,
+           CAST(count(*) FILTER (WHERE r.u < a.f) AS BIGINT) AS sampled_n
+    FROM rows_u r JOIN alloc a USING (st)
+    GROUP BY a.st, a.nh, a.sigma, a.f
+    """,
+    doc="Neyman-allocated stratified sample of orders by priority "
+        "(budget 1000, value o_totalprice): per-stratum N_h*sigma_h "
+        "allocation from ONE exact-decimal aggregate, fractions "
+        "broadcast back, membership the deterministic md5 52-bit "
+        "uniform — one aggregate + one broadcast join + one map-only "
+        "filter, zero data-row shuffles "
+        "(operators/curation.py neyman_stratified_sample). Per-"
+        "stratum accounting out, bit-exact.",
+)
+def q_orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import curation
+
+    orders = load_table(spark, sf_dir, "orders")
+    flagged = curation.neyman_stratified_sample(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", total_n=1000
+    )
+    return flagged.groupBy(
+        F.col("o_orderpriority").alias("stratum")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("sigma_h"), 7).alias("sigma"),
+        F.round(F.min("f_h"), 7).alias("f"),
+        F.count(F.when(F.col("sampled"), 1)).alias("sampled_n"),
+    )
+
+
+@query(
+    "documents_hashed_features",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, UNNEST(regexp_extract_all(lower(text),
+               '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc,
+             CAST(('0x' || substr(md5('fh' || chr(31) || tok), 1, 13))
+                  AS BIGINT) AS hv
+      FROM toks
+    )
+    SELECT doc, hv % 1024 AS feature,
+           CAST(SUM(CASE WHEN (hv % 2048) >= 1024 THEN -1 ELSE 1 END)
+                AS BIGINT) AS value
+    FROM h GROUP BY doc, hv % 1024
+    HAVING SUM(CASE WHEN (hv % 2048) >= 1024 THEN -1 ELSE 1 END) <> 0
+    """,
+    doc="Signed feature hashing (the hashing trick) of document text "
+        "into 1024 md5-addressed columns: vocabulary-free, no fitted "
+        "state, one explode + one map-side-combined (doc, index) "
+        "aggregate; the sign bit (the hash bit above the index) makes "
+        "collisions cancel in expectation. Sparse (doc, feature, "
+        "value) triples out (operators/text.py hashed_features), "
+        "bit-exact.",
+)
+def q_documents_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_features(docs, "doc_id", "text", dim=1024, salt="fh")
+
+
+def _ndcg_oracle_sql(cutoff: str, k: int = 3) -> str:
+    """DuckDB twin of stats.ndcg_backtest on events: same pivoted
+    integer relevances, same literal discounts, same fixed fold
+    order (0.0 + r1*d1 + r2*d2 + ...)."""
+    from .operators.stats import ndcg_discounts
+
+    disc = ndcg_discounts(k)
+    r_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN rank = {i + 1} THEN rel ELSE 0 END) AS BIGINT)"
+        f" AS r{i + 1}"
+        for i in range(k)
+    )
+    i_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN ir = {i + 1} THEN rel ELSE 0 END) AS BIGINT)"
+        f" AS i{i + 1}"
+        for i in range(k)
+    )
+    dcg = " + ".join(
+        f"COALESCE(CAST(r{i + 1} AS DOUBLE), CAST(0.0 AS DOUBLE)) * {d!r}"
+        for i, d in enumerate(disc)
+    )
+    idcg = " + ".join(
+        f"COALESCE(CAST(i{i + 1} AS DOUBLE), CAST(0.0 AS DOUBLE)) * {d!r}"
+        for i, d in enumerate(disc)
+    )
+    hits = " + ".join(f"COALESCE(r{i + 1}, 0)" for i in range(k))
+    return f"""
+    WITH hist AS (
+      SELECT user_id AS usr, event_type AS item, COUNT(*) AS n
+      FROM events WHERE ts < TIMESTAMP '{cutoff}'
+      GROUP BY user_id, event_type
+    ),
+    recs AS (
+      SELECT usr, item,
+             row_number() OVER (PARTITION BY usr
+                                ORDER BY n DESC, item) AS rank
+      FROM hist QUALIFY rank <= {k}
+    ),
+    truth AS (
+      SELECT user_id AS usr, event_type AS item,
+             CAST(COUNT(*) AS BIGINT) AS rel
+      FROM events WHERE ts >= TIMESTAMP '{cutoff}'
+      GROUP BY user_id, event_type
+    ),
+    scored AS (
+      SELECT r.usr, r.rank, CAST(COALESCE(t.rel, 0) AS BIGINT) AS rel
+      FROM recs r LEFT JOIN truth t ON r.usr = t.usr AND r.item = t.item
+    ),
+    per_rank AS (SELECT usr, {r_cols} FROM scored GROUP BY usr),
+    ideal_r AS (
+      SELECT usr, rel,
+             row_number() OVER (PARTITION BY usr
+                                ORDER BY rel DESC, item) AS ir
+      FROM truth QUALIFY ir <= {k}
+    ),
+    ideal AS (SELECT usr, {i_cols} FROM ideal_r GROUP BY usr)
+    SELECT p.usr AS user,
+           round(CAST(0.0 AS DOUBLE) + {dcg}, 7) AS dcg,
+           round(CAST(0.0 AS DOUBLE) + {idcg}, 7) AS idcg,
+           round(CASE WHEN (CAST(0.0 AS DOUBLE) + {idcg}) > 0
+                      THEN (CAST(0.0 AS DOUBLE) + {dcg})
+                           / (CAST(0.0 AS DOUBLE) + {idcg}) END, 7) AS ndcg,
+           ({hits}) > 0 AS hit
+    FROM per_rank p LEFT JOIN ideal i ON p.usr = i.usr
+    """
+
+
+@query(
+    "events_ndcg_backtest",
+    oracle=_ndcg_oracle_sql("2024-01-16 00:00:00"),
+    doc="Temporal NDCG@3 / hit-rate backtest of the frequency "
+        "recommender on events: top-3 pre-cutoff event types per "
+        "user scored against post-cutoff interaction counts — "
+        "integer relevances pivoted per rank (no per-user double "
+        "sums), DCG as a fixed-order fold over literal 1/log2(i+1) "
+        "discounts, NULL ndcg for users with an empty truth window "
+        "(operators/stats.py ndcg_backtest). User-count rows, every "
+        "shuffle keyed by user; bit-exact.",
+)
+def q_events_ndcg_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _stats.ndcg_backtest(
+        ev, "user_id", "event_type", "ts", "2024-01-16 00:00:00", k=3
+    )

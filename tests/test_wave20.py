@@ -286,3 +286,93 @@ def test_bootstrap_ci_validation(spark):
         bootstrap_mean_ci(df, "x", "rid", b=1)
     with pytest.raises(ValueError):
         bootstrap_mean_ci(df, "x", "rid", alpha=0.0)
+
+
+def test_neyman_allocation_tracks_sigma(spark):
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.curation import (
+        neyman_stratified_sample,
+    )
+
+    rnd = random.Random(3)
+    rows = (
+        [(i, "volatile", rnd.uniform(0, 1000)) for i in range(1000)]
+        + [(i + 1000, "quiet", 50 + rnd.uniform(0, 1)) for i in range(1000)]
+        + [(i + 2000, "constant", 7.0) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "rid long, stratum string, v double")
+    from pyspark.sql import functions as F
+
+    out = neyman_stratified_sample(df, "stratum", "v", "rid", total_n=300)
+    acc = {
+        r.stratum: r
+        for r in out.groupBy("stratum")
+        .agg(
+            F.min("f_h").alias("f"),
+            F.count(F.when(F.col("sampled"), 1)).alias("got"),
+        )
+        .collect()
+    }
+    # volatile stratum (sigma ~289) dominates the quiet one (~0.29)
+    assert acc["volatile"].f > 50 * acc["quiet"].f
+    assert acc["constant"].f == 0.0 and acc["constant"].got == 0
+    # realized counts are Binomial(N_h, f_h): within 4 sigma of target
+    assert abs(acc["volatile"].got - 1000 * acc["volatile"].f) < 4 * (
+        1000 * acc["volatile"].f
+    ) ** 0.5 + 1
+
+    with pytest.raises(ValueError):
+        neyman_stratified_sample(df, "stratum", "v", "rid", total_n=0)
+
+
+def test_hashed_features_sparse_and_deterministic(spark):
+    from nbi_oedi_etl_v2_spark.operators.text import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc, r.feature): r.value for r in hashed_features(df, dim=64).collect()}
+    # same token always lands on the same (feature, sign): doc 1 has
+    # alpha twice -> |value| 2 on alpha's slot, 1 on beta's
+    vals = sorted(abs(v) for (d, f), v in rows.items() if d == 1)
+    assert vals == [1, 2]
+    # beta hashes identically across docs
+    beta1 = {f for (d, f), v in rows.items() if d == 1 and abs(v) == 1}
+    beta2 = {f for (d, f), v in rows.items() if d == 2}
+    assert beta1 <= beta2
+    assert not any(d == 3 for (d, f) in rows)  # empty text -> no rows
+
+    with pytest.raises(ValueError):
+        hashed_features(df, dim=1)
+
+
+def test_ndcg_hand_computed(spark):
+    from datetime import datetime
+
+    from nbi_oedi_etl_v2_spark.operators.stats import (
+        ndcg_backtest,
+        ndcg_discounts,
+    )
+
+    before, after = datetime(2024, 1, 1), datetime(2024, 2, 2)
+    rows = []
+    # user 1 history: a x3, b x2, c x1 -> recs [a, b, c]
+    for item, n in (("a", 3), ("b", 2), ("c", 1)):
+        rows += [(1, item, before)] * n
+    # user 1 truth: b x4, d x1 -> rels: a=0, b=4, c=0; ideal [4, 1, 0]
+    rows += [(1, "b", after)] * 4 + [(1, "d", after)]
+    # user 2: history only -> NULL ndcg
+    rows += [(2, "a", before)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.user: r for r in ndcg_backtest(
+        df, "user_id", "event_type", "ts", "2024-02-01 00:00:00", k=3
+    ).collect()}
+    d = ndcg_discounts(3)
+    dcg = 0.0 + 0 * d[0] + 4 * d[1] + 0 * d[2]
+    idcg = 0.0 + 4 * d[0] + 1 * d[1] + 0 * d[2]
+    assert got[1].dcg == pytest.approx(dcg, abs=1e-7)
+    assert got[1].ndcg == pytest.approx(dcg / idcg, abs=1e-7)
+    assert got[1].hit is True
+    assert got[2].ndcg is None and got[2].hit is False
