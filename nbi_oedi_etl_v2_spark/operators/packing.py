@@ -380,3 +380,62 @@ def budget_select(
         bucket_key=-F.col(f"`{quality_col}`"),
     )
     return out.where(F.col("budget_offset") < budget)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """RAG-style overlapping chunking: split each document into
+    windows of ``chunk_tokens`` whitespace-word tokens advancing by
+    ``chunk_tokens − overlap`` — the retrieval-index preprocessing
+    step (overlap keeps boundary-straddling answers findable). The
+    complement of ``pack_chunks``: that one concatenates-and-cuts a
+    TRAINING stream across documents; this one windows WITHIN each
+    document and never crosses a boundary.
+
+    Entirely map-only: tokenize (the house ``[a-z0-9]+`` lowercase
+    words), explode a ``sequence`` of window starts, ``slice`` each
+    window out — no shuffle, no state, embarrassingly parallel at any
+    corpus size. The last window is the only short one; a trailing
+    window that would contain NO tokens beyond its predecessor's
+    overlap region (start + overlap > len) is dropped, so every token
+    lands in ≥ 1 chunk, every chunk contributes new content, and no
+    empty chunks are emitted. Empty documents emit nothing. Returns (id, chunk_id, start_token [1-based], n_tokens,
+    chunk_text).
+    """
+    if chunk_tokens < 2 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens >= 2 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.expr(
+        f"regexp_extract_all(lower(`{text_col}`), '[a-z0-9]+', 0)"
+    )
+    base = df.select(
+        F.col(f"`{id_col}`").alias("id"), toks.alias("_toks")
+    ).where(F.size("_toks") > 0)
+    starts = F.sequence(
+        F.lit(1), F.size("_toks"), F.lit(stride)
+    )
+    chunks = base.select(
+        "id",
+        "_toks",
+        F.posexplode(starts).alias("_pos", "_start"),
+    ).where(
+        # drop a trailing window fully contained in its predecessor
+        # (start+overlap beyond the last token adds no new content);
+        # only the LAST start can be redundant, so chunk numbering
+        # stays contiguous
+        (F.col("_start") == 1)
+        | (F.col("_start") + F.lit(overlap) <= F.size("_toks"))
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return chunks.select(
+        "id",
+        (F.col("_pos") + 1).cast("bigint").alias("chunk_id"),
+        F.col("_start").cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -312,3 +312,70 @@ def table_profile(df: DataFrame) -> DataFrame:
         for f in df.schema.fields
     ])
     return one.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive table content fingerprint — the recon
+    primitive behind "did the migration/backfill/engine-swap produce
+    the same table?": every row canonicalizes to one string, hashes
+    to a 52-bit md5 integer, and the fingerprint is the EXACT sum of
+    those integers (DECIMAL(38,0) — overflow-free to ~10²² rows).
+    A sum is partition-order-insensitive and MERGEABLE: per-shard
+    fingerprints add up to the table's, so incremental recon costs
+    one number per shard, and two engines computing the same rows
+    agree bit-for-bit. (Σ of hashes, not XOR: XOR is blind to
+    duplicate-row multiplicity — a row appearing twice would cancel.)
+
+    Canonicalization per type family (cross-engine verified):
+    integers/strings/timestamps cast to VARCHAR (identical rendering
+    both engines, microsecond trailing-zero trim included); DOUBLE/
+    FLOAT quantize to integer MICROS by ``floor(x·10⁶ + 0.5)`` —
+    pure IEEE ops both engines execute identically, deliberately NOT
+    an engine-specific decimal rounding (Spark rounds the shortest
+    decimal repr, DuckDB the binary expansion; they disagree on
+    ties). NULL renders as a chr(0) sentinel distinct from any cast.
+    Unsupported families (arrays, maps, structs, binary) raise —
+    canonicalize them explicitly rather than trusting engine-specific
+    rendering. Columns fold in the DECLARED order (pass ``cols`` to
+    pin a cross-engine column order).
+
+    One map pass + one 2-number aggregate; nothing else moves.
+    Returns (n_rows, fingerprint).
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    names = cols if cols is not None else [f.name for f in df.schema.fields]
+    parts = []
+    for name in names:
+        t = df.schema[name].dataType
+        c = F.col(f"`{name}`")
+        if isinstance(t, (FloatType, DoubleType)):
+            canon = F.floor(
+                c.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long").cast("string")
+        elif isinstance(
+            t, (ByteType, ShortType, IntegerType, LongType, StringType,
+                TimestampType)
+        ):
+            canon = c.cast("string")
+        else:
+            raise TypeError(
+                f"table_fingerprint: canonicalize column {name!r} of type "
+                f"{t.simpleString()} explicitly before fingerprinting"
+            )
+        parts.append(F.coalesce(canon, F.lit("\x00")))
+    row_str = F.concat_ws("\x1f", *parts)
+    h = F.conv(F.substring(F.md5(row_str), 1, 13), 16, 10).cast("long")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).alias("fingerprint"),
+    )

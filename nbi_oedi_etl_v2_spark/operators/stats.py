@@ -1518,3 +1518,186 @@ def ndcg_backtest(
         ).alias("ndcg"),
         (hits > 0).alias("hit"),
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    cols: list[str],
+    iterations: int = 16,
+) -> DataFrame:
+    """Top principal component of the CORRELATION matrix of ``cols``
+    (standardized PCA) by power iteration — the one-pass
+    dimensionality diagnostic: which linear combination of measures
+    carries the most shared variance, and how much (λ/p).
+
+    Distribution discipline: the DATA is touched exactly ONCE — the
+    same p+p(p+1)/2 exact-DECIMAL moment aggregate the correlation
+    matrix uses — and everything after runs on p² bounded driver
+    state (the k-means-centroid precedent). The power iteration is
+    plain Python floats, which is NOT a portability leak: every
+    operation is an IEEE-754 double op in a FIXED order (left-fold
+    matvec from 0.0, left-fold norm, one sqrt, one divide), and the
+    SQL twin unrolls the identical expression tree, so both engines
+    produce bit-identical loadings from their (identical) moment
+    readouts. Init v₀ = 1/√p·(1,…,1); sign fixed so the first
+    loading is non-negative (flip the whole vector when v₁ < 0; a
+    first loading of exactly 0 is left as computed). λ is the
+    Rayleigh quotient v·(Cv) after the final normalize; explained
+    share = λ/p (trace of a correlation matrix).
+
+    Power iteration converges linearly at rate λ₂/λ₁ — 16 rounds
+    pin the dominant component far past 7 dp for any spectrum
+    without a near-tie; it is the unrollable-by-construction choice
+    (a QR/Jacobi eigensolver is numerically nicer but cannot be
+    replayed token-for-token by a SQL oracle). Zero-variance
+    columns make the correlation undefined — raised, not NaN'd.
+
+    Returns p rows: (feature, loading, lambda, explained_share),
+    7 dp.
+    """
+    p = len(cols)
+    if p < 2:
+        raise ValueError("need at least 2 columns")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    cs = sorted(cols)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cs:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cs):
+        for b in cs[i + 1:]:
+            aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = df.agg(*aggs).collect()[0].asDict()
+    n = m["n"]
+
+    def corr(a: str, b: str) -> float:
+        if a == b:
+            return 1.0
+        lo, hi = (a, b) if a < b else (b, a)
+        cov_n = n * m[f"sp_{lo}_{hi}"] - m[f"s_{lo}"] * m[f"s_{hi}"]
+        va = n * m[f"ss_{lo}"] - m[f"s_{lo}"] * m[f"s_{lo}"]
+        vb = n * m[f"ss_{hi}"] - m[f"s_{hi}"] * m[f"s_{hi}"]
+        if va <= 0 or vb <= 0:
+            raise ValueError(f"zero-variance column among {lo!r}, {hi!r}")
+        return cov_n / (_math.sqrt(va) * _math.sqrt(vb))
+
+    C = [[corr(a, b) for b in cs] for a in cs]
+    v = [1.0 / _math.sqrt(float(p))] * p
+    for _ in range(iterations):
+        w = []
+        for i in range(p):
+            acc = 0.0
+            for j in range(p):
+                acc = acc + C[i][j] * v[j]
+            w.append(acc)
+        s = 0.0
+        for i in range(p):
+            s = s + w[i] * w[i]
+        nrm = _math.sqrt(s)
+        v = [w[i] / nrm for i in range(p)]
+    if v[0] < 0:
+        v = [-x for x in v]
+    lam = 0.0
+    for i in range(p):
+        acc = 0.0
+        for j in range(p):
+            acc = acc + C[i][j] * v[j]
+        lam = lam + v[i] * acc
+    share = lam / float(p)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (c, round(v[i], 7), round(lam, 7), round(share, 7))
+            for i, c in enumerate(cs)
+        ],
+        "feature string, loading double, lambda double, "
+        "explained_share double",
+    )
+
+
+def pca_oracle_sql(
+    cols: list[str], iterations: int = 16, source: str = "lineitem"
+) -> str:
+    """DuckDB twin of :func:`pca_top_component`: the same exact-
+    decimal moment CTE (MATERIALIZED — 3·iterations CTEs reference
+    it), the correlation matrix as columns, and the power iteration
+    unrolled token-for-token (left-fold matvec from 0.0, left-fold
+    norm, sqrt, divide), so the doubles agree bitwise."""
+    from ..functions import dsum_sql
+
+    cs = sorted(cols)
+    p = len(cs)
+    moments = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cs:
+        moments.append(f"{dsum_sql(c)} AS s_{c}")
+        moments.append(f"{dsum_sql(f'{c} * {c}')} AS ss_{c}")
+    for i, a in enumerate(cs):
+        for b in cs[i + 1:]:
+            moments.append(f"{dsum_sql(f'{a} * {b}')} AS sp_{a}_{b}")
+
+    def corr_sql(a: str, b: str) -> str:
+        if a == b:
+            return "CAST(1.0 AS DOUBLE)"
+        lo, hi = (a, b) if a < b else (b, a)
+        cov = f"(n * sp_{lo}_{hi} - s_{lo} * s_{hi})"
+        va = f"(n * ss_{lo} - s_{lo} * s_{lo})"
+        vb = f"(n * ss_{hi} - s_{hi} * s_{hi})"
+        return f"{cov} / (sqrt({va}) * sqrt({vb}))"
+
+    c_cols = ", ".join(
+        f"{corr_sql(a, b)} AS c_{i}_{j}"
+        for i, a in enumerate(cs)
+        for j, b in enumerate(cs)
+    )
+    init = ", ".join(
+        f"1.0 / sqrt(CAST({p} AS DOUBLE)) AS v{i}" for i in range(p)
+    )
+    ctes = [
+        f"m AS MATERIALIZED (SELECT {', '.join(moments)} FROM {source})",
+        f"c AS MATERIALIZED (SELECT {c_cols} FROM m)",
+        f"v0 AS (SELECT {init})",
+    ]
+    prev = "v0"
+    for t in range(1, iterations + 1):
+        w_exprs = ", ".join(
+            "("
+            + " + ".join(
+                ["CAST(0.0 AS DOUBLE)"]
+                + [f"c.c_{i}_{j} * {prev}.v{j}" for j in range(p)]
+            )
+            + f") AS w{i}"
+            for i in range(p)
+        )
+        ctes.append(f"w{t} AS (SELECT {w_exprs} FROM {prev}, c)")
+        norm = " + ".join(
+            ["CAST(0.0 AS DOUBLE)"] + [f"w{i} * w{i}" for i in range(p)]
+        )
+        ctes.append(f"n{t} AS (SELECT *, sqrt({norm}) AS nrm FROM w{t})")
+        v_exprs = ", ".join(f"w{i} / nrm AS v{i}" for i in range(p))
+        ctes.append(f"v{t} AS (SELECT {v_exprs} FROM n{t})")
+        prev = f"v{t}"
+    flip = ", ".join(
+        f"CASE WHEN v0 < 0 THEN -v{i} ELSE v{i} END AS v{i}"
+        for i in range(p)
+    )
+    ctes.append(f"sgn AS (SELECT {flip} FROM {prev})")
+    lam_terms = []
+    for i in range(p):
+        acc = " + ".join(
+            ["CAST(0.0 AS DOUBLE)"]
+            + [f"c.c_{i}_{j} * sgn.v{j}" for j in range(p)]
+        )
+        lam_terms.append(f"sgn.v{i} * ({acc})")
+    lam = " + ".join(["CAST(0.0 AS DOUBLE)"] + [f"({t})" for t in lam_terms])
+    ctes.append(f"ray AS (SELECT sgn.*, {lam} AS lam FROM sgn, c)")
+    outs = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS feature, round(v{i}, 7) AS loading,"
+        f" round(lam, 7) AS lambda,"
+        f" round(lam / CAST({p} AS DOUBLE), 7) AS explained_share FROM ray"
+        for i, c in enumerate(cs)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {outs}\n    ) ORDER BY feature"
+    )

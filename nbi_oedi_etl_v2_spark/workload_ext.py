@@ -6904,3 +6904,103 @@ def q_events_ndcg_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats.ndcg_backtest(
         ev, "user_id", "event_type", "ts", "2024-01-16 00:00:00", k=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 23 — RAG chunking, table fingerprint, PCA power iteration.
+# ---------------------------------------------------------------------------
+
+@query(
+    "documents_sliding_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    nonempty AS (SELECT id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+    starts AS (
+      SELECT id, toks, n,
+             UNNEST(generate_series(1, n, 96)) AS start
+      FROM nonempty
+    ),
+    kept AS (
+      SELECT id, toks, n, start,
+             row_number() OVER (PARTITION BY id ORDER BY start) AS chunk_id
+      FROM starts WHERE start = 1 OR start + 32 <= n
+    )
+    SELECT id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(len(list_slice(toks, start, start + 127)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(toks, start, start + 127), ' ')
+             AS chunk_text
+    FROM kept
+    """,
+    doc="RAG-style overlapping chunking of documents (128-token "
+        "windows, 32-token overlap, within-document only): map-only "
+        "tokenize + sequence-of-starts explode + slice — no shuffle, "
+        "no state; a trailing window adding no new tokens is dropped "
+        "(operators/packing.py sliding_chunks). Chunk-count rows, "
+        "bit-exact.",
+)
+def q_documents_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.sliding_chunks(
+        docs, "doc_id", "text", chunk_tokens=128, overlap=32
+    )
+
+
+@query(
+    "orders_table_fingerprint",
+    oracle="""
+    WITH canon AS (
+      SELECT COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)) || chr(31)
+          || COALESCE(CAST(o_custkey AS VARCHAR), chr(0)) || chr(31)
+          || COALESCE(o_orderstatus, chr(0)) || chr(31)
+          || COALESCE(CAST(CAST(floor(CAST(o_totalprice AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR), chr(0)) || chr(31)
+          || COALESCE(CAST(o_orderdate AS VARCHAR), chr(0)) || chr(31)
+          || COALESCE(o_orderpriority, chr(0)) AS row_str
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(CAST(('0x' || substr(md5(row_str), 1, 13)) AS BIGINT)
+                    AS DECIMAL(38,0))) AS fingerprint
+    FROM canon
+    """,
+    doc="Order-insensitive content fingerprint of orders: canonical "
+        "row string (doubles quantized to integer micros by identical "
+        "IEEE ops, NOT engine-specific decimal rounding) -> 52-bit "
+        "md5 -> exact DECIMAL(38,0) SUM — partition-order-free, "
+        "shard-mergeable, duplicate-multiplicity-aware; the recon "
+        "primitive for migrations and engine swaps "
+        "(operators/quality.py table_fingerprint). One map pass, one "
+        "2-number aggregate; the hash-match IS the recon claim.",
+)
+def q_orders_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality
+
+    return quality.table_fingerprint(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "lineitem_pca_top_component",
+    oracle=_stats.pca_oracle_sql(_CORR_COLS, iterations=16),
+    doc="Top principal component of the 4-measure lineitem "
+        "correlation matrix by 16 power-iteration steps: the data is "
+        "scanned ONCE (the exact-decimal moment aggregate the "
+        "correlation matrix uses); the iteration runs on p^2 bounded "
+        "driver state as fixed-order IEEE double arithmetic that the "
+        "oracle unrolls token-for-token (MATERIALIZED moment CTE — "
+        "48 unrolled CTEs reference it). Loadings, Rayleigh lambda "
+        "and explained share out, 7dp, bit-exact "
+        "(operators/stats.py pca_top_component).",
+)
+def q_lineitem_pca_top_component(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+    return _stats.pca_top_component(li, _CORR_COLS, iterations=16).orderBy(
+        "feature"
+    )

@@ -376,3 +376,82 @@ def test_ndcg_hand_computed(spark):
     assert got[1].ndcg == pytest.approx(dcg / idcg, abs=1e-7)
     assert got[1].hit is True
     assert got[2].ndcg is None and got[2].hit is False
+
+
+def test_sliding_chunks_hand_case(spark):
+    from nbi_oedi_etl_v2_spark.operators.packing import sliding_chunks
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three words"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = sliding_chunks(df, chunk_tokens=4, overlap=2).collect()
+    d1 = sorted((r.chunk_id, r.start_token, r.n_tokens, r.chunk_text)
+                for r in got if r.id == 1)
+    # stride 2 over 10 tokens: starts 1,3,5,7 (9 dropped: 9+2 > 10)
+    assert [x[1] for x in d1] == [1, 3, 5, 7]
+    assert d1[0][3] == "w0 w1 w2 w3" and d1[-1][3] == "w6 w7 w8 w9"
+    # every token covered, every chunk adds new content
+    d2 = [r for r in got if r.id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3
+    assert not any(r.id == 3 for r in got)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sliding_chunks(df, chunk_tokens=4, overlap=4)
+
+
+def test_table_fingerprint_invariants(spark):
+    from nbi_oedi_etl_v2_spark.operators.quality import table_fingerprint
+
+    rows = [(1, "a", 1.5), (2, None, 2.25), (3, "c", None)]
+    df = spark.createDataFrame(rows, "k long, s string, d double")
+    base = table_fingerprint(df).collect()[0]
+    # order-insensitive: reversed input -> same fingerprint
+    rev = spark.createDataFrame(rows[::-1], "k long, s string, d double")
+    assert table_fingerprint(rev).collect()[0].fingerprint == base.fingerprint
+    # mergeable: shard fingerprints sum to the whole
+    a = table_fingerprint(spark.createDataFrame(rows[:1], "k long, s string, d double")).collect()[0]
+    b = table_fingerprint(spark.createDataFrame(rows[1:], "k long, s string, d double")).collect()[0]
+    assert a.fingerprint + b.fingerprint == base.fingerprint
+    # sensitive to a single cell change (above the documented 1e-6
+    # quantization) and to duplicate multiplicity
+    mod = spark.createDataFrame(
+        [(1, "a", 1.500002), (2, None, 2.25), (3, "c", None)],
+        "k long, s string, d double",
+    )
+    assert table_fingerprint(mod).collect()[0].fingerprint != base.fingerprint
+    dup = spark.createDataFrame(rows + rows[:1], "k long, s string, d double")
+    assert table_fingerprint(dup).collect()[0].fingerprint != base.fingerprint
+
+    arr = spark.createDataFrame([(1, [1, 2])], "k long, a array<int>")
+    with pytest.raises(TypeError):
+        table_fingerprint(arr)
+
+
+def test_pca_known_eigenvector(spark):
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.stats import pca_top_component
+
+    # y = x + small noise, z independent: top component of the corr
+    # matrix loads equally on x and y, ~0 on z
+    rnd = random.Random(5)
+    rows = []
+    for _ in range(3000):
+        x = rnd.gauss(0, 1)
+        rows.append((x, x + rnd.gauss(0, 0.05), rnd.gauss(0, 1)))
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {r.feature: r for r in pca_top_component(df, ["x", "y", "z"]).collect()}
+    assert got["x"].loading == pytest.approx(got["y"].loading, abs=0.02)
+    assert abs(got["z"].loading) < 0.15
+    assert got["x"].loading == pytest.approx(2 ** -0.5, abs=0.05)
+    # lambda ~ 2 (two perfectly shared dims), share ~ 2/3
+    assert got["x"].explained_share == pytest.approx(2 / 3, abs=0.05)
+
+    with pytest.raises(ValueError):
+        pca_top_component(df, ["x"])
+    const = spark.createDataFrame([(1.0, 2.0)] * 5, "x double, y double")
+    with pytest.raises(ValueError):
+        pca_top_component(const, ["x", "y"])
