@@ -651,3 +651,312 @@ def cusum_scores(
             "alert", (F.col("s_hi") > h) | (F.col("s_lo") > h)
         )
     return out
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curve — the right-censoring-aware
+    retention/churn estimator (the naive "fraction still alive at t"
+    is biased the moment observation windows differ): at each
+    distinct event time t, S(t) multiplies by (1 − d_t/n_t) where
+    d_t = events AT t and n_t = subjects still at risk (duration
+    ≥ t, censored or not).
+
+    Distributed shape: ONE hash aggregate to the per-duration
+    (d_t, c_t) table, then windows over THAT (distinct-duration-sized
+    — the small thing): at-risk via suffix counts (total − prefix),
+    and the cumulative product via exp(Σ ln(factor)) — the engine's
+    one transcendental-parity dependency, same as the PSI operator's
+    ln (driver-green r6); survival rounds to 7 dp. A zero factor
+    (every at-risk subject events — only possible at the LAST
+    distinct duration, since nobody survives it) is handled exactly:
+    ln takes a guarded 1.0 and the survival emits literal 0.0, so
+    neither engine evaluates ln(0) (Spark would NULL it, DuckDB
+    errors). Rows with NULL or negative duration are excluded;
+    durations with only censored exits appear with factor 1 (they
+    still shrink the risk set).
+
+    Input: one row per subject — (duration, event ∈ {0,1}; 0 =
+    right-censored). Returns per distinct duration:
+    (duration, n_risk, n_events, n_censored, survival).
+    """
+    d = F.col(f"`{duration_col}`").cast("long")
+    e = F.col(f"`{event_col}`").cast("int")
+    base = df.select(d.alias("t"), e.alias("e")).where(
+        F.col("t").isNotNull() & (F.col("t") >= 0)
+    )
+    per_t = base.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at_t"),
+        F.sum("e").cast("bigint").alias("n_events"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = per_t.agg(F.sum("n_at_t")).collect()[0][0] or 0
+    curve = per_t.select(
+        "t",
+        (F.lit(int(total)) - F.sum("n_at_t").over(w_ord) + F.col("n_at_t"))
+        .cast("bigint")
+        .alias("n_risk"),
+        "n_events",
+        (F.col("n_at_t") - F.col("n_events")).cast("bigint").alias("n_censored"),
+    )
+    wipeout = F.col("n_events") == F.col("n_risk")
+    factor = F.when(wipeout, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return curve.select(
+        F.col("t").alias("duration"),
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(
+            F.when(wipeout, F.lit(0.0)).otherwise(
+                F.exp(F.sum(F.log(factor)).over(w_cum))
+            ),
+            7,
+        ).alias("survival"),
+    )
+
+
+def markov_removal_attribution(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    conv_state: str,
+    states: list[str],
+    steps: int = 8,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven alternative to last-touch: model user journeys as a
+    first-order chain with the conversion state absorbing, and credit
+    each channel by how much the R-step conversion probability DROPS
+    when that channel is removed (entering it becomes a dead end, its
+    mass lost — no renormalization, the standard formulation).
+
+    Distribution discipline (the PCA/k-means pattern): the DATA pays
+    one keyed lag-window shuffle + two bounded aggregates (start
+    distribution = each user's first state; transition counts), and
+    the chain algebra runs on |states|² driver state as fixed-order
+    IEEE arithmetic a SQL twin unrolls token-for-token. ``states``
+    is the explicit catalog (bounded by contract — channels, not
+    ids); journeys only count transitions between catalog states,
+    transitions OUT of the conversion state are ignored (absorbing),
+    and a state with no observed exits is a dead end (all-zero row).
+
+    Returns one row per non-conversion channel: (channel, p_full,
+    p_removed, removal_effect, attribution_share), 7 dp; share is
+    NULL when every effect is 0.
+    """
+    if conv_state not in states:
+        raise ValueError("conv_state must be in states")
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    if len(set(states)) != len(states):
+        raise ValueError("states must be distinct")
+    k = F.col(f"`{key_col}`")
+    st = F.col(f"`{state_col}`")
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(f"`{c}`") for c in order_cols]
+    )
+    scoped = df.where(st.isin(states))
+    firsts = (
+        scoped.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .groupBy(st.alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    n_users = sum(r["_n"] for r in firsts)
+    start = {s: 0.0 for s in states}
+    for r in firsts:
+        start[r["_s"]] = r["_n"] / n_users
+    pairs = (
+        scoped.select(k.alias("_k"), *order_cols, st.alias("_s"))
+        .withColumn("_prev", F.lag("_s").over(
+            Window.partitionBy("_k").orderBy(
+                *[F.col(f"`{c}`") for c in order_cols]
+            )
+        ))
+        .where(F.col("_prev").isNotNull() & (F.col("_prev") != conv_state))
+        .groupBy("_prev", "_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    cnt = {(r["_prev"], r["_s"]): r["_n"] for r in pairs}
+    row_tot = {
+        s: sum(cnt.get((s, t), 0) for t in states) for s in states
+    }
+    T = {
+        s: {
+            t: (cnt.get((s, t), 0) / row_tot[s]) if row_tot[s] else 0.0
+            for t in states
+        }
+        for s in states
+    }
+    nc = [s for s in states if s != conv_state]
+
+    def p_conv(removed: str | None) -> float:
+        conv = start[conv_state]
+        v = {
+            s: (0.0 if s == removed else start[s]) for s in nc
+        }
+        for _ in range(steps):
+            step = 0.0
+            for s in nc:
+                step = step + v[s] * T[s][conv_state]
+            conv = conv + step
+            nxt = {}
+            for t in nc:
+                acc = 0.0
+                for s in nc:
+                    acc = acc + v[s] * T[s][t]
+                nxt[t] = 0.0 if t == removed else acc
+            v = nxt
+        return conv
+
+    full = p_conv(None)
+    effects = {c: full - p_conv(c) for c in nc}
+    tot_eff = 0.0
+    for c in nc:
+        tot_eff = tot_eff + effects[c]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                round(full, 7),
+                round(full - effects[c], 7),
+                round(effects[c], 7),
+                round(effects[c] / tot_eff, 7) if tot_eff > 0 else None,
+            )
+            for c in sorted(nc)
+        ],
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
+    )
+
+
+def markov_removal_oracle_sql(
+    states: list[str],
+    conv_state: str,
+    steps: int = 8,
+    key: str = "user_id",
+    order_cols: list[str] = ("ts", "event_id"),
+    state_col: str = "event_type",
+    source: str = "events",
+) -> str:
+    """DuckDB twin of :func:`markov_removal_attribution` — same start
+    distribution, same MLE transitions, and every chain step unrolled
+    with the identical fold order (0.0-seeded left folds), so the
+    doubles agree bitwise. The start/transition CTEs are MATERIALIZED
+    (scenario × step CTEs reference them ~40 times)."""
+    idx = {s: i for i, s in enumerate(states)}
+    nc = [s for s in states if s != conv_state]
+    in_list = ", ".join(f"'{s}'" for s in states)
+    ords = ", ".join(order_cols)
+    start_cols = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN s = '{s}' THEN n END), 0) AS DOUBLE)"
+        f" / CAST(SUM(n) AS DOUBLE) AS st_{idx[s]}"
+        for s in states
+    )
+    t_cols = []
+    for s in states:
+        rowtot = f"COALESCE(SUM(CASE WHEN p = '{s}' THEN n END), 0)"
+        for t in states:
+            cell = f"COALESCE(SUM(CASE WHEN p = '{s}' AND s = '{t}' THEN n END), 0)"
+            t_cols.append(
+                f"CASE WHEN {rowtot} = 0 THEN CAST(0.0 AS DOUBLE)"
+                f" ELSE CAST({cell} AS DOUBLE) / CAST({rowtot} AS DOUBLE)"
+                f" END AS t_{idx[s]}_{idx[t]}"
+            )
+    ci = idx[conv_state]
+    ctes = [
+        f"""scoped AS (
+      SELECT {key} AS k, {ords}, {state_col} AS s FROM {source}
+      WHERE {state_col} IN ({in_list})
+    )""",
+        f"""fr AS (
+      SELECT s, COUNT(*) AS n FROM (
+        SELECT s, row_number() OVER (PARTITION BY k ORDER BY {ords}) AS rn
+        FROM scoped
+      ) WHERE rn = 1 GROUP BY s
+    )""",
+        f"starts AS MATERIALIZED (SELECT {start_cols} FROM fr)",
+        f"""pr AS (
+      SELECT p, s, COUNT(*) AS n FROM (
+        SELECT lag(s) OVER (PARTITION BY k ORDER BY {ords}) AS p, s
+        FROM scoped
+      ) WHERE p IS NOT NULL AND p <> '{conv_state}' GROUP BY p, s
+    )""",
+        f"tm AS MATERIALIZED (SELECT {', '.join(t_cols)} FROM pr)",
+    ]
+    scen_final = {}
+    for r in [None] + nc:
+        tag = "full" if r is None else f"rm{idx[r]}"
+        v0 = ", ".join(
+            (
+                "CAST(0.0 AS DOUBLE)"
+                if s == r
+                else f"st_{idx[s]}"
+            )
+            + f" AS v_{idx[s]}"
+            for s in nc
+        )
+        ctes.append(
+            f"{tag}_0 AS (SELECT st_{ci} AS conv, {v0} FROM starts)"
+        )
+        prev = f"{tag}_0"
+        for t in range(1, steps + 1):
+            step = " + ".join(
+                ["CAST(0.0 AS DOUBLE)"]
+                + [f"{prev}.v_{idx[s]} * tm.t_{idx[s]}_{ci}" for s in nc]
+            )
+            v_exprs = []
+            for tt in nc:
+                if tt == r:
+                    v_exprs.append(f"CAST(0.0 AS DOUBLE) AS v_{idx[tt]}")
+                else:
+                    acc = " + ".join(
+                        ["CAST(0.0 AS DOUBLE)"]
+                        + [
+                            f"{prev}.v_{idx[s]} * tm.t_{idx[s]}_{idx[tt]}"
+                            for s in nc
+                        ]
+                    )
+                    v_exprs.append(f"({acc}) AS v_{idx[tt]}")
+            ctes.append(
+                f"{tag}_{t} AS (SELECT {prev}.conv + ({step}) AS conv, "
+                f"{', '.join(v_exprs)} FROM {prev}, tm)"
+            )
+            prev = f"{tag}_{t}"
+        scen_final[tag] = prev
+    eff = {
+        c: f"(f.conv - r{idx[c]}.conv)" for c in nc
+    }
+    tot = " + ".join(["CAST(0.0 AS DOUBLE)"] + [eff[c] for c in nc])
+    froms = ", ".join(
+        [f"{scen_final['full']} f"]
+        + [f"{scen_final[f'rm{idx[c]}']} r{idx[c]}" for c in nc]
+    )
+    outs = "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS channel, round(f.conv, 7) AS p_full,"
+        f" round(r{idx[c]}.conv, 7) AS p_removed,"
+        f" round({eff[c]}, 7) AS removal_effect,"
+        f" CASE WHEN ({tot}) > 0 THEN round({eff[c]} / ({tot}), 7) END"
+        f" AS attribution_share"
+        f" FROM {froms}"
+        for c in sorted(nc)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {outs}\n    ) ORDER BY channel"
+    )

@@ -7004,3 +7004,112 @@ def q_lineitem_pca_top_component(
     return _stats.pca_top_component(li, _CORR_COLS, iterations=16).orderBy(
         "feature"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 24 — survival analysis, Markov removal-effect attribution.
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_kaplan_meier_churn",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+             min(CASE WHEN event_type = 'error' THEN ts END) AS first_err
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT date_diff('day', CAST(first_ts AS DATE),
+                       CAST(COALESCE(first_err, last_ts) AS DATE)) AS t,
+             CASE WHEN first_err IS NOT NULL THEN 1 ELSE 0 END AS e
+      FROM span
+    ),
+    per_t AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at_t,
+             CAST(SUM(e) AS BIGINT) AS n_events
+      FROM subj WHERE t IS NOT NULL AND t >= 0 GROUP BY t
+    ),
+    tot AS (SELECT SUM(n_at_t) AS total FROM per_t),
+    curve AS (
+      SELECT t,
+             CAST(total - SUM(n_at_t) OVER w + n_at_t AS BIGINT) AS n_risk,
+             n_events,
+             CAST(n_at_t - n_events AS BIGINT) AS n_censored
+      FROM per_t, tot
+      WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT t AS duration, n_risk, n_events, n_censored,
+           -- a wiped-out risk set (only possible at the last row)
+           -- emits literal 0 and feeds ln a guarded 1.0: Spark would
+           -- NULL ln(0), DuckDB errors on it
+           round(CASE WHEN n_events = n_risk THEN 0.0
+                 ELSE exp(SUM(ln(CASE WHEN n_events = n_risk THEN 1.0
+                                 ELSE 1.0 - CAST(n_events AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE) END)) OVER w)
+                 END, 7) AS survival
+    FROM curve
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    """,
+    doc="Kaplan-Meier time-to-first-error curve per user (event = "
+        "the user ever errors, duration = days from first activity "
+        "to first error; error-free users right-censored at their "
+        "last activity): one hash aggregate to the per-duration "
+        "table, suffix-count risk sets and the exp-sum-ln cumulative "
+        "product over the distinct-duration-sized window (the PSI "
+        "ln-parity precedent) (operators/analytics.py kaplan_meier). "
+        "Censoring-aware survival the naive fraction-alive curve "
+        "gets wrong.",
+)
+def q_events_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "first_err"
+        ),
+    )
+    subj = span.select(
+        F.datediff(
+            F.to_date(F.coalesce("first_err", "last_ts")),
+            F.to_date("first_ts"),
+        ).alias("dur"),
+        F.when(F.col("first_err").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return analytics.kaplan_meier(subj, "dur", "ev")
+
+
+_MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
+
+
+from .operators import analytics as _analytics  # noqa: E402
+
+
+@query(
+    "events_markov_attribution",
+    oracle=_analytics.markov_removal_oracle_sql(
+        _MARKOV_STATES, "purchase", steps=8
+    ),
+    doc="Markov removal-effect attribution of purchases across the "
+        "four non-conversion event types: first-order chain with "
+        "purchase absorbing (start distribution + MLE transitions "
+        "from one keyed lag window), then 8 chain steps per removal "
+        "scenario on |states|^2 driver state in fixed-order IEEE "
+        "arithmetic — the oracle unrolls every scenario x step off "
+        "MATERIALIZED start/transition CTEs "
+        "(operators/analytics.py markov_removal_attribution). The "
+        "data-driven alternative to last-touch credit; bit-exact.",
+)
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _analytics.markov_removal_attribution(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+        "purchase",
+        _MARKOV_STATES,
+        steps=8,
+    )

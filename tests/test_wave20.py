@@ -455,3 +455,53 @@ def test_pca_known_eigenvector(spark):
     const = spark.createDataFrame([(1.0, 2.0)] * 5, "x double, y double")
     with pytest.raises(ValueError):
         pca_top_component(const, ["x", "y"])
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.analytics import kaplan_meier
+
+    # classic textbook mix: events at t=1 (1 of 5 at risk), t=3
+    # (1 of 3), censored at t=2 and t=4, event at t=5 (wipeout)
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1), (-1, 1), (None, 0)]
+    df = spark.createDataFrame(rows, "dur int, ev int")
+    got = {r.duration: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]  # negatives/NULLs excluded
+    assert got[1].n_risk == 5 and got[1].survival == pytest.approx(0.8)
+    assert got[2].n_risk == 4 and got[2].n_censored == 1
+    assert got[2].survival == pytest.approx(0.8)     # censoring: no drop
+    assert got[3].n_risk == 3
+    assert got[3].survival == pytest.approx(0.8 * (1 - 1 / 3), abs=1e-7)
+    # final subject events: survival hits exactly 0 (the guarded path)
+    assert got[5].n_risk == 1 and got[5].survival == 0.0
+
+
+def test_markov_attribution_hand_chain(spark):
+    from datetime import datetime
+
+    from nbi_oedi_etl_v2_spark.operators.analytics import (
+        markov_removal_attribution,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, t(0), "a"), (1, 2, t(1), "conv"),
+        (2, 3, t(0), "a"), (2, 4, t(1), "conv"),
+        (3, 5, t(0), "b"),                      # dead end
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = {r.channel: r for r in markov_removal_attribution(
+        df, "user_id", ["ts", "event_id"], "event_type", "conv",
+        ["a", "b", "conv"], steps=8,
+    ).collect()}
+    # start: a 2/3, b 1/3; a -> conv always, b absorbs nothing
+    assert got["a"].p_full == pytest.approx(2 / 3, abs=1e-7)
+    assert got["a"].p_removed == 0.0
+    assert got["a"].removal_effect == pytest.approx(2 / 3, abs=1e-7)
+    assert got["a"].attribution_share == pytest.approx(1.0, abs=1e-7)
+    assert got["b"].removal_effect == 0.0
+    assert got["b"].attribution_share == 0.0
+
+    with pytest.raises(ValueError):
+        markov_removal_attribution(
+            df, "user_id", ["ts"], "event_type", "missing", ["a", "b"], 8
+        )
