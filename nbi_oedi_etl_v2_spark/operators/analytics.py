@@ -960,3 +960,62 @@ def markov_removal_oracle_sql(
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT * FROM (\n      {outs}\n    ) ORDER BY channel"
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    season_hours: int = 168,
+    backtest_start: str = "2024-01-22 00:00:00",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every real
+    forecaster must beat, and the cheapest useful one: ŷ(h) =
+    y(h − season) (same hour last week). Aggregates to an hourly
+    grid per key (exact-DECIMAL sums → double), self-joins the grid
+    on (key, hour − season) — a keyed equi-join, no window over raw
+    events — and reports per-key MAE and sMAPE over backtest hours
+    where both actual and seasonal lag exist (grid holes drop out of
+    the inner join; a production run gap-fills first — the engine's
+    ``gapfill`` exists for exactly that).
+
+    Error means go through the exact-decimal davg convention;
+    sMAPE's per-row ratio is a fixed IEEE sequence over the exact
+    hourly readouts, zero-denominator rows (both sides 0) excluded.
+    Cost: one hourly aggregate + one keyed self-join + one per-key
+    aggregate — all shuffles keyed by (key, hour) or key.
+
+    Returns (key, n_hours, mae, smape), 7 dp.
+    """
+    from ..functions import davg, dsum
+
+    k = F.col(f"`{key_col}`")
+    h = F.date_trunc("hour", F.col(f"`{ts_col}`"))
+    v = F.col(f"`{value_col}`").cast("double")
+    grid = df.groupBy(k.alias("key"), h.alias("hour")).agg(
+        dsum(v).alias("y")
+    )
+    lagged = grid.select(
+        F.col("key").alias("lkey"),
+        (F.col("hour") + F.expr(f"INTERVAL {season_hours} HOURS")).alias(
+            "lhour"
+        ),
+        F.col("y").alias("y_hat"),
+    )
+    cut = F.lit(backtest_start).cast("timestamp")
+    joined = grid.where(F.col("hour") >= cut).join(
+        lagged,
+        (F.col("key") == F.col("lkey")) & (F.col("hour") == F.col("lhour")),
+    )
+    err = F.abs(F.col("y") - F.col("y_hat"))
+    denom = F.abs(F.col("y")) + F.abs(F.col("y_hat"))
+    sm = joined.where(denom > 0)
+    return (
+        sm.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.round(davg(err), 7).alias("mae"),
+            F.round(davg(F.lit(2.0) * err / denom), 7).alias("smape"),
+        )
+    )

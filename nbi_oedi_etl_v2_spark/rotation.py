@@ -1,7 +1,7 @@
 """Driver-slot rotation policy (round 7).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 197 specs (r7:
+correctness rows per round, while the registry holds 199 specs (r7:
 159 carried + wave-14 (RRF hybrid fusion, JL random projection,
 stump split finder, Markov transitions) + wave-15 (IRLS logistic
 regression, NB token log-odds) + wave-16 (rank-sum AUC, PR curve) + wave-17 (CV AUC) + wave-18 (calibration, MI cells) + wave-19 (LOO target encoding) + equidepth-double, etl_write_pipeline, weighted SSSP,
@@ -11,7 +11,8 @@ change-points, MAD outliers, conformal intervals, Benford audit,
 k-core, table profile; wave-21: triplet mining, bootstrap CI;
 wave-22: Neyman sampling, feature hashing, NDCG backtest;
 wave-23: RAG chunking, table fingerprint, PCA power iteration;
-wave-24: Kaplan-Meier survival, Markov removal attribution).
+wave-24: Kaplan-Meier survival, Markov removal attribution;
+wave-25: WOE/IV screening, seasonal-naive forecast backtest).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -32,7 +33,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-With ~197 specs, a 50-row cap and ~10-15 slots/round consumed by
+With ~199 specs, a 50-row cap and ~10-15 slots/round consumed by
 NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
 ``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
 no unexported spec may be more than 4 rounds past its last green row.
@@ -279,7 +280,7 @@ DEFER_FIRST_ROW: frozenset[str] = frozenset({
     "embeddings_random_projection",
     "events_markov_transitions",
     "documents_nb_token_logodds",
-    # wave-20..24 (added late in r7, 16 specs): the r2 staleness cohort still
+    # wave-20..25 (added late in r7, 18 specs): the r2 staleness cohort still
     # holds 7 specs at the bound edge (streaming_ewma_alerts,
     # streaming_sessionize, text_fingerprint, text_language_id,
     # text_quality_scores, text_token_stats, user_running_value) and
@@ -303,6 +304,8 @@ DEFER_FIRST_ROW: frozenset[str] = frozenset({
     "lineitem_pca_top_component",
     "events_kaplan_meier_churn",
     "events_markov_attribution",
+    "orders_woe_iv_priority",
+    "events_seasonal_naive_backtest",
     # wave-16 eval consumers of the wave-15 model, which DOES hold a
     # first-row slot this round; their own first rows come in r8
     "lineitem_logreg_auc",

@@ -7113,3 +7113,86 @@ def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MARKOV_STATES,
         steps=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 25 — WOE/IV screening, seasonal-naive forecast backtest.
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_woe_iv_priority",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    per_cat AS (
+      SELECT category, CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY category
+    ),
+    t AS (
+      SELECT category, n_pos, n_neg,
+             (CAST(n_pos AS DOUBLE) + 0.5)
+               / (CAST(SUM(n_pos) OVER () AS DOUBLE) + 0.5) AS ps,
+             (CAST(n_neg AS DOUBLE) + 0.5)
+               / (CAST(SUM(n_neg) OVER () AS DOUBLE) + 0.5) AS ns
+      FROM per_cat
+    )
+    SELECT category, n_pos, n_neg,
+           round(ln(ps / ns), 7) AS woe,
+           round((ps - ns) * ln(ps / ns), 7) AS iv_term
+    FROM t
+    """,
+    doc="Weight-of-evidence encoding + information-value terms of "
+        "order priority against the high-value label: ONE category "
+        "aggregate, Laplace-smoothed exact-ratio shares, one ln() "
+        "per category (the PSI/MI parity precedent), IV terms "
+        "emitted unsummed (operators/stats.py woe_iv). The credit-"
+        "scoring feature screen; category-count rows, bit-exact.",
+)
+def q_orders_woe_iv_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("y"),
+    )
+    return _stats.woe_iv(orders, "cat", "y", eps=0.5)
+
+
+@query(
+    "events_seasonal_naive_backtest",
+    oracle=f"""
+    WITH grid AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+             {dsum_sql('CAST(value AS DOUBLE)')} AS y
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    joined AS (
+      SELECT g.key, g.y, l.y AS y_hat
+      FROM grid g JOIN grid l
+        ON g.key = l.key AND g.hour = l.hour + INTERVAL 168 HOUR
+      WHERE g.hour >= TIMESTAMP '2024-01-22 00:00:00'
+    ),
+    nz AS (SELECT * FROM joined WHERE abs(y) + abs(y_hat) > 0)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           round({davg_sql('abs(y - y_hat)')}, 7) AS mae,
+           round({davg_sql('2.0 * abs(y - y_hat) / (abs(y) + abs(y_hat))')}, 7)
+             AS smape
+    FROM nz GROUP BY key
+    """,
+    doc="Seasonal-naive forecast backtest per event type (y_hat(h) = "
+        "y(h - 168h), backtest on the final week): hourly exact-"
+        "decimal grid, one keyed self-join for the seasonal lag, "
+        "per-key MAE and sMAPE through the davg convention "
+        "(operators/analytics.py seasonal_naive_backtest). The "
+        "baseline every forecaster must beat; key-count rows, "
+        "bit-exact.",
+)
+def q_events_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _analytics.seasonal_naive_backtest(
+        ev, "event_type", "ts", "value", 168, "2024-01-22 00:00:00"
+    )

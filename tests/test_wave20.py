@@ -505,3 +505,47 @@ def test_markov_attribution_hand_chain(spark):
         markov_removal_attribution(
             df, "user_id", ["ts"], "event_type", "missing", ["a", "b"], 8
         )
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from nbi_oedi_etl_v2_spark.operators.stats import woe_iv
+
+    # category A: 3 pos / 1 neg; B: 1 pos / 3 neg
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "c string, y int")
+    got = {r.category: r for r in woe_iv(df, "c", "y", eps=0.5).collect()}
+    ps_a, ns_a = (3 + 0.5) / (4 + 0.5), (1 + 0.5) / (4 + 0.5)
+    want = math.log(ps_a / ns_a)
+    assert got["A"].woe == pytest.approx(want, abs=1e-7)
+    assert got["A"].iv_term == pytest.approx((ps_a - ns_a) * want, abs=1e-7)
+    assert got["B"].woe == pytest.approx(-want, abs=1e-7)  # symmetric
+
+    with pytest.raises(ValueError):
+        woe_iv(df, "c", "y", eps=0.0)
+
+
+def test_seasonal_naive_perfect_pattern(spark):
+    from datetime import datetime, timedelta
+
+    from nbi_oedi_etl_v2_spark.operators.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    # perfectly periodic hourly series (period 24h): seasonal-naive
+    # with season=24 is exact -> MAE 0; a shifted series is not
+    base = datetime(2024, 1, 1)
+    rows = []
+    for hour in range(96):
+        ts = base + timedelta(hours=hour)
+        rows.append(("periodic", ts, float(10 + hour % 24)))
+        rows.append(("drift", ts, float(hour)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r.key: r for r in seasonal_naive_backtest(
+        df, "k", "ts", "v", season_hours=24,
+        backtest_start="2024-01-03 00:00:00",
+    ).collect()}
+    assert got["periodic"].mae == 0.0 and got["periodic"].smape == 0.0
+    assert got["periodic"].n_hours == 48
+    assert got["drift"].mae == pytest.approx(24.0, abs=1e-7)  # y-y_hat=24
