@@ -340,7 +340,12 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     pin a cross-engine column order).
 
     One map pass + one 2-number aggregate; nothing else moves.
-    Returns (n_rows, fingerprint).
+    Returns (n_rows, fingerprint) — the fingerprint as a STRING of
+    the exact integer: a DECIMAL(38,0) column survives Spark's
+    arrow/pandas path but DuckDB->pandas converts wide decimals to
+    float64 (silent precision loss in any consumer comparing frames),
+    so the stable exchange format for a 60-bit-plus exact integer is
+    its decimal string.
     """
     from pyspark.sql.types import (
         ByteType,
@@ -377,5 +382,7 @@ def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> DataFrame
     h = F.conv(F.substring(F.md5(row_str), 1, 13), 16, 10).cast("long")
     return df.select(h.alias("_h")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.col("_h").cast("decimal(38,0)")).alias("fingerprint"),
+        F.sum(F.col("_h").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("fingerprint"),
     )

@@ -6965,8 +6965,8 @@ def q_documents_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(CAST(('0x' || substr(md5(row_str), 1, 13)) AS BIGINT)
-                    AS DECIMAL(38,0))) AS fingerprint
+           CAST(SUM(CAST(CAST(('0x' || substr(md5(row_str), 1, 13)) AS BIGINT)
+                    AS DECIMAL(38,0))) AS VARCHAR) AS fingerprint
     FROM canon
     """,
     doc="Order-insensitive content fingerprint of orders: canonical "

@@ -912,3 +912,39 @@ def test_conformal_coverage_is_one_litfit_scan(spark, sf_dir):
     assert "partial_count" in plan
     assert plan.count("FileScan") == 1
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_neyman_broadcasts_allocation_no_data_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_neyman_sample")
+    # the strata allocation table joins back by BROADCAST; data rows
+    # are never re-keyed before the per-stratum accounting aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hashed_features_map_side_combined(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "documents_hashed_features")
+    assert "partial_sum" in plan        # (doc, feature) combine
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_seasonal_backtest_keyed_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_seasonal_naive_backtest")
+    assert "partial_sum" in plan        # hourly grid combines map-side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_kaplan_meier_single_scan_to_duration_table(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_kaplan_meier_churn")
+    # one pass to the per-user span aggregate; windows run over the
+    # distinct-duration table, not raw events
+    assert "partial_min" in plan or "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_woe_iv_one_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_woe_iv_priority")
+    assert "partial_sum" in plan
+    assert plan.count("FileScan") == 1

@@ -411,10 +411,11 @@ def test_table_fingerprint_invariants(spark):
     # order-insensitive: reversed input -> same fingerprint
     rev = spark.createDataFrame(rows[::-1], "k long, s string, d double")
     assert table_fingerprint(rev).collect()[0].fingerprint == base.fingerprint
-    # mergeable: shard fingerprints sum to the whole
+    # mergeable: shard fingerprints (exact-integer strings) sum to
+    # the whole
     a = table_fingerprint(spark.createDataFrame(rows[:1], "k long, s string, d double")).collect()[0]
     b = table_fingerprint(spark.createDataFrame(rows[1:], "k long, s string, d double")).collect()[0]
-    assert a.fingerprint + b.fingerprint == base.fingerprint
+    assert int(a.fingerprint) + int(b.fingerprint) == int(base.fingerprint)
     # sensitive to a single cell change (above the documented 1e-6
     # quantization) and to duplicate multiplicity
     mod = spark.createDataFrame(
