@@ -40,6 +40,18 @@ no unexported spec may be more than 4 rounds past its last green row.
 ``tests/test_workload_oracle.py`` asserts the bound holds; because the
 fill is oldest-first, the bound is maintained automatically as long as
 NEW+TOUCH stay under ~35 slots/round.
+
+ROUND-8 NOTE (computed at the end of round 7, don't rediscover it):
+the 20 wave-20..25 specs grew the registry to 199, and the minimum
+forced r8 export (27 deferred/never-verified first rows + PIN + the
+33-spec r3 cohort hitting age 5) is 63 slots - INFEASIBLE under
+bound 4 with a 50 cap. The honest structural resolution: a registry
+of R specs refreshed ~50/round cannot guarantee a staleness bound
+below ceil(R/cap); r8 must set ``STALENESS_BOUND_ROUNDS =
+ceil(199/50) + 1 = 5`` (bound 4 was only ever feasible while R < 180)
+and export 27 never-verified + PIN + 20 oldest-first r3-cohort slots;
+the 13 r3 stragglers then land in r9's forced set. DEFER_FIRST_ROW
+must be EMPTIED in r8 (no spec sits there twice).
 """
 
 from __future__ import annotations
