@@ -1751,3 +1751,63 @@ def woe_iv(
         F.round(woe, 7).alias("woe"),
         F.round((ps - ns) * woe, 7).alias("iv_term"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative integer measure —
+    the inequality audit (revenue concentration, spend skew, token
+    budget fairness) — EXACT and sort-free at any N: the rank-sum
+    identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) needs sorted
+    ranks, but Σᵢ i·x₍ᵢ₎ collapses onto the DISTINCT-value table
+    (equal values contribute identically whatever their order): a
+    value v occupying ranks (p−c+1 … p) (c = its count, p = its
+    prefix count) contributes v·c·(2p−c+1)/2. So: one hash aggregate
+    to (group, v, c), one prefix window over the distinct table (the
+    small thing — the ``global_percentile_ranks`` discipline), exact
+    DECIMAL(38,0) integer sums, and one fixed-order double readout.
+    c·(2p−c+1) is always even, so 2·Σ i·x = Σ v·c·(2p−c+1) exactly.
+
+    Values must be non-negative integers (money through the integer-
+    cents convention) — a negative value makes Gini undefined and
+    raises; zero-total groups emit NULL gini. Returns (group, n,
+    total, gini) with gini rounded to 7 dp.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(f"`{group_col}`")
+    v = F.col(f"`{value_col}`").cast("long")
+    neg = df.where(v < 0).limit(1).count()
+    if neg:
+        raise ValueError("gini_coefficient requires non-negative values")
+    dist = df.groupBy(g.alias("grp"), v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("grp").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = dist.withColumn("p", F.sum("c").over(w))
+    d0 = "decimal(38,0)"
+    per_group = ranked.groupBy("grp").agg(
+        F.sum(F.col("c").cast(d0)).alias("n"),
+        F.sum((F.col("v") * F.col("c")).cast(d0)).alias("s"),
+        F.sum(
+            F.col("v").cast(d0)
+            * F.col("c").cast(d0)
+            * (F.lit(2).cast(d0) * F.col("p").cast(d0)
+               - F.col("c").cast(d0) + F.lit(1).cast(d0))
+        ).alias("w2"),
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    w_d = F.col("w2").cast("double")
+    gini = (w_d - (n_d + F.lit(1.0)) * s_d) / (n_d * s_d)
+    return per_group.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("string").alias("total"),
+        F.round(F.when(F.col("s") > 0, gini), 7).alias("gini"),
+    )

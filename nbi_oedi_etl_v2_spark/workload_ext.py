@@ -7196,3 +7196,59 @@ def q_events_seasonal_naive_backtest(
     return _analytics.seasonal_naive_backtest(
         ev, "event_type", "ts", "value", 168, "2024-01-22 00:00:00"
     )
+
+
+@query(
+    "orders_gini_by_priority",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    dist AS (
+      SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cents GROUP BY grp, v
+    ),
+    ranked AS (
+      SELECT grp, v, c,
+             SUM(c) OVER (PARTITION BY grp ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS p
+      FROM dist
+    ),
+    agg AS (
+      SELECT grp,
+             SUM(CAST(c AS DECIMAL(38,0))) AS n,
+             SUM(CAST(v * c AS DECIMAL(38,0))) AS s,
+             SUM(CAST(v AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+                 * (CAST(2 AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))
+                    - CAST(c AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               AS w2
+      FROM ranked GROUP BY grp
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           CAST(s AS VARCHAR) AS total,
+           round(CASE WHEN s > 0 THEN
+             (CAST(CAST(w2 AS VARCHAR) AS DOUBLE)
+              - (CAST(CAST(n AS VARCHAR) AS DOUBLE) + 1.0)
+                * CAST(CAST(s AS VARCHAR) AS DOUBLE))
+             / (CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s AS VARCHAR) AS DOUBLE)) END, 7) AS gini
+    FROM agg
+    """,
+    doc="Per-priority Gini coefficient of order value (integer "
+        "cents): the rank-sum identity collapsed onto the distinct-"
+        "value table (v occupying ranks p-c+1..p contributes "
+        "v*c*(2p-c+1)/2 — equal values are order-free), so the exact "
+        "inequality audit costs one hash aggregate + one prefix "
+        "window over the distinct table + exact DECIMAL(38,0) sums, "
+        "no sort of data rows (operators/stats.py gini_coefficient). "
+        "Revenue-concentration skew per segment, bit-exact.",
+)
+def q_orders_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return _stats.gini_coefficient(orders, "o_orderpriority", "cents")

@@ -550,3 +550,29 @@ def test_seasonal_naive_perfect_pattern(spark):
     assert got["periodic"].mae == 0.0 and got["periodic"].smape == 0.0
     assert got["periodic"].n_hours == 48
     assert got["drift"].mae == pytest.approx(24.0, abs=1e-7)  # y-y_hat=24
+
+
+def test_gini_known_distributions(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import gini_coefficient
+
+    rows = (
+        [("equal", 100)] * 10                        # perfect equality
+        + [("concentrated", 0)] * 9 + [("concentrated", 1000)]
+        + [("linear", v) for v in range(1, 11)]      # 1..10
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: r for r in gini_coefficient(df, "g", "v").collect()}
+    assert got["equal"].gini == 0.0
+    # one holder of everything among n=10: G = (n-1)/n = 0.9
+    assert got["concentrated"].gini == pytest.approx(0.9, abs=1e-7)
+    # x_i = i: G = (n+1)/(3n)... for 1..10 exact = (2*385*... ) use
+    # the textbook value sum(i*i)=385, S=55: (2*385-11*55)/(10*55)
+    assert got["linear"].gini == pytest.approx(
+        (2 * 385 - 11 * 55) / (10 * 55), abs=1e-7
+    )
+    assert got["linear"].total == "55"
+
+    with pytest.raises(ValueError):
+        gini_coefficient(
+            spark.createDataFrame([("a", -1)], "g string, v long"), "g", "v"
+        )
