@@ -1,7 +1,7 @@
 """Driver-slot rotation policy (round 7).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 200 specs (r7:
+correctness rows per round, while the registry holds 201 specs (r7:
 159 carried + wave-14 (RRF hybrid fusion, JL random projection,
 stump split finder, Markov transitions) + wave-15 (IRLS logistic
 regression, NB token log-odds) + wave-16 (rank-sum AUC, PR curve) + wave-17 (CV AUC) + wave-18 (calibration, MI cells) + wave-19 (LOO target encoding) + equidepth-double, etl_write_pipeline, weighted SSSP,
@@ -13,7 +13,7 @@ wave-22: Neyman sampling, feature hashing, NDCG backtest;
 wave-23: RAG chunking, table fingerprint, PCA power iteration;
 wave-24: Kaplan-Meier survival, Markov removal attribution;
 wave-25: WOE/IV screening, seasonal-naive forecast backtest,
-Gini inequality audit).
+Gini inequality audit; wave-26: streaming CUSUM).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -34,7 +34,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-With ~200 specs, a 50-row cap and ~10-15 slots/round consumed by
+With ~201 specs, a 50-row cap and ~10-15 slots/round consumed by
 NEW+TOUCH, a full refresh cycle takes ~4 rounds - hence
 ``STALENESS_BOUND_ROUNDS = 4``: after this round's export is applied,
 no unexported spec may be more than 4 rounds past its last green row.
@@ -43,15 +43,15 @@ fill is oldest-first, the bound is maintained automatically as long as
 NEW+TOUCH stay under ~35 slots/round.
 
 ROUND-8 NOTE (computed at the end of round 7, don't rediscover it):
-the 21 wave-20..25 specs grew the registry to 200, and the minimum
-forced r8 export (28 deferred/never-verified first rows + PIN + the
+the 22 wave-20..26 specs grew the registry to 201, and the minimum
+forced r8 export (29 deferred/never-verified first rows + PIN + the
 33-spec r3 cohort hitting age 5) is 63 slots - INFEASIBLE under
 bound 4 with a 50 cap. The honest structural resolution: a registry
 of R specs refreshed ~50/round cannot guarantee a staleness bound
 below ceil(R/cap); r8 must set ``STALENESS_BOUND_ROUNDS =
-ceil(200/50) + 1 = 5`` (bound 4 was only ever feasible while R < 180)
-and export 28 never-verified + PIN + 19 oldest-first r3-cohort slots;
-the 14 r3 stragglers then land in r9's forced set. DEFER_FIRST_ROW
+ceil(201/50) + 1 = 5`` (bound 4 was only ever feasible while R < 180)
+and export 29 never-verified + PIN + 18 oldest-first r3-cohort slots;
+the 15 r3 stragglers then land in r9's forced set. DEFER_FIRST_ROW
 must be EMPTIED in r8 (no spec sits there twice).
 """
 
@@ -293,7 +293,7 @@ DEFER_FIRST_ROW: frozenset[str] = frozenset({
     "embeddings_random_projection",
     "events_markov_transitions",
     "documents_nb_token_logodds",
-    # wave-20..25 (added late in r7, 19 specs): the r2 staleness cohort still
+    # wave-20..26 (added late in r7, 20 specs): the r2 staleness cohort still
     # holds 7 specs at the bound edge (streaming_ewma_alerts,
     # streaming_sessionize, text_fingerprint, text_language_id,
     # text_quality_scores, text_token_stats, user_running_value) and
@@ -320,6 +320,7 @@ DEFER_FIRST_ROW: frozenset[str] = frozenset({
     "orders_woe_iv_priority",
     "events_seasonal_naive_backtest",
     "orders_gini_by_priority",
+    "streaming_cusum_alerts",
     # wave-16 eval consumers of the wave-15 model, which DOES hold a
     # first-row slot this round; their own first rows come in r8
     "lineitem_logreg_auc",

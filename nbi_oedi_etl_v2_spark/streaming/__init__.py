@@ -421,3 +421,147 @@ def attribution_join_stream(
     return joined.select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM change-point alerts (wave 26): the batch operator's
+# sequential twin. Batch (operators/analytics.py cusum_scores) uses
+# the prefix-sum closed form; the stream carries the RECURRENCE
+# max(0, S + y) itself — two exact decimals per key — across
+# micro-batches. Identical results by the same induction that proved
+# the closed form.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type string, ts timestamp, event_id bigint, "
+    "s_hi double, s_lo double, alert boolean"
+)
+# exact decimal S carried as strings (Arrow state schemas have no
+# decimal type; strings round-trip Python Decimal losslessly)
+_CUSUM_STATE_SCHEMA = "s_hi string, s_lo string, last_ms bigint"
+
+
+def _cusum_fold(pdf, target, drift, threshold, s_hi, s_lo):
+    """Shared sequential fold (event-time order): the Page recurrence
+    on DECIMAL(38,10)-quantized values — the bit-exact twin of the
+    batch closed form. Returns (out_pdf, s_hi, s_lo)."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    q = Decimal("1e-10")
+    t_plus = Decimal(target) + Decimal(drift)
+    t_minus = Decimal(target) - Decimal(drift)
+    thr = Decimal(threshold)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    hi_out, lo_out, al_out = [], [], []
+    for v in pdf["value"]:
+        x = Decimal(repr(float(v))).quantize(q)
+        s_hi = max(Decimal(0), s_hi + x - t_plus)
+        s_lo = max(Decimal(0), s_lo + t_minus - x)
+        hi_out.append(float(s_hi))
+        lo_out.append(float(s_lo))
+        al_out.append(bool(s_hi > thr or s_lo > thr))
+    out = pd.DataFrame(
+        {
+            "event_type": pdf["event_type"].values,
+            "ts": pdf["ts"].values,
+            "event_id": pdf["event_id"].values,
+            "s_hi": hi_out,
+            "s_lo": lo_out,
+            "alert": al_out,
+        }
+    )
+    return out, s_hi, s_lo
+
+
+def cusum_stream(
+    df: DataFrame,
+    target: str = "50",
+    drift: str = "5",
+    threshold: str = "500",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming two-sided CUSUM change-point alerts per event type —
+    the monitoring deployment of the batch detector: S carried across
+    micro-batches in a per-key GroupState (two exact decimals — the
+    smallest stateful operator in the package), rows folded in
+    event-time order within each batch, watermark-evicted like
+    :func:`ewma_stream` (a series silent past the horizon restarts
+    cold — the right semantics for a drift monitor). The alert flag
+    compares EXACT decimals (emitting doubles first would round a
+    500.0000000001 across the threshold).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from decimal import Decimal
+
+    ttl_ms = _duration_ms(watermark)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "event_type": [], "ts": [], "event_id": [],
+                    "s_hi": [], "s_lo": [], "alert": [],
+                }
+            )
+            return
+        if state.exists:
+            hi_s, lo_s, prev_last = state.get
+            s_hi, s_lo = Decimal(hi_s), Decimal(lo_s)
+        else:
+            s_hi = s_lo = Decimal(0)
+            prev_last = 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out, s_hi, s_lo = _cusum_fold(
+            batch, target, drift, threshold, s_hi, s_lo
+        )
+        last_ms = max(
+            int(prev_last), int(batch["ts"].max().value // 1_000_000)
+        )
+        state.update((str(s_hi), str(s_lo), int(last_ms)))
+        state.setTimeoutTimestamp(
+            max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield out
+
+    wm = df.withWatermark("ts", watermark)
+    return (
+        wm.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def cusum_batch(
+    df: DataFrame,
+    target: str = "50",
+    drift: str = "5",
+    threshold: str = "500",
+) -> DataFrame:
+    """Batch twin of :func:`cusum_stream` (applyInPandas, fresh state
+    per key) — the equality bridge to the closed-form batch operator
+    and the streaming path's oracle."""
+    from decimal import Decimal
+
+    def fold(pdf):
+        out, _, _ = _cusum_fold(
+            pdf, target, drift, threshold, Decimal(0), Decimal(0)
+        )
+        return out
+
+    return (
+        df.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(fold, schema=CUSUM_OUTPUT_SCHEMA)
+    )

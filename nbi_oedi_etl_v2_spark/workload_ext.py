@@ -7252,3 +7252,27 @@ def q_orders_gini_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return _stats.gini_coefficient(orders, "o_orderpriority", "cents")
+
+
+@query(
+    "streaming_cusum_alerts",
+    oracle=_CUSUM_ORACLE,
+    doc="The CUSUM detector as a custom stateful STREAMING operator "
+        "(applyInPandasWithState): per-key state is two exact "
+        "decimals — the Page recurrence max(0,S+y) carried across "
+        "micro-batches, watermark-evicted — and the per-key alert "
+        "summary is held to the IDENTICAL oracle as the batch "
+        "closed-form spec (events_cusum_changepoints), proving the "
+        "recurrence == prefix-sum equivalence end-to-end through the "
+        "streaming runtime (streaming/__init__.py cusum_stream).",
+    driver=False,
+)
+def q_streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = streaming.read_table_stream(spark, sf_dir, "events")
+    scored = streaming.run_to_memory(streaming.cusum_stream(ev), mode="append")
+    return scored.groupBy("event_type").agg(
+        F.count(F.when(F.col("alert"), 1)).alias("n_alerts"),
+        F.min(F.when(F.col("alert"), F.col("ts"))).alias("first_alert_ts"),
+        F.max("s_hi").alias("max_s_hi"),
+        F.max("s_lo").alias("max_s_lo"),
+    )

@@ -576,3 +576,38 @@ def test_gini_known_distributions(spark):
         gini_coefficient(
             spark.createDataFrame([("a", -1)], "g string, v long"), "g", "v"
         )
+
+
+def test_streaming_cusum_equals_closed_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_v2_spark import streaming
+    from nbi_oedi_etl_v2_spark.operators.analytics import cusum_scores
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    closed = (
+        cusum_scores(ev, "event_type", ["ts", "event_id"], "value",
+                     target="50", drift="5", threshold="500")
+        .select(
+            "event_type", "event_id",
+            F.col("s_hi").cast("double").alias("s_hi"),
+            F.col("s_lo").cast("double").alias("s_lo"),
+            "alert",
+        )
+    )
+    twin = streaming.cusum_batch(ev).select(
+        "event_type", "event_id", "s_hi", "s_lo", "alert"
+    )
+    a = sorted(tuple(r) for r in closed.collect())
+    b = sorted(tuple(r) for r in twin.collect())
+    assert a == b  # recurrence == prefix-sum closed form, per row
+
+    stream = streaming.run_to_memory(
+        streaming.cusum_stream(streaming.read_table_stream(
+            spark, sf_dir, "events"
+        )),
+        mode="append",
+    ).select("event_type", "event_id", "s_hi", "s_lo", "alert")
+    c = sorted(tuple(r) for r in stream.collect())
+    assert c == b  # stateful streaming path == batch twin
