@@ -586,7 +586,7 @@ def markov_transitions(
 
 def cusum_scores(
     df: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     order_cols: list[str],
     value_col: str,
     target: str,
@@ -618,27 +618,37 @@ def cusum_scores(
     ``drift`` are decimal string literals, so every S_t is an exact
     rational and hash-matches an oracle replaying the same windows.
 
-    Returns per-row (key, order cols, value, s_hi, s_lo[, alert]) —
+    Returns per-row (keys, order cols, value, s_hi, s_lo[, alert]) —
     ``threshold`` (decimal string) adds the boolean crossing flag.
     At 100 TB the output is input-sized; aggregate downstream (the
     registered query reduces to a per-key alert summary).
+
+    ``key_col`` accepts a LIST of columns (VERDICT r7 item 6): the
+    recurrence is per-key sequential, so the window parallelism IS
+    the key cardinality — a deployment monitoring k metrics over s
+    series must key on (series, metric) to get s·k-way parallelism
+    instead of bottlenecking s partitions. The streaming twin
+    (streaming.cusum_stream) takes the same composite key.
     """
     if not order_cols:
         raise ValueError("order_cols must make the within-key order total")
     from ..functions import SUM_DECIMAL
 
-    k = F.col(f"`{key_col}`")
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    ks = [F.col(f"`{c}`") for c in key_cols]
     v = F.col(f"`{value_col}`").cast(SUM_DECIMAL)
     t_plus = F.lit(target).cast(SUM_DECIMAL) + F.lit(drift).cast(SUM_DECIMAL)
     t_minus = F.lit(target).cast(SUM_DECIMAL) - F.lit(drift).cast(SUM_DECIMAL)
     w = (
-        Window.partitionBy(k)
+        Window.partitionBy(*ks)
         .orderBy(*[F.col(f"`{c}`") for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     zero = F.lit("0").cast(SUM_DECIMAL)
     out = (
-        df.select(key_col, *order_cols, value_col)
+        df.select(*key_cols, *order_cols, value_col)
         .withColumn("_c_hi", F.sum(v - t_plus).over(w))
         .withColumn("_c_lo", F.sum(t_minus - v).over(w))
         .withColumn("s_hi", F.col("_c_hi") - F.least(zero, F.min("_c_hi").over(w)))
