@@ -6717,6 +6717,76 @@ def q_lineitem_bootstrap_mean_ci(
     return _stats.bootstrap_mean_ci(li, "x", "rid", b=100, alpha=0.05)
 
 
+def _blb_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+
+
+def _blb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stats.bootstrap_mean_ci_blb(
+        _blb_input(spark, sf_dir), "x", "rid", b=100, alpha=0.05
+    )
+
+
+@query(
+    "lineitem_bootstrap_mean_ci_blb",
+    headline=True,
+    # oracle emits the exact computable columns (n, decimal-exact
+    # mean, literal b) + TRUE for the in-plan tolerance invariants:
+    # the BLB interval must cover the exact mean and its width must
+    # sit within [0.2x, 5x] of the CLT width 2*1.96*sd/sqrt(n) — the
+    # AQP/AGMS precedent for sketch output no other engine can
+    # bit-reproduce (the draws are xxhash64).
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {davg_sql('CAST(l_extendedprice AS DOUBLE)')} AS mean,
+           CAST(100 AS BIGINT) AS b,
+           TRUE AS covers_mean,
+           TRUE AS width_sane
+    FROM lineitem
+    """,
+    doc="Bag-of-little-bootstraps 95% CI for the mean price — the "
+        "production bootstrap at 100 TB (VERDICT r7 'What's missing' "
+        "#3): 20 disjoint hash-sampled bags of n^0.6 rows, B=100 "
+        "replicates per bag with Poisson(n/m)~Normal weights from "
+        "12-fold Irwin-Hall xxhash64 uniforms (deterministic, no "
+        "RNG state), per-bag percentile bounds averaged. Resample "
+        "work B*bags*n^0.6 instead of the md5 twin's B*N. Driver "
+        "form: exact n/mean/b + covers-the-mean and CLT-width-ratio "
+        "invariants (operators/stats.py bootstrap_mean_ci_blb).",
+    bench_fn=_blb_raw,
+)
+def q_lineitem_bootstrap_mean_ci_blb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _blb_input(spark, sf_dir)
+    blb = _stats.bootstrap_mean_ci_blb(li, "x", "rid", b=100, alpha=0.05)
+    clt = li.agg(F.stddev_samp(F.col("x")).alias("_sd"))
+    width = F.col("ci_hi") - F.col("ci_lo")
+    clt_w = (
+        F.lit(2.0 * 1.96) * F.col("_sd")
+        / F.sqrt(F.col("n").cast("double"))
+    )
+    return blb.crossJoin(F.broadcast(clt)).select(
+        "n",
+        "mean",
+        "b",
+        (
+            (F.col("ci_lo") <= F.col("mean"))
+            & (F.col("mean") <= F.col("ci_hi"))
+        ).alias("covers_mean"),
+        (
+            (width >= F.lit(0.2) * clt_w) & (width <= F.lit(5.0) * clt_w)
+        ).alias("width_sane"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wave 22 — Neyman sampling, feature hashing, NDCG backtest.
 # ---------------------------------------------------------------------------

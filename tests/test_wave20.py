@@ -1,6 +1,8 @@
 """Wave-20 operator tests: CUSUM change-points, MAD robust scores,
 split-conformal intervals, k-core, Benford audit, table profile."""
 
+import math
+import re
 from decimal import Decimal
 
 import pytest
@@ -286,6 +288,89 @@ def test_bootstrap_ci_validation(spark):
         bootstrap_mean_ci(df, "x", "rid", b=1)
     with pytest.raises(ValueError):
         bootstrap_mean_ci(df, "x", "rid", alpha=0.0)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci(df, "x", "rid", hash_fn="sha1")
+
+
+def test_bootstrap_xxhash64_weights_statistically_match_md5(spark):
+    """The production xxhash64 draw is a different (still valid)
+    bootstrap sample — its CI must agree with the md5 twin's up to
+    resampling noise, which for the mean is a small fraction of the
+    interval width."""
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.stats import bootstrap_mean_ci
+
+    rnd = random.Random(13)
+    rows = [(i, rnd.gauss(10.0, 2.0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, x double")
+    a = bootstrap_mean_ci(df, "x", "rid", b=200).collect()[0]
+    b = bootstrap_mean_ci(df, "x", "rid", b=200, hash_fn="xxhash64").collect()[0]
+    assert a.n == b.n and a.mean == b.mean  # exact parts identical
+    width = a.ci_hi - a.ci_lo
+    assert abs(a.ci_lo - b.ci_lo) < 0.5 * width
+    assert abs(a.ci_hi - b.ci_hi) < 0.5 * width
+    again = bootstrap_mean_ci(df, "x", "rid", b=200, hash_fn="xxhash64").collect()[0]
+    assert tuple(b) == tuple(again)  # still a pure function of data
+
+
+def test_blb_ci_matches_exact_bootstrap_at_sf01(spark):
+    """VERDICT r7 'What's missing' #3 done-criterion: the BLB CI on
+    real data agrees with the exact-md5 twin within bootstrap
+    tolerance (both estimate the same sigma/sqrt(n) band)."""
+    from nbi_oedi_etl_v2_spark.operators.stats import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_blb,
+    )
+    from nbi_oedi_etl_v2_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+    )
+    exact = bootstrap_mean_ci(li, "x", "rid", b=100).collect()[0]
+    blb = bootstrap_mean_ci_blb(li, "x", "rid", b=100).collect()[0]
+    assert blb.n == exact.n and blb.mean == exact.mean
+    assert blb.bags_effective == 20
+    assert blb.m == math.ceil(blb.n**0.6)
+    assert blb.ci_lo < blb.mean < blb.ci_hi
+    w_exact = exact.ci_hi - exact.ci_lo
+    w_blb = blb.ci_hi - blb.ci_lo
+    # widths agree to a factor well inside [0.5, 2] (BLB averages 20
+    # per-bag percentile bands, so it is the LESS noisy of the two)
+    assert 0.5 * w_exact < w_blb < 2.0 * w_exact
+    # and the intervals overlap substantially (same center, same scale)
+    assert blb.ci_lo < exact.ci_hi and exact.ci_lo < blb.ci_hi
+
+
+def test_blb_determinism_small_n_and_empty(spark):
+    import random
+
+    from nbi_oedi_etl_v2_spark.operators.stats import bootstrap_mean_ci_blb
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.gauss(5.0, 1.0)) for i in range(500)]
+    df = spark.createDataFrame(rows, "rid long, x double")
+    out = bootstrap_mean_ci_blb(df, "x", "rid", b=50).collect()[0]
+    again = bootstrap_mean_ci_blb(df, "x", "rid", b=50).collect()[0]
+    assert tuple(out) == tuple(again)
+    # n=500, gamma 0.6 -> m=42, n//m=11 caps the requested 20 bags
+    assert out.m == math.ceil(500**0.6)
+    assert out.bags_effective == 500 // out.m
+    assert out.ci_lo < out.mean < out.ci_hi
+    empty = bootstrap_mean_ci_blb(
+        spark.createDataFrame([], "rid long, x double"), "x", "rid"
+    ).collect()[0]
+    assert empty.n == 0 and empty.mean is None and empty.ci_lo is None
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci_blb(df, "x", "rid", gamma=1.5)
+    with pytest.raises(ValueError):
+        bootstrap_mean_ci_blb(df, "x", "rid", bags=0)
 
 
 def test_neyman_allocation_tracks_sigma(spark):
@@ -572,10 +657,43 @@ def test_gini_known_distributions(spark):
     )
     assert got["linear"].total == "55"
 
-    with pytest.raises(ValueError):
+    # the negative-value check is folded into the main aggregate
+    # (VERDICT r7): it surfaces at ACTION time as USER_RAISED_EXCEPTION
+    # instead of costing a separate eager validation scan per call
+    with pytest.raises(Exception, match="non-negative"):
         gini_coefficient(
             spark.createDataFrame([("a", -1)], "g string, v long"), "g", "v"
-        )
+        ).collect()
+
+
+def test_gini_plan_has_no_per_group_window(spark):
+    """Scale pin (VERDICT r7 'What's wrong' #1): the prefix sum must
+    never window over grp alone — that funnels a group's whole
+    distinct-value table through one task on near-continuous
+    measures. Every window ordering by v must partition by
+    (grp, pid); the only grp-partitioned window runs over the
+    ≤ P-rows-per-group chunk-offset table (ordered by pid)."""
+    from nbi_oedi_etl_v2_spark.operators.stats import gini_coefficient
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)], "g string, v long"
+    )
+    out = gini_coefficient(df, "g", "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        cols = [c.strip().split("#")[0] for c in spec.split(",")]
+        if any(c.startswith("v ASC") or c == "v" for c in cols):
+            # the data-sized running sum: must be chunked by pid
+            assert "pid" in cols, spec
+        else:
+            # the offset prefix: over per-(grp,pid) totals, ordered
+            # by pid — bounded by the partition count, not the data
+            assert any(c.startswith("pid") for c in cols), spec
+    # the distinct table reaches the windows through Spark's sampled
+    # range partitioner (the skew-robust global-sort machinery)
+    assert "rangepartitioning" in plan.lower(), plan
 
 
 def test_streaming_cusum_equals_closed_form(spark, sf_dir):
@@ -611,3 +729,59 @@ def test_streaming_cusum_equals_closed_form(spark, sf_dir):
     ).select("event_type", "event_id", "s_hi", "s_lo", "alert")
     c = sorted(tuple(r) for r in stream.collect())
     assert c == b  # stateful streaming path == batch twin
+
+
+def test_cusum_composite_key_batch_and_stream(spark, sf_dir):
+    """VERDICT r7 item 6: both twins accept a composite key, so CUSUM
+    parallelism scales with #(series x metric) instead of #series —
+    detector semantics per composite key unchanged (each key is its
+    own independent recurrence)."""
+    from pyspark.sql import functions as F
+
+    from nbi_oedi_etl_v2_spark import streaming
+    from nbi_oedi_etl_v2_spark.operators.analytics import cusum_scores
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    bucket = F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("bucket")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", bucket, "ts", "event_id", "value"
+    )
+    keys = ["event_type", "bucket"]
+    closed = (
+        cusum_scores(ev, keys, ["ts", "event_id"], "value",
+                     target="50", drift="5", threshold="500")
+        .select(
+            *keys, "event_id",
+            F.col("s_hi").cast("double").alias("s_hi"),
+            F.col("s_lo").cast("double").alias("s_lo"),
+            "alert",
+        )
+    )
+    twin = streaming.cusum_batch(ev, key_cols=keys).select(
+        *keys, "event_id", "s_hi", "s_lo", "alert"
+    )
+    a = sorted(tuple(r) for r in closed.collect())
+    b = sorted(tuple(r) for r in twin.collect())
+    assert a == b
+    stream_in = streaming.read_table_stream(spark, sf_dir, "events").select(
+        "event_type", bucket, "ts", "event_id", "value"
+    )
+    stream = streaming.run_to_memory(
+        streaming.cusum_stream(stream_in, key_cols=keys), mode="append"
+    ).select(*keys, "event_id", "s_hi", "s_lo", "alert")
+    c = sorted(tuple(r) for r in stream.collect())
+    assert c == b
+    # single-key results are untouched by the generalization: the
+    # composite detector restricted to one bucket's rows is exactly
+    # the single-key detector over that subset
+    single = streaming.cusum_batch(
+        ev.where(F.col("bucket") == 1)
+    ).select("event_type", "event_id", "s_hi", "s_lo", "alert")
+    subset = {
+        (r.event_type, r.event_id): (r.s_hi, r.s_lo, r.alert)
+        for r in twin.where(F.col("bucket") == 1).collect()
+    }
+    for r in single.collect():
+        assert subset[(r.event_type, r.event_id)] == (
+            r.s_hi, r.s_lo, r.alert
+        )
