@@ -25,17 +25,17 @@ This module encodes the bound STRUCTURALLY instead of by hand:
 ROUND-8 STATE (executes the bound escalation computed and committed
 at the end of round 7 - see git history for the arithmetic): a
 registry of R specs refreshed at most cap=50 rows/round cannot
-guarantee a staleness bound below ceil(R/cap); with R=202 that floor
+guarantee a staleness bound below ceil(R/cap); with R=203 that floor
 is 5, so ``STALENESS_BOUND_ROUNDS = 5`` (bound 4 was only feasible
 while R < 180). CORRECTNESS_r07 was 50/50 green and is merged below
 (13 first rows among them). The r8 export is the forced set the
-round-7 note predicted: 30 never-verified first rows (the entire
+round-7 note predicted: 31 never-verified first rows (the entire
 29-spec wave-14..26 deferral - streaming_cusum_alerts, kcore, gini,
-the logreg evaluation family - plus the new wave-27 BLB bootstrap
-spec) + PIN + 17 oldest-first slots from the 33-spec r3 cohort; the
-16 r3 stragglers sit at age 5 (AT the bound, legal) and become r9's
-forced fill. ``DEFER_FIRST_ROW`` is EMPTY - no spec defers twice, as
-the policy requires.
+the logreg evaluation family - plus the two new wave-27 specs, the
+BLB bootstrap and the DSIR weights) + PIN + 16 oldest-first slots
+from the 33-spec r3 cohort; the 17 r3 stragglers sit at age 5 (AT
+the bound, legal) and become r9's forced fill. ``DEFER_FIRST_ROW``
+is EMPTY - no spec defers twice, as the policy requires.
 """
 
 from __future__ import annotations

@@ -6890,6 +6890,70 @@ def q_documents_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_features(docs, "doc_id", "text", dim=1024, salt="fh")
 
 
+@query(
+    "corpus_dsir_weights",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, lang = 'en' AS is_t,
+             UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc, is_t,
+             (CAST(('0x' || substr(md5('fh' || chr(31) || tok), 1, 13))
+                   AS BIGINT) % 1024) AS f
+      FROM toks
+    ),
+    dc AS (
+      SELECT doc, f, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY doc, f
+    ),
+    bk AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS c_pool,
+             CAST(COUNT(CASE WHEN is_t THEN 1 END) AS BIGINT) AS c_t
+      FROM h GROUP BY f
+    ),
+    tot AS (
+      SELECT SUM(c_pool) AS t_pool, SUM(c_t) AS t_t FROM bk
+    ),
+    lr AS (
+      SELECT f,
+             ln((CAST(2 * c_t + 1 AS DOUBLE)
+                 * CAST(2 * t_pool + 1024 AS DOUBLE))
+                / (CAST(2 * c_pool + 1 AS DOUBLE)
+                   * CAST(2 * t_t + 1024 AS DOUBLE))) AS lr
+      FROM bk CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT doc, CAST(SUM(c) AS BIGINT) AS n_features,
+             {dsum_sql('CAST(c AS DOUBLE) * lr')} AS lw
+      FROM dc JOIN lr USING (f) GROUP BY doc
+    )
+    SELECT d.doc_id,
+           COALESCE(sc.n_features, 0) AS n_features,
+           round(COALESCE(sc.lw, 0.0), 7) AS log_weight
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN sc ON sc.doc = d.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): score every pool "
+        "document by sum of hashed-unigram counts times "
+        "ln(p_target/p_pool) with the lang='en' rows as the target "
+        "sample — the pretraining-curation resampling weight. One "
+        "tokenize+hash explode, two map-side-combined bucket "
+        "aggregates (1024-bounded), broadcast log-ratio join back, "
+        "exact-decimal per-doc sum; the smoothed ratio is a quotient "
+        "of exact integers so both engines ln() identical doubles "
+        "(operators/curation.py dsir_log_weights). Bit-exact.",
+)
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.dsir_log_weights(
+        docs, F.col("lang") == "en", "doc_id", "text", dim=1024, salt="fh"
+    )
+
+
 def _ndcg_oracle_sql(cutoff: str, k: int = 3) -> str:
     """DuckDB twin of stats.ndcg_backtest on events: same pivoted
     integer relevances, same literal discounts, same fixed fold

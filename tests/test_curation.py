@@ -231,3 +231,45 @@ def test_global_row_number_rejects_string_default_bucket_key(spark):
     df = spark.createDataFrame([("9",), ("10",), ("2",)], "k string")
     with pytest.raises(ValueError, match="bucket_key"):
         curation.global_row_number(df, ["k"]).collect()
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    de = "der schnelle braune fuchs springt wieder uber den faulen hund"
+    pool = spark.createDataFrame(
+        [
+            (1, en, "en"),                      # target member
+            (2, en + " more the of and", "en"), # target member
+            (3, en, "xx"),                      # pool doc that LOOKS like target
+            (4, de, "xx"),                      # pool doc that does not
+            (5, "", "xx"),                      # zero tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.dsir_log_weights(
+            pool, F.col("lang") == "en", "doc_id", "text", dim=256
+        ).collect()
+    }
+    assert len(out) == 5
+    # the English-looking pool doc outscores the German one
+    assert out[3].log_weight > out[4].log_weight
+    # empty doc: the empty product, not a NULL
+    assert out[5].n_features == 0 and out[5].log_weight == 0.0
+    # determinism
+    again = {
+        r.doc_id: r
+        for r in curation.dsir_log_weights(
+            pool, F.col("lang") == "en", "doc_id", "text", dim=256
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.dsir_log_weights(pool, F.col("lang") == "en", dim=1)
