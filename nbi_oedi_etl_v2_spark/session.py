@@ -79,6 +79,17 @@ def get_spark(
             "true",
         )
     )
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ad-hoc conf injection for
+    # tooling that can't reach the extra_conf parameter (tools/soak.py,
+    # bench.py). Found necessary for the sf30+ graph soaks: a 100 GB
+    # driver heap never GCs, so the ContextCleaner never deletes a
+    # finished rep's shuffle files and the SECOND rep of an iterative
+    # graph query dies on disk — spark.cleaner.periodicGC.interval=60s
+    # frees each rep's ~35 GB spill before the next begins.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if pair.strip():
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
