@@ -36,6 +36,17 @@ BLB bootstrap and the DSIR weights) + PIN + 16 oldest-first slots
 from the 33-spec r3 cohort; the 17 r3 stragglers sit at age 5 (AT
 the bound, legal) and become r9's forced fill. ``DEFER_FIRST_ROW``
 is EMPTY - no spec defers twice, as the policy requires.
+
+ROUND-9 NOTE (computed at the end of round 8, don't rediscover it):
+merge CORRECTNESS_r08 greens first (expected: 31 first rows + PIN +
+16 r3 slots -> ledger 203). The r9 forced set is then the 17 r3
+stragglers at age 6 (> bound 5) + PIN + any new TOUCH; that is ~20
+slots, leaving ~30 for the oldest-first fill (the r4 cohort, 10
+specs, reaches age 5 and fits). Bound 5 stays feasible while
+R <= 250. Graph items carried to r9 (SCALE.md round-8 section):
+memory-aware auto-broadcast thresholds for kcore/labelprop + an SSSP
+dist-join lever (TOUCH their specs when changed), and the sf30
+labelprop re-soak.
 """
 
 from __future__ import annotations
