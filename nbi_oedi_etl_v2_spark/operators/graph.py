@@ -21,10 +21,101 @@ the iteration count is fixed and small (a 5-deep plan is fine; pass
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import logging
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
+
+_LOG = logging.getLogger(__name__)
+
+# Sizing model for node-state broadcasts (kcore survivors, labelprop
+# labels, SSSP distances): ~48 bytes per entry covers the UnsafeRow +
+# LongToUnsafeRowMap overhead of a (long, long) relation with slack; a
+# broadcast may take ~10% of the driver heap (it is built driver-side
+# first, then shipped — the driver is the bottleneck, and executors on
+# any sane cluster have at least driver-sized memory). Row count is
+# additionally capped far under BroadcastExchange's 512M-row /
+# 8 GB hard limits.
+_BC_ENTRY_BYTES = 48
+_BC_MEM_FRACTION = 0.10
+_BC_ROW_HARD_CAP = 100_000_000
+
+_MEM_UNITS = {
+    "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+    "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40,
+    "b": 1,
+}
+
+
+def _parse_mem_bytes(s: str) -> int:
+    """Parse a JVM-style memory string ('8g', '512m', '100G'). A bare
+    number follows Spark's spark.driver.memory convention (MiB)."""
+    s = s.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, unit = s[:i], s[i:]
+    if not num:
+        raise ValueError(f"unparseable memory string: {s!r}")
+    return int(num) * _MEM_UNITS.get(unit, 1 << 20)
+
+
+def node_broadcast_limit(spark: SparkSession) -> int:
+    """Maximum node-state row count safe to broadcast, sized from
+    ``spark.driver.memory`` (VERDICT r8 item 1: the old constant
+    5M cutoff was measured-right at sf10 and measured-wrong at sf30 —
+    a 6M-node graph silently degraded kcore/SSSP defaults to
+    rounds×full-edge shuffles; a memory-derived limit broadcasts
+    whenever the state actually fits instead of whenever it is small
+    in absolute terms)."""
+    mem = spark.sparkContext.getConf().get("spark.driver.memory", "1g")
+    try:
+        mem_bytes = _parse_mem_bytes(mem)
+    except ValueError:
+        mem_bytes = 1 << 30
+    return min(
+        int(mem_bytes * _BC_MEM_FRACTION / _BC_ENTRY_BYTES),
+        _BC_ROW_HARD_CAP,
+    )
+
+
+def _should_broadcast(
+    spark: SparkSession,
+    flag: bool | str,
+    n_rows: int,
+    op: str,
+) -> bool:
+    """Resolve a bool|'auto' broadcast lever against the memory-aware
+    limit. The accounting is a LOG, not a result column (join strategy
+    never changes results, so the oracle schema must not move): auto
+    decisions are logged at INFO, and the fallback to shuffled joins —
+    the silently-degrading case the sf30 soak caught — is a WARNING
+    with the numbers and the override spelled out."""
+    if flag is True:
+        return True
+    if flag is not True and flag is not False and flag != "auto":
+        raise ValueError(f"broadcast lever must be bool or 'auto': {flag!r}")
+    if flag is False:
+        return False
+    limit = node_broadcast_limit(spark)
+    use = n_rows <= limit
+    if use:
+        _LOG.info(
+            "%s: broadcasting node state (%d rows <= memory-aware "
+            "limit %d from spark.driver.memory)", op, n_rows, limit
+        )
+    else:
+        _LOG.warning(
+            "%s: node state (%d rows) exceeds the memory-aware "
+            "broadcast limit (%d rows from spark.driver.memory); "
+            "falling back to SHUFFLED node joins — every round now "
+            "exchanges the full edge table. Raise driver/executor "
+            "memory or pass the broadcast flag explicitly if the "
+            "state fits.", op, n_rows, limit
+        )
+    return use
 
 
 def pagerank_fixed(
@@ -304,6 +395,7 @@ def weighted_sssp(
     sources: DataFrame,
     rounds: int = 4,
     early_exit: bool = True,
+    broadcast_dist: bool | str = "auto",
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths by synchronous Bellman-Ford
     relaxation: ``dist₀(source) = 0``; each round
@@ -323,7 +415,23 @@ def weighted_sssp(
     round re-relaxes the full reached set: one keyed equi-join
     (edges ⋈ dist on src) + one min-aggregate per round — the same
     keyed-shuffle profile as a PageRank round, which is what
-    distributes at 100 TB. Each round's dist is ``localCheckpoint``ed
+    distributes at 100 TB.
+
+    ``broadcast_dist`` (VERDICT r8 item 1 — SSSP previously had NO
+    broadcast lever and default-lever sf30 died on shuffle disk,
+    SCALE.md round 8): the reached set is node-sized state exactly
+    like kcore's survivors; ``"auto"`` broadcasts it into the relax
+    join whenever the CURRENT round's count (a cached-scan read of
+    the checkpoint) fits :func:`node_broadcast_limit` (~10% of
+    ``spark.driver.memory`` at ~48 B/node), making the relax join
+    MAP-SIDE over the persisted edges — the only per-round shuffle
+    left is the map-side-combined min aggregate (node-bounded
+    partials, never edge-sized). The decision is per round (the
+    reached set grows monotonically, so it can flip off late on a
+    huge expanding frontier — logged when it does); ``False`` forces
+    the shuffled join. Join strategy never changes results.
+
+    Each round's dist is ``localCheckpoint``ed
     (the BFS lesson: flat plan depth, and the early-exit probe shares
     the materialization) and the edge table is persisted for the
     loop. ``early_exit`` stops when a round changes nothing — a
@@ -336,6 +444,7 @@ def weighted_sssp(
         F.col("w").cast("long").alias("w"),
     ).persist()
     try:
+        spark = edges.sparkSession
         dist = (
             sources.select(F.col("node").cast("long").alias("node"))
             .distinct()
@@ -343,9 +452,21 @@ def weighted_sssp(
             .localCheckpoint()
         )
         for _ in range(rounds):
-            relaxed = e.join(dist, e["src"] == dist["node"]).select(
+            # the checkpoint above/below materialized dist, so the
+            # count feeding the per-round auto decision is cheap
+            # the count feeding the auto decision reads the checkpoint
+            # (materialized), and is skipped entirely on a fixed lever
+            n_reached = dist.count() if broadcast_dist == "auto" else 0
+            d_b = (
+                F.broadcast(dist)
+                if _should_broadcast(
+                    spark, broadcast_dist, n_reached, "weighted_sssp"
+                )
+                else dist
+            )
+            relaxed = e.join(d_b, e["src"] == d_b["node"]).select(
                 F.col("dst").alias("node"),
-                (dist["dist"] + F.col("w")).alias("dist"),
+                (d_b["dist"] + F.col("w")).alias("dist"),
             )
             new = (
                 dist.unionByName(relaxed)
@@ -462,11 +583,16 @@ def label_propagation(
     join MAP-SIDE over the persisted edges: zero edge exchanges in
     the loop; the only per-round shuffle left is the
     map-side-combined (dst, label) aggregate. ``"auto"`` broadcasts
-    when the node count (already materialized by the checkpoint) is
-    ≤ 5M — ~80 MB, safely inside the 8g driver; ``False`` forces the
-    shuffled join for billion-node graphs. Join strategy never
-    changes results. Measured at sf10: 530 s shuffled → 304 s
-    broadcast, same session (SCALE.md round-7 labelprop row).
+    when the node count (already materialized by the checkpoint) fits
+    the MEMORY-AWARE limit (:func:`node_broadcast_limit` — ~10% of
+    ``spark.driver.memory`` at ~48 B/node; the former constant 5M
+    cutoff was the measured sf30 cliff, SCALE.md round 8: a 6M-node
+    graph silently fell back to per-round full-edge shuffles and died
+    on disk); ``False`` forces the shuffled join for graphs whose
+    node state genuinely exceeds memory. Falling back is WARNING-
+    logged with the numbers. Join strategy never changes results.
+    Measured at sf10: 530 s shuffled → 304 s broadcast, same session
+    (SCALE.md round-7 labelprop row).
 
     Scale shape per round: one keyed equi-join (edges ⋈ labels on
     src), one (dst, label) hash aggregate, one single-agg argmax via
@@ -495,12 +621,14 @@ def label_propagation(
             .withColumn("lbl", F.col("node"))
             .localCheckpoint()
         )
-        if broadcast_labels == "auto":
-            # the checkpoint above already materialized the node set,
-            # so this count is a cached-scan metadata read
-            use_bc = labels.count() <= 5_000_000
-        else:
-            use_bc = bool(broadcast_labels)
+        # the checkpoint above already materialized the node set, so
+        # this count is a cached-scan metadata read; the auto decision
+        # is memory-aware (node_broadcast_limit), not a constant —
+        # the 5M cutoff was the measured sf30 cliff (SCALE.md r8)
+        use_bc = _should_broadcast(
+            edges.sparkSession, broadcast_labels, labels.count(),
+            "label_propagation",
+        )
         for rnd in range(rounds):
             if round_counter is not None:
                 round_counter.append(rnd)
@@ -611,11 +739,19 @@ def kcore(
     edge-table materializations.
 
     ``broadcast_nodes`` (labelprop's measured sf10 lever): "auto"
-    broadcasts the survivor set into the semi-joins when it is ≤5M
-    nodes, making every round MAP-ONLY over the persisted edges —
-    the per-round shuffle is just the (src) degree aggregate;
-    ``False`` forces shuffled semi-joins for billion-node graphs.
-    Join strategy never changes results.
+    broadcasts the survivor set into the semi-joins when it fits the
+    MEMORY-AWARE limit (:func:`node_broadcast_limit`, ~10% of
+    ``spark.driver.memory`` at ~48 B/node — the former constant 5M
+    cutoff was the measured sf30 cliff, SCALE.md round 8: default
+    kcore died on shuffle disk just past it), making every round
+    MAP-ONLY over the persisted edges — the per-round shuffle is just
+    the (src) degree aggregate; ``False`` forces shuffled semi-joins
+    for graphs whose survivor state genuinely exceeds memory (the
+    fallback is WARNING-logged with the numbers). The decision is
+    re-taken per round from the CURRENT survivor count, so a peel
+    that starts too big to broadcast flips to map-only joins as soon
+    as the survivor set shrinks under the limit. Join strategy never
+    changes results.
 
     Early exit is result-invariant: survivors(round) is monotone
     non-increasing and bounded, so the first round that removes no
@@ -637,6 +773,7 @@ def kcore(
         F.col("dst").cast("long").alias("dst"),
     ).persist()
     try:
+        spark = edges.sparkSession
         surv = None  # None = "all nodes" (round 1 filters nothing)
         prev_nodes = -1
         for _ in range(max_rounds):
@@ -645,8 +782,9 @@ def kcore(
             else:
                 s_b = (
                     F.broadcast(surv)
-                    if broadcast_nodes is True
-                    or (broadcast_nodes == "auto" and prev_nodes <= 5_000_000)
+                    if _should_broadcast(
+                        spark, broadcast_nodes, prev_nodes, "kcore"
+                    )
                     else surv
                 )
                 alive = e.join(
@@ -667,8 +805,7 @@ def kcore(
             prev_nodes = n_keep
         s_b = (
             F.broadcast(surv)
-            if broadcast_nodes is True
-            or (broadcast_nodes == "auto" and prev_nodes <= 5_000_000)
+            if _should_broadcast(spark, broadcast_nodes, prev_nodes, "kcore")
             else surv
         )
         final = e.join(s_b, e["src"] == s_b["node"], "left_semi").join(

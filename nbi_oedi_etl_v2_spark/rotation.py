@@ -1,7 +1,7 @@
-"""Driver-slot rotation policy (round 8).
+"""Driver-slot rotation policy (round 9).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 201 specs.
+correctness rows per round, while the registry holds 203 specs.
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -22,36 +22,33 @@ This module encodes the bound STRUCTURALLY instead of by hand:
   + oldest-first fill to the cap (ties broken by name, so the export
     is deterministic and reproducible from this file alone).
 
-ROUND-8 STATE (executes the bound escalation computed and committed
-at the end of round 7 - see git history for the arithmetic): a
-registry of R specs refreshed at most cap=50 rows/round cannot
-guarantee a staleness bound below ceil(R/cap); with R=203 that floor
-is 5, so ``STALENESS_BOUND_ROUNDS = 5`` (bound 4 was only feasible
-while R < 180). CORRECTNESS_r07 was 50/50 green and is merged below
-(13 first rows among them). The r8 export is the forced set the
-round-7 note predicted: 31 never-verified first rows (the entire
-29-spec wave-14..26 deferral - streaming_cusum_alerts, kcore, gini,
-the logreg evaluation family - plus the two new wave-27 specs, the
-BLB bootstrap and the DSIR weights) + PIN + 16 oldest-first slots
-from the 33-spec r3 cohort; the 17 r3 stragglers sit at age 5 (AT
-the bound, legal) and become r9's forced fill. ``DEFER_FIRST_ROW``
-is EMPTY - no spec defers twice, as the policy requires.
+ROUND-9 STATE (executes the round-8 note verbatim): a registry of R
+specs refreshed at most cap=50 rows/round cannot guarantee a
+staleness bound below ceil(R/cap); with R=203 that floor is 5, so
+``STALENESS_BOUND_ROUNDS = 5``. CORRECTNESS_r08 was 50/50 green and
+is merged below (31 first rows among them -> every one of the 203
+specs now has a green driver row; the ledger has no never-verified
+specs for the first time). The r9 export is the forced set the
+round-8 note predicted: the 17 r3 stragglers reach age 6 (> bound 5)
+and are taken by the oldest-first fill BY CONSTRUCTION (they sort
+first), + PIN + TOUCH (the graph broadcast-lever trio, gini, both
+bootstrap forms, streaming CUSUM - the r9 code changes), leaving the
+rest of the 40 fill slots for the r4 cohort (10 specs at age 5) and
+the oldest r5 names. ``DEFER_FIRST_ROW`` is EMPTY - there are no
+first rows to defer.
 
-ROUND-9 NOTE (computed at the end of round 8, don't rediscover it):
-merge CORRECTNESS_r08 greens first (expected: 31 first rows + PIN +
-16 r3 slots -> ledger 203). The r9 forced set is then the 17 r3
-stragglers at age 6 (> bound 5) + PIN + any new TOUCH; that is ~20
-slots, leaving ~30 for the oldest-first fill (the r4 cohort, 10
-specs, reaches age 5 and fits). Bound 5 stays feasible while
-R <= 250. Graph items carried to r9 (SCALE.md round-8 section):
-memory-aware auto-broadcast thresholds for kcore/labelprop + an SSSP
-dist-join lever (TOUCH their specs when changed), and the sf30
-labelprop re-soak.
+ROUND-10 NOTE (computed at the end of round 9, don't rediscover it):
+merge CORRECTNESS_r09 greens first (expected: PIN + TOUCH(7) + all
+17 r3 + all 10 r4 + 13 oldest r5 names -> every r3/r4 entry moves to
+9). The r10 forced set is then just PIN + new TOUCH; the fill takes
+the ~23 remaining r5-cohort specs (age 5 at r10) first - they MUST
+all export at r10 or the bound breaks - then the r6 cohort
+oldest-first. Bound 5 stays feasible while R <= 250.
 """
 
 from __future__ import annotations
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 STALENESS_BOUND_ROUNDS = 5
 
 # Latest round with a green driver row, from CORRECTNESS_r{1..7}.json.
@@ -59,20 +56,21 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "approx_distinct_users": 5,
     "asof_last_order_per_event": 4,
     "corpus_balanced_shards": 6,
-    "corpus_budget_select": 3,
+    "corpus_budget_select": 8,
     "corpus_contamination": 5,
     "corpus_curate": 6,
+    "corpus_dsir_weights": 8,
     "corpus_global_shuffle": 6,
     "corpus_hash_split": 6,
-    "corpus_incremental_dedup": 3,
-    "corpus_length_histogram": 3,
+    "corpus_incremental_dedup": 8,
+    "corpus_length_histogram": 8,
     "corpus_mixture_sample": 6,
     "corpus_near_dedup": 7,
     "corpus_pack_chunks": 7,
     "corpus_pack_ffd": 5,
     "corpus_pack_next_fit": 7,
-    "corpus_quality_sample": 3,
-    "corpus_source_stats": 3,
+    "corpus_quality_sample": 8,
+    "corpus_source_stats": 8,
     "corpus_stratified_sample": 7,
     "corpus_weighted_reservoir": 4,
     "custkeys_1995_and_1996": 6,
@@ -80,11 +78,11 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "customer_bloom_inactive": 6,
     "customer_entity_resolution": 6,
     "customer_fuzzy_name_pairs": 5,
-    "customers_per_segment": 7,
+    "customers_per_segment": 8,
     "customers_with_open_orders": 7,
     "customers_without_orders": 6,
     "dedup_components": 7,
-    "dedup_duplicate_spans": 3,
+    "dedup_duplicate_spans": 8,
     "dedup_embedding_cosine": 7,
     "dedup_exact": 7,
     "dedup_minhash_lsh": 5,
@@ -93,12 +91,17 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "distinct_flags": 7,
     "documents_bpe_merges": 6,
     "documents_bpe_token_counts": 6,
+    "documents_hashed_features": 8,
+    "documents_nb_token_logodds": 8,
+    "documents_sliding_chunks": 8,
     "dq_profile_orders": 5,
     "embedding_normalize": 7,
-    "embedding_quantize": 3,
+    "embedding_quantize": 8,
     "embedding_semantic_dedup": 5,
     "embeddings_kmeans_lloyd": 7,
-    "etl_gapfill_hours": 3,
+    "embeddings_random_projection": 8,
+    "embeddings_triplet_mining": 8,
+    "etl_gapfill_hours": 8,
     "etl_gapfill_interp": 6,
     "etl_hourly_downsample": 5,
     "etl_incremental_agg_merge": 6,
@@ -107,29 +110,45 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "events_audience_overlap": 5,
     "events_cm_frequency_rollup": 6,
     "events_cohort_retention": 4,
+    "events_cusum_changepoints": 8,
     "events_funnel": 4,
     "events_heavy_hitters": 6,
     "events_hll_daily_rollup": 5,
     "events_hourly_anomalies": 7,
     "events_in_prior_hour": 7,
     "events_interval_attribution": 4,
-    "events_json_props_rollup": 3,
+    "events_json_props_rollup": 8,
     "events_json_roundtrip": 5,
+    "events_kaplan_meier_churn": 8,
+    "events_markov_attribution": 8,
+    "events_markov_transitions": 8,
+    "events_ndcg_backtest": 8,
     "events_orc_roundtrip": 4,
     "events_pattern_users": 6,
     "events_pit_priority_lookup": 6,
     "events_quantile_sketch_rollup": 5,
+    "events_seasonal_naive_backtest": 8,
     "events_seasonal_profile": 6,
     "ewma_alerts_batch": 6,
     "lineitem_association_rules": 7,
+    "lineitem_benford_audit": 8,
+    "lineitem_bootstrap_mean_ci": 8,
+    "lineitem_bootstrap_mean_ci_blb": 8,
+    "lineitem_conformal_interval": 8,
     "lineitem_correlation_matrix": 6,
     "lineitem_double_price_quantiles": 6,
     "lineitem_equidepth_deciles": 7,
     "lineitem_equidepth_double": 7,
     "lineitem_exact_price_quantiles": 6,
+    "lineitem_logreg_auc": 8,
+    "lineitem_logreg_calibration": 8,
+    "lineitem_logreg_cv_auc": 8,
+    "lineitem_logreg_pr_curve": 8,
     "lineitem_logreg_return_model": 7,
+    "lineitem_mad_outliers": 8,
     "lineitem_ols2_price_model": 6,
     "lineitem_ols_price_model": 6,
+    "lineitem_pca_top_component": 8,
     "lineitem_percentile_ranks": 7,
     "lineitem_price_trend": 6,
     "lineitem_stump_splits": 7,
@@ -149,15 +168,18 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "nation_customer_rollup": 7,
     "orders_aqp_revenue_estimate": 6,
     "orders_cdc_merge": 5,
-    "orders_cube": 3,
+    "orders_cube": 8,
     "orders_dp_noised_counts": 7,
     "orders_dq_constraints": 5,
     "orders_fd_violations": 7,
+    "orders_gini_by_priority": 8,
     "orders_grouping_sets": 7,
     "orders_ivm_join_delta": 5,
     "orders_k_anonymity_audit": 6,
     "orders_lineitem_join_size_agms": 7,
+    "orders_mi_feature_cells": 8,
     "orders_moving_range_avg": 5,
+    "orders_neyman_sample": 8,
     "orders_pivot_status": 7,
     "orders_psi_price_drift": 7,
     "orders_rollup": 6,
@@ -167,20 +189,25 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "orders_skipping_scan": 6,
     "orders_skyline": 5,
     "orders_snapshot_diff": 5,
+    "orders_table_fingerprint": 8,
+    "orders_table_profile": 8,
+    "orders_target_encode_priority": 8,
     "orders_window_suite": 6,
-    "orders_zorder_key": 3,
+    "orders_woe_iv_priority": 8,
+    "orders_zorder_key": 8,
     "part_copurchase_bfs": 5,
+    "part_copurchase_kcore": 8,
     "part_copurchase_labelprop": 7,
     "part_copurchase_pagerank": 5,
     "part_copurchase_sssp": 7,
     "part_copurchase_triangles": 5,
     "part_item_similarity": 6,
     "price_percentiles_by_priority": 7,
-    "q10_returned_items": 3,
-    "q11_important_parts": 3,
-    "q12_priority_lines": 3,
-    "q13_customer_distribution": 3,
-    "q14_promo_revenue": 3,
+    "q10_returned_items": 8,
+    "q11_important_parts": 8,
+    "q12_priority_lines": 8,
+    "q13_customer_distribution": 8,
+    "q14_promo_revenue": 8,
     "q15_top_supplier": 3,
     "q16_parts_supplier_counts": 3,
     "q17_small_quantity_revenue": 3,
@@ -198,7 +225,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "q7_volume_shipping": 3,
     "q8_market_share": 3,
     "q9_product_profit": 3,
-    "segment_active_customers": 7,
+    "segment_active_customers": 8,
     "sessionize_events": 7,
     "similarity_topk": 5,
     "similarity_topk_ivf": 7,
@@ -207,6 +234,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "similarity_topk_pq": 5,
     "streaming_attribution_join": 7,
     "streaming_cm_sketch": 6,
+    "streaming_cusum_alerts": 8,
     "streaming_dedup_events": 7,
     "streaming_dim_enrich": 3,
     "streaming_ewma_alerts": 7,
@@ -226,7 +254,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "text_token_stats": 7,
     "text_vocabulary": 5,
     "top10_orders_by_price": 6,
-    "topk_per_segment": 7,
+    "topk_per_segment": 8,
     "user_running_value": 7,
 }
 
@@ -238,32 +266,33 @@ PIN: frozenset[str] = frozenset({
     "topk_per_segment",
 })
 
-# TOUCH - specs whose operator code changed this round (round 8):
-# VERDICT r7 items 2-6. Every touched spec this round happens to be
-# in the never-verified forced set already (gini auto-binning in
-# stats.py -> orders_gini_by_priority; BLB/xxhash64 bootstrap in
-# workload_ext.py -> lineitem_bootstrap_mean_ci; table_profile
-# approx-NDV parameter in quality.py -> orders_table_profile; CUSUM
-# composite keys in analytics.py + streaming/ ->
-# events_cusum_changepoints, streaming_cusum_alerts), so TOUCH lists
-# them for the record without consuming extra slots. Graph-family
-# specs join this set only if the sf100 soak (item 5) forces a code
-# change there.
+# TOUCH - specs whose operator code changed this round (round 9):
+# VERDICT r8 items 1/4/5 + ADVICE r8. Graph memory-aware broadcast
+# levers + the new SSSP dist-join lever (operators/graph.py) ->
+# part_copurchase_kcore / part_copurchase_sssp /
+# part_copurchase_labelprop; gini lazy two-consumer rework (no
+# persist, in-plan chunk-total guard, projection-surviving negative
+# guard; stats.py) -> orders_gini_by_priority; the one-hash
+# Box-Muller BLB weight draw + narrow-input widening for BOTH
+# bootstrap explodes (stats.py) -> lineitem_bootstrap_mean_ci_blb,
+# lineitem_bootstrap_mean_ci; CUSUM output-schema quoting/collision
+# guard (streaming/) -> streaming_cusum_alerts.
 TOUCH: frozenset[str] = frozenset({
+    "part_copurchase_kcore",
+    "part_copurchase_sssp",
+    "part_copurchase_labelprop",
     "orders_gini_by_priority",
+    "lineitem_bootstrap_mean_ci_blb",
     "lineitem_bootstrap_mean_ci",
-    "orders_table_profile",
-    "events_cusum_changepoints",
     "streaming_cusum_alerts",
 })
 
-# ADVISED - explicit re-verification asks from VERDICT r7: none (the
-# verdict's item 1 is the never-verified forced set, item 7 is TOUCH).
+# ADVISED - explicit re-verification asks from VERDICT r8: none (the
+# verdict's items resolve to TOUCH + the forced age-6 fill).
 ADVISED: frozenset[str] = frozenset()
 
-# DEFER_FIRST_ROW - EMPTY this round, by requirement: the 29 specs
-# deferred in round 7 all take their first driver row now, and no
-# spec may sit in a deferral twice.
+# DEFER_FIRST_ROW - EMPTY: every spec has a green driver row, so
+# there are no first rows to defer.
 DEFER_FIRST_ROW: frozenset[str] = frozenset()
 
 

@@ -441,12 +441,27 @@ CUSUM_OUTPUT_SCHEMA = (
 _CUSUM_STATE_SCHEMA = "s_hi string, s_lo string, last_ms bigint"
 
 
+_CUSUM_RESERVED_COLS = ("ts", "event_id", "s_hi", "s_lo", "alert")
+
+
 def _cusum_output_schema(df: DataFrame, key_cols: list[str]) -> str:
     """Output schema for a composite-key CUSUM: key columns typed
     from the input, then the fixed (ts, event_id, s_hi, s_lo, alert)
-    tail. The single-key default reproduces CUSUM_OUTPUT_SCHEMA."""
+    tail. The single-key default reproduces CUSUM_OUTPUT_SCHEMA.
+    Key names are backtick-quoted in the DDL (ADVICE r8: a name
+    needing quoting — space, dash, reserved word — produced a parse
+    error), and a key that collides with a fixed tail column is
+    raised instead of silently shadowing it."""
+    for k in key_cols:
+        if k in _CUSUM_RESERVED_COLS:
+            raise ValueError(
+                f"key column {k!r} collides with a reserved CUSUM "
+                f"output column {_CUSUM_RESERVED_COLS}"
+            )
     key_part = ", ".join(
-        f"{k} {df.schema[k].dataType.simpleString()}" for k in key_cols
+        "`{}` {}".format(k.replace("`", "``"),
+                         df.schema[k].dataType.simpleString())
+        for k in key_cols
     )
     return (
         key_part + ", ts timestamp, event_id bigint, "
