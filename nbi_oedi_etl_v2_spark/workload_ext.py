@@ -7410,3 +7410,66 @@ def q_streaming_cusum_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_hi").alias("max_s_hi"),
         F.max("s_lo").alias("max_s_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 28 — exact rank statistics on the two-level prefix scan
+# (two_level_prefix, factored out of gini in r9): KS two-sample drift
+# and Kruskal-Wallis k-group tests.
+# ---------------------------------------------------------------------------
+
+from .operators import stats as _stats28  # noqa: E402
+
+
+@query(
+    "orders_ks_price_drift",
+    headline=True,
+    oracle=_stats28.ks_two_sample_oracle_sql(
+        "round(o_totalprice * 100)",
+        "o_orderdate < TIMESTAMP '1995-07-01'",
+        "orders",
+    ),
+    doc="EXACT two-sample Kolmogorov-Smirnov drift test: did the "
+        "order-price distribution shift across the 1995-07 cutover? "
+        "D = max |F_pre - F_post| collapses onto the pooled distinct-"
+        "cents table with inclusive prefix counts from the "
+        "distributed two-level scan (operators/stats.py "
+        "ks_two_sample; bounded tasks at any value continuity), "
+        "numerator kept as an exact DECIMAL(38,0) integer "
+        "|p_a*n_b - p_b*n_a| so the hash never meets float ECDFs. "
+        "Complements the binned PSI drift spec with the exact "
+        "all-thresholds statistic.",
+)
+def q_orders_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.col("o_orderdate") < F.to_timestamp(F.lit("1995-07-01"))
+        ).alias("pre"),
+    )
+    return _stats28.ks_two_sample(o, "cents", "pre")
+
+
+@query(
+    "orders_kruskal_priority",
+    oracle=_stats28.kruskal_wallis_oracle_sql(
+        "o_orderpriority", "round(o_totalprice * 100)", "orders"
+    ),
+    doc="EXACT tie-corrected Kruskal-Wallis H across the five order "
+        "priorities on price cents — rank-based one-way ANOVA with "
+        "no normality assumption. Rank sums collapse onto the pooled "
+        "distinct-value table (midrank*2 stays integral: 2R_g = "
+        "sum c_g*(2p-c+1) as DECIMAL(38,0)); per-group terms are "
+        "fixed-order double arithmetic and the k-row term sum rides "
+        "the DECIMAL(38,10) cast so combine order cannot float "
+        "(operators/stats.py kruskal_wallis). Per-group unsummed "
+        "rows, the WOE-IV precedent.",
+)
+def q_orders_kruskal_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return _stats28.kruskal_wallis(o, "o_orderpriority", "cents")
