@@ -2475,3 +2475,209 @@ def kruskal_wallis_oracle_sql(
            END, 7) AS h_tie
     FROM summed
     """
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+    ts_col: str,
+    cutoff: str,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the standard
+    experimentation-platform move: shrink a post-period metric's
+    variance using each unit's PRE-period covariate, so A/B tests
+    need fewer units for the same power. X = unit's pre-cutoff sum
+    of ``value_col``, Y = post-cutoff sum (units missing a period
+    contribute 0 there — the platform convention);
+    θ = cov(X,Y)/var(X); adjusted variance var(Y−θX) =
+    var_y − cov²/var_x; reduction = 1 − var_adj/var_y = ρ².
+
+    Shape: one (unit)-keyed aggregate to unit-level sums (exact
+    decimals), then ONE map-side-combined global moment aggregate
+    (n, Σx, Σy, Σxx, Σyy, Σxy through the DECIMAL(38,10) cast — the
+    dsum convention, combine-order-proof), then fixed-order double
+    readout the SQL twin replays token-for-token. Sample (n−1)
+    variances. Returns ONE row: (n_units, theta, mean_x, mean_y,
+    var_y, var_y_adj, var_reduction), 7 dp; n < 2 or var_x = 0 →
+    NULL theta/adjusted columns (no covariate signal).
+    """
+    from ..functions import dsum
+
+    u = F.col(f"`{unit_col}`")
+    val = F.col(f"`{value_col}`").cast("double")
+    ts = F.col(f"`{ts_col}`")
+    cut = F.lit(cutoff).cast("timestamp")
+    per_unit = df.groupBy(u.alias("unit")).agg(
+        dsum(F.when(ts < cut, val).otherwise(F.lit(0.0))).alias("x"),
+        dsum(F.when(ts >= cut, val).otherwise(F.lit(0.0))).alias("y"),
+    )
+    m = per_unit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_units").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # sample variances: (n·Σaa − Σa²) / (n·(n−1))
+    var_y = vary_n / (n * (n - F.lit(1.0)))
+    theta = cov_n / varx_n
+    var_adj = (vary_n - cov_n * cov_n / varx_n) / (n * (n - F.lit(1.0)))
+    ok = (F.col("n_units") > 1) & (varx_n > 0)
+    return m.select(
+        "n_units",
+        F.round(F.when(ok, theta), 7).alias("theta"),
+        F.round(F.col("sx") / n, 7).alias("mean_x"),
+        F.round(F.col("sy") / n, 7).alias("mean_y"),
+        F.round(F.when(F.col("n_units") > 1, var_y), 7).alias("var_y"),
+        F.round(F.when(ok, var_adj), 7).alias("var_y_adj"),
+        F.round(
+            F.when(ok & (vary_n > 0), F.lit(1.0) - var_adj / var_y), 7
+        ).alias("var_reduction"),
+    )
+
+
+def cuped_oracle_sql(
+    unit_expr: str, value_expr: str, ts_expr: str, cutoff: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`cuped_adjustment`, token-for-token
+    (dsum-convention decimal sums, VARCHAR-routed decimal→double)."""
+    from ..functions import dsum_sql
+
+    return f"""
+    WITH per_unit AS (
+      SELECT {unit_expr} AS unit,
+             {dsum_sql(f"CASE WHEN {ts_expr} < TIMESTAMP '{cutoff}' "
+                       f"THEN CAST({value_expr} AS DOUBLE) ELSE 0.0 END")}
+               AS x,
+             {dsum_sql(f"CASE WHEN {ts_expr} >= TIMESTAMP '{cutoff}' "
+                       f"THEN CAST({value_expr} AS DOUBLE) ELSE 0.0 END")}
+               AS y
+      FROM {source} GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+             {dsum_sql('x * x')} AS sxx, {dsum_sql('y * y')} AS syy,
+             {dsum_sql('x * y')} AS sxy
+      FROM per_unit
+    )
+    SELECT n_units,
+      round(CASE WHEN n_units > 1
+                  AND CAST(n_units AS DOUBLE) * sxx - sx * sx > 0 THEN
+        (CAST(n_units AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n_units AS DOUBLE) * sxx - sx * sx) END, 7) AS theta,
+      round(sx / CAST(n_units AS DOUBLE), 7) AS mean_x,
+      round(sy / CAST(n_units AS DOUBLE), 7) AS mean_y,
+      round(CASE WHEN n_units > 1 THEN
+        (CAST(n_units AS DOUBLE) * syy - sy * sy)
+          / (CAST(n_units AS DOUBLE) * (CAST(n_units AS DOUBLE) - 1.0))
+        END, 7) AS var_y,
+      round(CASE WHEN n_units > 1
+                  AND CAST(n_units AS DOUBLE) * sxx - sx * sx > 0 THEN
+        ((CAST(n_units AS DOUBLE) * syy - sy * sy)
+         - (CAST(n_units AS DOUBLE) * sxy - sx * sy)
+           * (CAST(n_units AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_units AS DOUBLE) * sxx - sx * sx))
+          / (CAST(n_units AS DOUBLE) * (CAST(n_units AS DOUBLE) - 1.0))
+        END, 7) AS var_y_adj,
+      round(CASE WHEN n_units > 1
+                  AND CAST(n_units AS DOUBLE) * sxx - sx * sx > 0
+                  AND CAST(n_units AS DOUBLE) * syy - sy * sy > 0 THEN
+        1.0 - ((CAST(n_units AS DOUBLE) * syy - sy * sy)
+               - (CAST(n_units AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(n_units AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_units AS DOUBLE) * sxx - sx * sx))
+              / (CAST(n_units AS DOUBLE) * (CAST(n_units AS DOUBLE) - 1.0))
+              / ((CAST(n_units AS DOUBLE) * syy - sy * sy)
+                 / (CAST(n_units AS DOUBLE)
+                    * (CAST(n_units AS DOUBLE) - 1.0)))
+        END, 7) AS var_reduction
+    FROM m
+    """
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_flag: str,
+    success_flag: str,
+) -> DataFrame:
+    """Two-proportion z-test on exact counts — the A/B conversion
+    readout. ``group_flag`` boolean (true → arm A), ``success_flag``
+    boolean. z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with the
+    pooled p̂; every input to the double readout is an exact BIGINT
+    count from ONE map-side-combined aggregate, so the SQL twin
+    matches bit-for-bit (√ is correctly rounded on both engines).
+    Returns ONE row: (n_a, n_b, conv_a, conv_b, p_a, p_b, z), 7 dp;
+    an empty arm or a degenerate pooled rate (0 or 1) → NULL z.
+    """
+    g = F.col(f"`{group_flag}`").cast("boolean")
+    s = F.col(f"`{success_flag}`").cast("boolean")
+    m = df.agg(
+        F.sum(F.when(g, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~g, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(g & s, 1).otherwise(0)).cast("bigint").alias("conv_a"),
+        F.sum(F.when((~g) & s, 1).otherwise(0)).cast("bigint").alias("conv_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (pp > 0) & (pp < 1)
+    return m.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(F.when(F.col("n_a") > 0, pa), 7).alias("p_a"),
+        F.round(F.when(F.col("n_b") > 0, pb), 7).alias("p_b"),
+        F.round(F.when(ok, (pa - pb) / se), 7).alias("z"),
+    )
+
+
+def two_proportion_ztest_oracle_sql(
+    group_expr: str, success_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`two_proportion_ztest`."""
+    return f"""
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN {group_expr} THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN NOT ({group_expr}) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN ({group_expr}) AND ({success_expr})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN NOT ({group_expr}) AND ({success_expr})
+                 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      FROM {source}
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+      round(CASE WHEN n_a > 0 THEN
+        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 7) AS p_a,
+      round(CASE WHEN n_b > 0 THEN
+        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 7) AS p_b,
+      round(CASE WHEN n_a > 0 AND n_b > 0
+                  AND CAST(conv_a + conv_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) > 0
+                  AND CAST(conv_a + conv_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) < 1
+        THEN
+        (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        / sqrt(
+            (CAST(conv_a + conv_b AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        END, 7) AS z
+    FROM m
+    """

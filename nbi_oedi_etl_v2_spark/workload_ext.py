@@ -7473,3 +7473,64 @@ def q_orders_kruskal_priority(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return _stats28.kruskal_wallis(o, "o_orderpriority", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Wave 29 — the experimentation family: CUPED variance reduction and
+# the two-proportion z readout, both single-aggregate moment forms.
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_cuped_adjustment",
+    oracle=_stats28.cuped_oracle_sql(
+        "user_id", "value", "ts", "2024-01-16 00:00:00", "events"
+    ),
+    doc="CUPED variance reduction (Deng et al. 2013): per-user pre-"
+        "period value sums as the covariate for the post-period "
+        "metric — theta = cov/var, adjusted variance var_y - "
+        "cov^2/var_x, reduction = rho^2. One user-keyed aggregate to "
+        "exact-decimal unit sums, one map-side-combined global "
+        "moment aggregate through the DECIMAL(38,10) cast, "
+        "fixed-order double readout (operators/stats.py "
+        "cuped_adjustment). The experimentation-platform must-have "
+        "at any N: nothing after the moments is data-sized.",
+)
+def q_events_cuped_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _stats28.cuped_adjustment(
+        ev, "user_id", "value", "ts", "2024-01-16 00:00:00"
+    )
+
+
+@query(
+    "events_ab_proportion_test",
+    oracle=_stats28.two_proportion_ztest_oracle_sql(
+        "arm_a",
+        "converted",
+        "(SELECT user_id % 2 = 0 AS arm_a, "
+        "bool_or(event_type = 'purchase') AS converted "
+        "FROM events GROUP BY user_id)",
+    ),
+    doc="Two-proportion z-test on exact counts — the A/B conversion "
+        "readout (unit = user, arm by deterministic user-id parity, "
+        "converted = user had any purchase event): one user-keyed "
+        "aggregate to per-unit conversion flags, then ONE map-side-"
+        "combined aggregate of four BIGINT counts, pooled-variance z "
+        "as a fixed-order double expression (sqrt is correctly "
+        "rounded on both engines) (operators/stats.py "
+        "two_proportion_ztest).",
+)
+def q_events_ab_proportion_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", True).otherwise(False)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("arm_a"), "converted"
+    )
+    return _stats28.two_proportion_ztest(per_user, "arm_a", "converted")

@@ -1,0 +1,94 @@
+"""Wave-29 experimentation family: CUPED variance reduction and the
+two-proportion z-test."""
+
+import math
+
+import pytest
+
+
+def _cuped_reference(pairs):
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    var_y = vary_n / (n * (n - 1))
+    theta = cov_n / varx_n
+    var_adj = (vary_n - cov_n * cov_n / varx_n) / (n * (n - 1))
+    return theta, var_y, var_adj, 1.0 - var_adj / var_y
+
+
+def test_cuped_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import cuped_adjustment
+
+    # three users with pre (x) and post (y) sums; perfect x→y signal
+    # for u1/u2, noise on u3
+    rows = []
+    data = {"u1": (10.0, 20.0), "u2": (20.0, 40.0), "u3": (30.0, 50.0)}
+    for u, (x, y) in data.items():
+        rows.append((u, x, "2024-01-01 00:00:00"))
+        rows.append((u, y, "2024-02-01 00:00:00"))
+    df = spark.createDataFrame(
+        rows, "u string, v double, t string"
+    ).selectExpr("u", "v", "CAST(t AS TIMESTAMP) AS t")
+    out = cuped_adjustment(df, "u", "v", "t", "2024-01-15 00:00:00")
+    r = out.collect()[0]
+    theta, var_y, var_adj, red = _cuped_reference(list(data.values()))
+    assert r.n_units == 3
+    assert r.theta == pytest.approx(round(theta, 7), abs=1e-9)
+    assert r.var_y == pytest.approx(round(var_y, 7), abs=1e-9)
+    assert r.var_y_adj == pytest.approx(round(var_adj, 7), abs=1e-9)
+    assert r.var_reduction == pytest.approx(round(red, 7), abs=1e-9)
+    # CUPED can only help: adjusted variance never exceeds raw
+    assert r.var_y_adj <= r.var_y
+
+
+def test_cuped_degenerate_covariate(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import cuped_adjustment
+
+    # identical pre-period sums → var_x = 0 → no signal, NULL theta
+    rows = [
+        ("u1", 5.0, "2024-01-01 00:00:00"),
+        ("u2", 5.0, "2024-01-01 00:00:00"),
+        ("u1", 7.0, "2024-02-01 00:00:00"),
+        ("u2", 9.0, "2024-02-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, v double, t string"
+    ).selectExpr("u", "v", "CAST(t AS TIMESTAMP) AS t")
+    r = cuped_adjustment(df, "u", "v", "t", "2024-01-15 00:00:00").collect()[0]
+    assert r.theta is None and r.var_y_adj is None
+    assert r.var_y == pytest.approx(2.0, abs=1e-9)  # var({7,9})
+
+
+def test_two_proportion_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import two_proportion_ztest
+
+    rows = [(True, s) for s in (True, True, False, False)] + [
+        (False, s) for s in (True, False, False, False)
+    ]
+    df = spark.createDataFrame(rows, "g boolean, s boolean")
+    r = two_proportion_ztest(df, "g", "s").collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (4, 4, 2, 1)
+    pp = 3 / 8
+    se = math.sqrt(pp * (1 - pp) * (1 / 4 + 1 / 4))
+    assert r.z == pytest.approx(round((0.5 - 0.25) / se, 7), abs=1e-9)
+
+
+def test_two_proportion_degenerate(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import two_proportion_ztest
+
+    # all successes → pooled rate 1 → NULL z (se would be 0)
+    df = spark.createDataFrame(
+        [(True, True), (False, True)], "g boolean, s boolean"
+    )
+    r = two_proportion_ztest(df, "g", "s").collect()[0]
+    assert r.z is None and r.p_a == 1.0 and r.p_b == 1.0
+    # one empty arm
+    df2 = spark.createDataFrame([(True, True)], "g boolean, s boolean")
+    r2 = two_proportion_ztest(df2, "g", "s").collect()[0]
+    assert r2.n_b == 0 and r2.z is None and r2.p_b is None
