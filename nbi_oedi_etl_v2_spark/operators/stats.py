@@ -2681,3 +2681,114 @@ def two_proportion_ztest_oracle_sql(
         END, 7) AS z
     FROM m
     """
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_flag: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test — the continuous-metric A/B
+    readout beside :func:`two_proportion_ztest` (conversion) and
+    :func:`cuped_adjustment` (variance reduction).
+    t = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b), df by
+    Welch–Satterthwaite. ONE map-side-combined aggregate of six
+    exact-decimal moments (the dsum convention), fixed-order double
+    readout the SQL twin replays token-for-token. Returns ONE row:
+    (n_a, n_b, mean_a, mean_b, var_a, var_b, t, df), 7 dp; an arm
+    with n < 2 or a zero combined standard error → NULL t/df.
+    """
+    from ..functions import dsum
+
+    g = F.col(f"`{group_flag}`").cast("boolean")
+    x = F.col(f"`{value_col}`").cast("double")
+    m = df.agg(
+        F.sum(F.when(g, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~g, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        dsum(F.when(g, x).otherwise(F.lit(0.0))).alias("sa"),
+        dsum(F.when(~g, x).otherwise(F.lit(0.0))).alias("sb"),
+        dsum(F.when(g, x * x).otherwise(F.lit(0.0))).alias("saa"),
+        dsum(F.when(~g, x * x).otherwise(F.lit(0.0))).alias("sbb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("sa") / na
+    mean_b = F.col("sb") / nb
+    var_a = (na * F.col("saa") - F.col("sa") * F.col("sa")) / (
+        na * (na - F.lit(1.0))
+    )
+    var_b = (nb * F.col("sbb") - F.col("sb") * F.col("sb")) / (
+        nb * (nb - F.lit(1.0))
+    )
+    se2_a = var_a / na
+    se2_b = var_b / nb
+    t = (mean_a - mean_b) / F.sqrt(se2_a + se2_b)
+    dfree = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (na - F.lit(1.0))
+        + se2_b * se2_b / (nb - F.lit(1.0))
+    )
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2_a + se2_b > 0)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(F.when(F.col("n_a") > 0, mean_a), 7).alias("mean_a"),
+        F.round(F.when(F.col("n_b") > 0, mean_b), 7).alias("mean_b"),
+        F.round(F.when(F.col("n_a") > 1, var_a), 7).alias("var_a"),
+        F.round(F.when(F.col("n_b") > 1, var_b), 7).alias("var_b"),
+        F.round(F.when(ok, t), 7).alias("t"),
+        F.round(F.when(ok, dfree), 7).alias("df"),
+    )
+
+
+def welch_ttest_oracle_sql(
+    group_expr: str, value_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`welch_ttest`, token-for-token (dsum
+    decimal sums, VARCHAR-routed decimal→double casts)."""
+    from ..functions import dsum_sql
+
+    x = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN {group_expr} THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(SUM(CASE WHEN NOT ({group_expr}) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        {dsum_sql(f'CASE WHEN {group_expr} THEN {x} ELSE 0.0 END')} AS sa,
+        {dsum_sql(f'CASE WHEN NOT ({group_expr}) THEN {x} ELSE 0.0 END')}
+          AS sb,
+        {dsum_sql(f'CASE WHEN {group_expr} THEN {x} * {x} ELSE 0.0 END')}
+          AS saa,
+        {dsum_sql(
+            f'CASE WHEN NOT ({group_expr}) THEN {x} * {x} ELSE 0.0 END'
+        )} AS sbb
+      FROM {source}
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             sa, sb, saa, sbb
+      FROM m
+    ),
+    v AS (
+      SELECT *,
+             (na * saa - sa * sa) / (na * (na - 1.0)) / na AS se2_a,
+             (nb * sbb - sb * sb) / (nb * (nb - 1.0)) / nb AS se2_b
+      FROM d
+    )
+    SELECT n_a, n_b,
+      round(CASE WHEN n_a > 0 THEN sa / na END, 7) AS mean_a,
+      round(CASE WHEN n_b > 0 THEN sb / nb END, 7) AS mean_b,
+      round(CASE WHEN n_a > 1 THEN
+        (na * saa - sa * sa) / (na * (na - 1.0)) END, 7) AS var_a,
+      round(CASE WHEN n_b > 1 THEN
+        (nb * sbb - sb * sb) / (nb * (nb - 1.0)) END, 7) AS var_b,
+      round(CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0 THEN
+        (sa / na - sb / nb) / sqrt(se2_a + se2_b) END, 7) AS t,
+      round(CASE WHEN n_a > 1 AND n_b > 1 AND se2_a + se2_b > 0 THEN
+        (se2_a + se2_b) * (se2_a + se2_b)
+          / (se2_a * se2_a / (na - 1.0) + se2_b * se2_b / (nb - 1.0))
+        END, 7) AS df
+    FROM v
+    """

@@ -7534,3 +7534,24 @@ def q_events_ab_proportion_test(
         (F.col("user_id") % 2 == 0).alias("arm_a"), "converted"
     )
     return _stats28.two_proportion_ztest(per_user, "arm_a", "converted")
+
+
+@query(
+    "events_welch_value_ttest",
+    oracle=_stats28.welch_ttest_oracle_sql(
+        "user_id % 2 = 0", "value", "events"
+    ),
+    doc="Welch's unequal-variance t-test on the event value metric "
+        "across the deterministic user-parity arms — the continuous-"
+        "metric A/B readout beside the proportion test and CUPED: "
+        "ONE map-side-combined aggregate of six exact-decimal "
+        "moments, fixed-order t and Welch-Satterthwaite df readout "
+        "(operators/stats.py welch_ttest).",
+)
+def q_events_welch_value_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 0).alias("arm_a"), "value"
+    )
+    return _stats28.welch_ttest(ev, "arm_a", "value")

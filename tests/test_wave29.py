@@ -92,3 +92,43 @@ def test_two_proportion_degenerate(spark):
     df2 = spark.createDataFrame([(True, True)], "g boolean, s boolean")
     r2 = two_proportion_ztest(df2, "g", "s").collect()[0]
     assert r2.n_b == 0 and r2.z is None and r2.p_b is None
+
+
+def test_welch_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0]
+    rows = [(True, x) for x in a] + [(False, x) for x in b]
+    df = spark.createDataFrame(rows, "g boolean, x double")
+    r = welch_ttest(df, "g", "x").collect()[0]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    se2a, se2b = var(a) / len(a), var(b) / len(b)
+    t = (sum(a) / 4 - sum(b) / 3) / math.sqrt(se2a + se2b)
+    dfree = (se2a + se2b) ** 2 / (se2a**2 / 3 + se2b**2 / 2)
+    assert (r.n_a, r.n_b) == (4, 3)
+    assert r.mean_a == pytest.approx(2.5, abs=1e-9)
+    assert r.var_a == pytest.approx(round(var(a), 7), abs=1e-9)
+    assert r.t == pytest.approx(round(t, 7), abs=1e-6)
+    assert r.df == pytest.approx(round(dfree, 7), abs=1e-6)
+
+
+def test_welch_degenerate(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import welch_ttest
+
+    # constant values in both arms → zero combined se → NULL t/df
+    df = spark.createDataFrame(
+        [(True, 5.0), (True, 5.0), (False, 3.0), (False, 3.0)],
+        "g boolean, x double",
+    )
+    r = welch_ttest(df, "g", "x").collect()[0]
+    assert r.t is None and r.df is None and r.var_a == 0.0
+    # one-row arm → NULL t
+    df2 = spark.createDataFrame(
+        [(True, 1.0), (False, 2.0), (False, 3.0)], "g boolean, x double"
+    )
+    assert welch_ttest(df2, "g", "x").collect()[0].t is None
