@@ -2792,3 +2792,83 @@ def welch_ttest_oracle_sql(
         END, 7) AS df
     FROM v
     """
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns — the classical contingency audit (is order
+    priority independent of status?). ONE map-side-combined aggregate
+    to the (row, col) cell table (bounded by the category product —
+    catalog-sized), marginals from window sums ON that tiny table
+    (the MI-cells precedent: the data is never re-scanned), expected
+    counts as exact-ratio doubles, and the per-cell X² term
+    (o − e)²/e emitted UNSUMMED (the WOE-IV convention: summing k
+    doubles would reintroduce combine-order sensitivity for zero
+    diagnostic gain; the consumer folds the tiny table — the df is
+    (r−1)(c−1) with r/c also emitted). Returns one row per observed
+    cell: (row_val, col_val, n, expected, chi2_term, n_rows, n_cols),
+    7 dp.
+    """
+    from pyspark.sql import Window
+
+    r = F.col(f"`{row_col}`").cast("string")
+    c = F.col(f"`{col_col}`").cast("string")
+    cells = df.groupBy(r.alias("row_val"), c.alias("col_val")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("row_val")
+    w_col = Window.partitionBy("col_val")
+    total = F.sum("n").over(w_all).cast("double")
+    row_tot = F.sum("n").over(w_row).cast("double")
+    col_tot = F.sum("n").over(w_col).cast("double")
+    expected = row_tot * col_tot / total
+    o = F.col("n").cast("double")
+    n_rows = F.size(F.collect_set("row_val").over(w_all)).cast("bigint")
+    n_cols = F.size(F.collect_set("col_val").over(w_all)).cast("bigint")
+    return cells.select(
+        "row_val",
+        "col_val",
+        "n",
+        F.round(expected, 7).alias("expected"),
+        F.round((o - expected) * (o - expected) / expected, 7).alias(
+            "chi2_term"
+        ),
+        n_rows.alias("n_rows"),
+        n_cols.alias("n_cols"),
+    )
+
+
+def chi2_independence_oracle_sql(
+    row_expr: str, col_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`chi2_independence` — the same cell
+    aggregate, window marginals and fixed-order double terms."""
+    return f"""
+    WITH cells AS (
+      SELECT CAST({row_expr} AS VARCHAR) AS row_val,
+             CAST({col_expr} AS VARCHAR) AS col_val,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM {source} GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT *,
+             CAST(SUM(n) OVER () AS DOUBLE) AS total,
+             CAST(SUM(n) OVER (PARTITION BY row_val) AS DOUBLE) AS row_tot,
+             CAST(SUM(n) OVER (PARTITION BY col_val) AS DOUBLE) AS col_tot,
+             CAST(COUNT(DISTINCT row_val) OVER () AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT col_val) OVER () AS BIGINT) AS n_cols
+      FROM cells
+    )
+    SELECT row_val, col_val, n,
+           round(row_tot * col_tot / total, 7) AS expected,
+           round((CAST(n AS DOUBLE) - row_tot * col_tot / total)
+                 * (CAST(n AS DOUBLE) - row_tot * col_tot / total)
+                 / (row_tot * col_tot / total), 7) AS chi2_term,
+           n_rows, n_cols
+    FROM marg
+    """

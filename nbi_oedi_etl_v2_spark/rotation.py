@@ -1,7 +1,7 @@
 """Driver-slot rotation policy (round 9).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 208 specs
+correctness rows per round, while the registry holds 209 specs
 (203 + the wave-28 rank statistics and wave-29 experimentation
 family added this round).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
@@ -26,7 +26,7 @@ This module encodes the bound STRUCTURALLY instead of by hand:
 
 ROUND-9 STATE (executes the round-8 note verbatim): a registry of R
 specs refreshed at most cap=50 rows/round cannot guarantee a
-staleness bound below ceil(R/cap); with R=208 that floor is 5, so
+staleness bound below ceil(R/cap); with R=209 that floor is 5, so
 ``STALENESS_BOUND_ROUNDS = 5``. CORRECTNESS_r08 was 50/50 green and
 is merged below (31 first rows among them -> every one of the 203
 r8-era specs has a green driver row). The r9 export is the forced
@@ -34,16 +34,17 @@ set the round-8 note predicted: the 17 r3 stragglers reach age 6
 (> bound 5) and are taken by the oldest-first fill BY CONSTRUCTION
 (they sort first), + PIN + TOUCH (the graph broadcast-lever trio,
 gini, both bootstrap forms, streaming CUSUM - the r9 code changes)
-+ the 5 never-verified wave-28/29 specs (KS drift,
-Kruskal-Wallis, CUPED, two-proportion z, Welch t), leaving the rest of the
-fill for the r4 cohort (10 specs at age 5) and the 8 oldest r5
++ the 6 never-verified wave-28/29 specs (KS drift,
+Kruskal-Wallis, CUPED, two-proportion z, Welch t, chi-square
+independence), leaving the rest of the
+fill for the r4 cohort (10 specs at age 5) and the 7 oldest r5
 names. ``DEFER_FIRST_ROW`` is EMPTY.
 
 ROUND-10 NOTE (computed at the end of round 9, don't rediscover it):
-merge CORRECTNESS_r09 greens first (expected: PIN + TOUCH(7) + 5
-wave-28/29 first rows + all 17 r3 + all 10 r4 + 8 oldest r5 names ->
+merge CORRECTNESS_r09 greens first (expected: PIN + TOUCH(7) + 6
+wave-28/29 first rows + all 17 r3 + all 10 r4 + 7 oldest r5 names ->
 every r3/r4 entry moves to 9). The r10 forced set is then just PIN +
-new TOUCH; the fill takes the ~28 remaining r5-cohort specs (age 5
+new TOUCH; the fill takes the ~29 remaining r5-cohort specs (age 5
 at r10) first - they MUST all export at r10 or the bound breaks -
 then the r6 cohort oldest-first. Bound 5 stays feasible while
 R <= 250.

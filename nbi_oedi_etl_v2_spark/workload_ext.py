@@ -7555,3 +7555,23 @@ def q_events_welch_value_ttest(
         (F.col("user_id") % 2 == 0).alias("arm_a"), "value"
     )
     return _stats28.welch_ttest(ev, "arm_a", "value")
+
+
+@query(
+    "orders_chi2_priority_status",
+    oracle=_stats28.chi2_independence_oracle_sql(
+        "o_orderpriority", "o_orderstatus", "orders"
+    ),
+    doc="Pearson chi-square independence audit of order priority vs "
+        "status: one map-side-combined aggregate to the catalog-"
+        "bounded contingency cells, marginals from window sums ON "
+        "the cell table (never a data re-scan), expected counts as "
+        "exact-ratio doubles and per-cell X^2 terms UNSUMMED (the "
+        "WOE-IV convention) with (r, c) emitted for the consumer's "
+        "df = (r-1)(c-1) (operators/stats.py chi2_independence).",
+)
+def q_orders_chi2_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return _stats28.chi2_independence(o, "o_orderpriority", "o_orderstatus")

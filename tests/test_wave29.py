@@ -132,3 +132,42 @@ def test_welch_degenerate(spark):
         [(True, 1.0), (False, 2.0), (False, 3.0)], "g boolean, x double"
     )
     assert welch_ttest(df2, "g", "x").collect()[0].t is None
+
+
+def test_chi2_independence_hand_computed(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import chi2_independence
+
+    # 2x2 table: rows a/b, cols x/y with counts [[10, 20], [30, 40]]
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {(o.row_val, o.col_val): o
+           for o in chi2_independence(df, "r", "c").collect()}
+    tot, ra, rb, cx, cy = 100, 30, 70, 40, 60
+    for (rv, cv), n in {("a", "x"): 10, ("a", "y"): 20,
+                        ("b", "x"): 30, ("b", "y"): 40}.items():
+        e = (ra if rv == "a" else rb) * (cx if cv == "x" else cy) / tot
+        cell = got[(rv, cv)]
+        assert cell.n == n
+        assert cell.expected == pytest.approx(round(e, 7), abs=1e-9)
+        assert cell.chi2_term == pytest.approx(
+            round((n - e) ** 2 / e, 7), abs=1e-9
+        )
+        assert (cell.n_rows, cell.n_cols) == (2, 2)
+    # independence sanity: X^2 here is the textbook 100*(10*40-20*30)^2
+    # / (30*70*40*60) = 200/63
+    x2 = sum(c.chi2_term for c in got.values())
+    assert x2 == pytest.approx(100 * (10 * 40 - 20 * 30) ** 2
+                               / (30 * 70 * 40 * 60), abs=1e-6)
+
+
+def test_chi2_perfect_independence_is_zero(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import chi2_independence
+
+    rows = [(r, c) for r in ("a", "b") for c in ("x", "y", "z")] * 5
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi2_independence(df, "r", "c").collect()
+    assert len(out) == 6
+    assert all(c.chi2_term == 0.0 for c in out)
