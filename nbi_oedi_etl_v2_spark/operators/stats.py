@@ -1485,8 +1485,10 @@ def bootstrap_mean_ci_blb(
     Poisson(λ = n/m) ≈ Normal(λ, λ) limit — z by Box-Muller from
     ONE xxhash64 split into two 26-bit uniforms (r9: the original
     12-fold Irwin-Hall draw cost 12 hashes + 12 string concats per
-    weight — measured 4.4× slower at sf0.1 for identical invariant
-    outcomes), w = max(0, round(λ + √λ·z)).
+    weight — the swap alone measured 15.7 → 11.4 s on the sf0.1
+    spec, identical invariant outcomes; the rest of that floor was
+    the narrow-scan funnel, see _widen_narrow_input),
+    w = max(0, round(λ + √λ·z)).
     λ = n^(1-gamma) (≈80 already at n = 60k), so the normal
     approximation error is far below bootstrap noise; weights are
     integers, replicate means are exact-decimal ratios (dsum), and
