@@ -51,7 +51,10 @@ _MEM_UNITS = {
 
 def _parse_mem_bytes(s: str) -> int:
     """Parse a JVM-style memory string ('8g', '512m', '100G'). A bare
-    number follows Spark's spark.driver.memory convention (MiB)."""
+    number follows Spark's spark.driver.memory convention (MiB); any
+    OTHER suffix raises (ADVICE r9: '8gib' silently parsed as 8 MiB
+    and drastically undersized the broadcast limit — the caller
+    catches ValueError and falls back to the 1g default instead)."""
     s = s.strip().lower()
     i = len(s)
     while i > 0 and not s[i - 1].isdigit():
@@ -59,7 +62,9 @@ def _parse_mem_bytes(s: str) -> int:
     num, unit = s[:i], s[i:]
     if not num:
         raise ValueError(f"unparseable memory string: {s!r}")
-    return int(num) * _MEM_UNITS.get(unit, 1 << 20)
+    if unit and unit not in _MEM_UNITS:
+        raise ValueError(f"unknown memory unit suffix: {s!r}")
+    return int(num) * (_MEM_UNITS[unit] if unit else 1 << 20)
 
 
 def node_broadcast_limit(spark: SparkSession) -> int:

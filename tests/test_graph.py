@@ -115,6 +115,13 @@ def test_parse_mem_bytes_units():
     assert _parse_mem_bytes("1024") == 1024 * (1 << 20)
     with pytest.raises(ValueError):
         _parse_mem_bytes("g")
+    # ADVICE r9: unknown suffixes must raise, not silently parse as
+    # MiB ('8gib' used to yield 8 MiB and shrivel the broadcast
+    # limit; node_broadcast_limit catches it and falls back to 1g)
+    with pytest.raises(ValueError):
+        _parse_mem_bytes("8gib")
+    with pytest.raises(ValueError):
+        _parse_mem_bytes("8 gigs")
 
 
 def test_node_broadcast_limit_is_memory_derived(spark):

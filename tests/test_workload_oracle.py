@@ -81,6 +81,26 @@ def test_driver_export_policy():
             assert age <= newest_fill, (s, age, newest_fill)
 
 
+def test_rotation_capacity_is_prospective():
+    """VERDICT r9 missing #4: a registry of R specs refreshed at most
+    cap rows/round cannot honour a staleness bound below ceil(R/cap).
+    Assert the ceiling HERE, so growth past cap*bound specs fails the
+    round the spec lands — not the round the fill first overflows."""
+    import math
+
+    from nbi_oedi_etl_v2_spark import rotation
+
+    R = len(ALL_SPECS)
+    cap = workload.DRIVER_QUERY_CAP
+    assert math.ceil(R / cap) <= rotation.STALENESS_BOUND_ROUNDS, (
+        f"registry has {R} specs; cap {cap} rows/round can only bound "
+        f"staleness at ceil({R}/{cap})={math.ceil(R / cap)} > "
+        f"{rotation.STALENESS_BOUND_ROUNDS} — raise the bound "
+        "deliberately (and update rotation.py's notes) before landing "
+        "more specs"
+    )
+
+
 def test_verified_rounds_ledger_is_plausible():
     """The ledger only names registered specs with rounds in
     [1, CURRENT_ROUND) — catches typos when it\'s updated each round."""
