@@ -784,6 +784,9 @@ def dsir_log_weights(
     if dim < 2:
         raise ValueError("dim must be >= 2")
     toks = F.explode(F.expr(_tokens(text_col))).alias("_tok")
+    # narrow-scan funnel audited r10: widening measured FLAT here
+    # (1.59 -> 1.63 s at sf0.1) — the per-token md5 is amortized by
+    # the two downstream aggregates' own exchanges; left unwidened
     base = df.select(
         F.col(f"`{id_col}`").alias("doc"),
         target_pred.alias("_is_target"),

@@ -900,7 +900,18 @@ def decode_media(df: DataFrame) -> DataFrame:
     get the deterministic byte fingerprint (``codec='raw'``); corrupt
     known-magic payloads yield ``codec='error'`` with null features.
     Batch-at-a-time keeps peak memory bounded regardless of corpus
-    size."""
+    size.
+
+    NARROW-SCAN FUNNEL (the r9 BLB finding): a small media table
+    arrives in ONE scan partition, serializing every Arrow decode
+    batch onto one core. decode_media itself stays map-only — the
+    plan pin forbids ever shuffling the (multi-MB) payload column —
+    so the widening belongs UPSTREAM of payload materialization:
+    round-robin the id/metadata rows (``_scale.widen_narrow_input``)
+    BEFORE attaching or reading payloads — worth it only when the
+    per-row decode is expensive: the JPEG spec (Huffman+IDCT)
+    measured 1.71 → 0.70 s at sf0.1, while png/wav/raw decodes
+    regressed on the exchange overhead and stay unwidened."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

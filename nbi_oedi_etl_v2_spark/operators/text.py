@@ -543,11 +543,20 @@ def hashed_features(
     Shape: one map-only explode (tokens), one (doc, index) hash
     aggregate with map-side combine — output is the sparse triple
     table (doc, feature index, value), never a dense dim-wide row.
+    The input is widened first (``_scale.widen_narrow_input``, the
+    r9 narrow-scan-funnel fix): a small documents scan arrives in ONE
+    partition, which would run every per-token md5 on one core; the
+    hash aggregate is partitioning-invariant, and a wide input passes
+    through untouched.
     """
+    from ._scale import widen_narrow_input
+
     if dim < 2:
         raise ValueError("dim must be >= 2")
     toks = F.explode(F.expr(_tokens(text_col))).alias("_tok")
-    base = df.select(F.col(f"`{id_col}`").alias("doc"), toks)
+    base = widen_narrow_input(df).select(
+        F.col(f"`{id_col}`").alias("doc"), toks
+    )
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("\x1f", F.lit(salt), F.col("_tok"))), 1, 13

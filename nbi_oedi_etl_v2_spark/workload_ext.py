@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from . import streaming
 from .functions import davg_sql, dsum_sql
 from .operators import curation, dedup, multimodal, packing, similarity, text
+from .operators._scale import widen_narrow_input
 from .tables import load_table
 from .workload import HOURLY_DOWNSAMPLE_ORACLE, REGISTRY, query
 
@@ -755,6 +756,9 @@ def _blob_byte(i: str) -> str:
     driver=False,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: the byte-fingerprint path is too cheap to amortize
+    # the round-robin exchange (r10 measured 0.46 -> 0.60 s at sf0.1;
+    # only the JPEG spec's entropy decode clears the bar)
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(docs, "doc_id", "text")
     return multimodal.decode_media(media)
@@ -784,6 +788,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the oracle reproduces width/height/pixel-sum analytically.",
 )
 def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: stdlib PNG unfilter is cheap enough that the
+    # exchange overhead dominates at small SF (0.48 -> 0.99 s)
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_synth_media(docs, "doc_id", kind="png")
     return multimodal.decode_media(media).select(
@@ -814,6 +820,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reproduces channels/rate/frames/sample-sum analytically.",
 )
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened — same measured reasoning as the PNG spec
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_synth_media(docs, "doc_id", kind="wav")
     return multimodal.decode_media(media).select(
@@ -873,8 +880,14 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode as codec='error'.",
 )
 def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
+    # widen BEFORE payload materialization (narrow-scan funnel, r10):
+    # the exchange carries ONLY media_id; the Huffman+IDCT decode is
+    # the one media path expensive enough to pay for it (measured
+    # 1.71 -> 0.70 s at sf0.1; png/wav/raw regressed and stay unwidened)
+    docs = widen_narrow_input(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id")
+        )
     )
     media = multimodal.attach_synth_media(docs, "media_id", kind="jpeg")
     corrupt = F.unhex(F.lit("FFD8" + "00" * 16))
@@ -6754,9 +6767,11 @@ def _blb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Bag-of-little-bootstraps 95% CI for the mean price — the "
         "production bootstrap at 100 TB (VERDICT r7 'What's missing' "
         "#3): 20 disjoint hash-sampled bags of n^0.6 rows, B=100 "
-        "replicates per bag with Poisson(n/m)~Normal weights from "
-        "12-fold Irwin-Hall xxhash64 uniforms (deterministic, no "
-        "RNG state), per-bag percentile bounds averaged. Resample "
+        "replicates per bag with Poisson(n/m)~Normal weights from a "
+        "Box-Muller draw on ONE xxhash64 split into two 26-bit "
+        "uniforms (deterministic, no RNG state; r9 swap from the "
+        "12-hash Irwin-Hall draw), per-bag percentile bounds "
+        "averaged. Resample "
         "work B*bags*n^0.6 instead of the md5 twin's B*N. Driver "
         "form: exact n/mean/b + covers-the-mean and CLT-width-ratio "
         "invariants (operators/stats.py bootstrap_mean_ci_blb).",
