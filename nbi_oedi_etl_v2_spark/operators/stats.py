@@ -2247,9 +2247,17 @@ def ks_two_sample(
     input carried no period label (the old behaviour silently
     bucketed NULLs into sample B).
 
-    Sample sizes are derived from the distinct-value table itself
-    (``Σca`` / ``Σcb`` — ADVICE r9 low), so the input is scanned
-    exactly once at any N.
+    SINGLE-SCAN SHAPE (r10, found by node-counting the executed
+    plan): deriving totals from a separate aggregate over ``dist``
+    canonicalizes differently per consumer once column pruning
+    diverges, so exchange reuse does NOT fire and the raw input is
+    scanned once per consumer (4× in the first r10 draft). Instead
+    every consumer — totals, the D-max, the output anchor — sits
+    ABOVE the one range exchange of :func:`two_level_prefix`, which
+    AQE provably reuses: ``cnull`` rides as a third prefix column and
+    the totals are read off the prefix itself (``max(p_c)`` = Σc,
+    inclusive prefixes of non-negative counts being non-decreasing).
+    The raw table is scanned exactly once at any N.
 
     Returns ONE row: (n_a, n_b, n_null, d_num as a decimal string,
     ks double 7 dp). Either sample empty → NULL ks (no distribution
@@ -2265,25 +2273,24 @@ def ks_two_sample(
         .cast("long")
         .alias("cnull"),
     )
-    # Totals from dist, not a second df scan; lazy + exchange reuse
-    # means the groupBy executes once for both consumers.
-    totals = dist.agg(
-        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n_a"),
-        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n_b"),
-        F.coalesce(F.sum("cnull"), F.lit(0))
-        .cast("bigint")
-        .alias("n_null"),
-    )
-    # Values observed ONLY on null-flag rows contribute no ECDF step;
-    # dropping them keeps the prefix table's per-chunk counts
-    # strictly positive (the boundary guard's sufficiency argument).
+    # Every dist row has ca+cb+cnull >= 1, so per-chunk prefix sums
+    # stay strictly positive (the boundary guard's sufficiency
+    # argument); null-only values add rows whose (p_ca, p_cb) repeat
+    # the previous step and cannot move the max below.
     pref = two_level_prefix(
-        dist.filter((F.col("ca") + F.col("cb")) > 0).drop("cnull"),
+        dist,
         [],
         "v",
-        ["ca", "cb"],
+        ["ca", "cb", "cnull"],
         range_partitions,
         "ks_two_sample",
+    )
+    totals = pref.agg(
+        F.coalesce(F.max("p_ca"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("p_cb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.max("p_cnull"), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
     )
     d0 = "decimal(38,0)"
     num = F.abs(
@@ -2337,7 +2344,7 @@ def ks_two_sample_oracle_sql(
       SELECT v,
              SUM(ca) OVER (ORDER BY v) AS pa,
              SUM(cb) OVER (ORDER BY v) AS pb
-      FROM dist WHERE ca + cb > 0
+      FROM dist
     ),
     tot AS (
       SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
@@ -2397,9 +2404,16 @@ def kruskal_wallis(
     g = F.col(f"`{group_col}`")
     v = F.col(f"`{value_col}`").cast("long")
     d0 = "decimal(38,0)"
-    dv = df.groupBy(v.alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    dgv = df.groupBy(g.alias("grp"), v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
     )
+    # The pooled distinct table folds FROM the (group, value) table
+    # instead of a second raw aggregate (r10). Final-plan audit:
+    # Catalyst collapses this agg-over-agg into a direct groupBy(v)
+    # on the raw input, so the executed plan keeps 2 column-pruned
+    # scans — each a partial-agg pipeline over (grp, v) only; scal
+    # and pref both sit above dv's exchange (reused).
+    dv = dgv.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
     pref = two_level_prefix(
         dv, [], "v", ["c"], range_partitions, "kruskal_wallis"
     )
@@ -2411,9 +2425,6 @@ def kruskal_wallis(
             F.col("c").cast(d0) * F.col("c").cast(d0) * F.col("c").cast(d0)
             - F.col("c").cast(d0)
         ).alias("_ties"),
-    )
-    dgv = df.groupBy(g.alias("grp"), v.alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("cg")
     )
     mid2 = (
         F.lit(2).cast(d0) * F.col("p_c").cast(d0)
@@ -2961,4 +2972,379 @@ def chi2_independence_oracle_sql(
                  / (row_tot * col_tot / total), 7) AS chi2_term,
            n_rows, n_cols
     FROM marg
+    """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    flag_col: str,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT Mann-Whitney U (Wilcoxon rank-sum) — the two-sample
+    rank test beside :func:`ks_two_sample` (KS asks "did the
+    distribution change anywhere"; MWU asks "did one side
+    stochastically dominate"), completing the classical rank suite
+    on the shared :func:`two_level_prefix` scan. ``flag_col``
+    (boolean) splits rows into sample A (true) and B (false);
+    values must be integers (cents convention).
+
+    Rank sums collapse onto the pooled distinct-value table exactly
+    like Kruskal-Wallis: a value with pooled count c and inclusive
+    pooled prefix p has midrank (2p−c+1)/2, so 2·R_A =
+    Σ_v ca·(2p−c+1) is an exact DECIMAL(38,0) integer, and
+    2·U_A = 2·R_A − n_a(n_a+1). The normal approximation uses the
+    tie-corrected variance σ² = (n_a·n_b/12)·((N+1) − ΣT/(N(N−1)))
+    with T = c³−c per distinct value — every input an exact decimal,
+    the z readout one fixed-order double expression the SQL twin
+    replays token-for-token.
+
+    NULL-flag semantics match :func:`ks_two_sample`: a NULL flag is
+    "membership unknown" — excluded from both samples, counted in
+    ``n_null``. Single-scan shape too (the r10 node-count finding):
+    totals are read off the prefix itself (``max(p_c)`` = Σc) with
+    ``cnull`` riding as a third prefix column, so every consumer
+    reuses the ONE range exchange and the raw input is scanned
+    exactly once. Null-only values contribute c = 0 pooled rows
+    whose rank terms vanish (ca·mid2 = 0, c³−c = 0).
+
+    Returns ONE row: (n_a, n_b, n_null, u2 = 2·U_A as a decimal
+    string, u double, z double), 7 dp; an empty arm or zero variance
+    (all values tied) → NULL z.
+    """
+    v = F.col(f"`{value_col}`").cast("long")
+    flag = F.col(f"`{flag_col}`").cast("boolean")
+    d0 = "decimal(38,0)"
+    dist = df.groupBy(v.alias("v")).agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~flag, 1).otherwise(0)).cast("long").alias("cb"),
+        F.sum(F.when(flag.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("cnull"),
+    )
+    pref = two_level_prefix(
+        dist,
+        [],
+        "v",
+        ["ca", "cb", "cnull"],
+        range_partitions,
+        "mann_whitney_u",
+    )
+    totals = pref.agg(
+        F.coalesce(F.max("p_ca"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("p_cb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.max("p_cnull"), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    c = (F.col("ca") + F.col("cb")).cast(d0)
+    p = (F.col("p_ca") + F.col("p_cb")).cast(d0)
+    mid2 = F.lit(2).cast(d0) * p - c + F.lit(1).cast(d0)
+    moments = pref.agg(
+        F.sum(F.col("ca").cast(d0) * mid2).alias("_r2a"),
+        F.sum(c * c * c - c).alias("_ties"),
+    )
+    # anchor on totals (always one row) so an all-null input still
+    # reports (0, 0, N, …) — the ks_two_sample precedent
+    out = totals.crossJoin(F.broadcast(moments))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nd = na + nb
+    u2 = F.col("_r2a") - (
+        F.col("n_a").cast(d0)
+        * (F.col("n_a").cast(d0) + F.lit(1).cast(d0))
+    )
+    u = u2.cast("string").cast("double") / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("_ties").cast("string").cast("double")
+            / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0)
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_null",
+        u2.cast("string").alias("u2"),
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), u), 7
+        ).alias("u"),
+        F.round(F.when(ok, (u - mu) / F.sqrt(var)), 7).alias("z"),
+    )
+
+
+def mann_whitney_u_oracle_sql(
+    value_expr: str, flag_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`mann_whitney_u`: one cumulative window
+    over the pooled distinct-value table, HUGEINT-exact 2·rank-sum
+    and tie term, identical fixed-order double readout (VARCHAR-routed
+    decimal→double casts)."""
+    dd = "CAST(CAST({} AS VARCHAR) AS DOUBLE)"
+    return f"""
+    WITH base AS (
+      SELECT CAST({value_expr} AS BIGINT) AS v,
+             CAST({flag_expr} AS BOOLEAN) AS flag
+      FROM {source}
+    ),
+    dist AS (
+      SELECT v,
+             SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN NOT flag THEN 1 ELSE 0 END) AS cb,
+             SUM(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS cn
+      FROM base GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+             CAST(COALESCE(SUM(cn), 0) AS BIGINT) AS n_null
+      FROM dist
+    ),
+    pref AS (
+      SELECT v, ca, cb,
+             SUM(ca + cb) OVER (ORDER BY v) AS p,
+             ca + cb AS c
+      FROM dist
+    ),
+    mom AS (
+      SELECT
+        SUM(CAST(ca AS DECIMAL(38,0))
+            * (CAST(2 AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))
+               - CAST(c AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+          AS r2a,
+        SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))
+            * CAST(c AS DECIMAL(38,0)) - CAST(c AS DECIMAL(38,0)))
+          AS ties
+      FROM pref
+    ),
+    d AS (
+      SELECT t.n_a, t.n_b, t.n_null,
+             m.r2a - CAST(t.n_a AS DECIMAL(38,0))
+               * (CAST(t.n_a AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0)))
+               AS u2,
+             CAST(t.n_a AS DOUBLE) AS na, CAST(t.n_b AS DOUBLE) AS nb,
+             {dd.format('m.ties')} AS ties_d
+      FROM tot t, mom m
+    )
+    SELECT n_a, n_b, n_null, CAST(u2 AS VARCHAR) AS u2,
+      round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+        {dd.format('u2')} / 2.0 END, 7) AS u,
+      round(CASE WHEN n_a > 0 AND n_b > 0
+                  AND na * nb / 12.0 * ((na + nb + 1.0)
+                      - ties_d / ((na + nb) * (na + nb - 1.0))) > 0
+        THEN ({dd.format('u2')} / 2.0 - na * nb / 2.0)
+           / sqrt(na * nb / 12.0 * ((na + nb + 1.0)
+                  - ties_d / ((na + nb) * (na + nb - 1.0))))
+        END, 7) AS z
+    FROM d
+    """
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT tie-corrected Spearman rank correlation, sort-free at
+    any N — the monotone-association audit (is quality score
+    monotone in document length? does price track quantity?) that a
+    naive implementation computes by globally ranking BOTH columns
+    (two total sorts, the classic scale-killer).
+
+    Shape: midranks for each variable collapse onto that variable's
+    distinct-value table (one :func:`two_level_prefix` each — bounded
+    tasks), joined onto the distinct (x, y) PAIR table, then ONE
+    exact-decimal moment aggregate. With 2·midrank r2 = 2p−c+1 and
+    Σr = N(N+1)/2 identically (midranks preserve the total), the
+    tie-corrected Pearson-on-ranks form multiplies through by 4:
+
+        ρ = (N·S_xy4 − N²(N+1)²)
+            / √(N·S_xx4 − N²(N+1)²) / √(N·S_yy4 − N²(N+1)²)
+
+    with S_xy4 = Σ_(x,y) c_xy·rx2·ry2, S_xx4 = Σ_x c_x·rx2² — every
+    term an exact DECIMAL(38,0) integer (≤ 4N⁴ < 10³⁸ at 10⁹ rows),
+    the ρ readout one fixed-order double expression the SQL twin
+    replays. Rows with a NULL in either column are excluded and
+    counted in ``n_null``.
+
+    Returns ONE row: (n, n_null, num4 = N·S_xy4 − N²(N+1)² as a
+    decimal string, rho double 7 dp); a constant column (zero rank
+    variance) → NULL rho.
+    """
+    x = F.col(f"`{x_col}`").cast("long")
+    y = F.col(f"`{y_col}`").cast("long")
+    d0 = "decimal(38,0)"
+    # ONE groupBy over the raw input — NULL keys included, so the
+    # null accounting folds from the pair table; the rank tables and
+    # the moment join all derive from it too. Final-plan audit (r10):
+    # Catalyst still plans 2 pruned scans, not 1 — it pushes the
+    # not-null filter BELOW this groupBy for the valid-pairs branch
+    # (scan-level row skipping), which beats forcing both branches
+    # through one unfiltered exchange at scale; both scans read only
+    # (x, y).
+    pairs_all = df.groupBy(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("cxy")
+    )
+    ok = F.col("x").isNotNull() & F.col("y").isNotNull()
+    counts = pairs_all.agg(
+        F.coalesce(F.sum(F.when(ok, F.col("cxy"))), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.coalesce(F.sum(F.when(~ok, F.col("cxy"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    pairs = pairs_all.filter(ok)
+
+    def rank2(col: str) -> DataFrame:
+        dv = pairs.groupBy(col).agg(
+            F.sum("cxy").cast("long").alias("c")
+        )
+        pr = two_level_prefix(
+            dv, [], col, ["c"], range_partitions, f"spearman_{col}"
+        )
+        r2 = (
+            F.lit(2).cast(d0) * F.col("p_c").cast(d0)
+            - F.col("c").cast(d0)
+            + F.lit(1).cast(d0)
+        )
+        return pr.select(
+            col, F.col("c").alias(f"c_{col}"), r2.alias(f"r2_{col}")
+        )
+
+    dx, dy = rank2("x"), rank2("y")
+    sxx = dx.agg(
+        F.sum(
+            F.col("c_x").cast(d0) * F.col("r2_x") * F.col("r2_x")
+        ).alias("_sxx4")
+    )
+    syy = dy.agg(
+        F.sum(
+            F.col("c_y").cast(d0) * F.col("r2_y") * F.col("r2_y")
+        ).alias("_syy4")
+    )
+    sxy = (
+        pairs.join(dx.drop("c_x"), "x")
+        .join(dy.drop("c_y"), "y")
+        .agg(
+            F.sum(
+                F.col("cxy").cast(d0) * F.col("r2_x") * F.col("r2_y")
+            ).alias("_sxy4")
+        )
+    )
+    staged = (
+        counts.crossJoin(F.broadcast(sxy))
+        .crossJoin(F.broadcast(sxx))
+        .crossJoin(F.broadcast(syy))
+    )
+    nD = F.col("n").cast(d0)
+    sq = nD * (nD + F.lit(1).cast(d0))  # N(N+1), squared below
+    num4 = nD * F.col("_sxy4") - sq * sq
+    dxx4 = nD * F.col("_sxx4") - sq * sq
+    dyy4 = nD * F.col("_syy4") - sq * sq
+    dd = lambda col: col.cast("string").cast("double")  # noqa: E731
+    rho = dd(num4) / F.sqrt(dd(dxx4)) / F.sqrt(dd(dyy4))
+    ok = (F.col("n") > 1) & (dd(dxx4) > 0) & (dd(dyy4) > 0)
+    return staged.select(
+        "n",
+        "n_null",
+        num4.cast("string").alias("num4"),
+        F.round(F.when(ok, rho), 7).alias("rho"),
+    )
+
+
+def spearman_corr_oracle_sql(
+    x_expr: str, y_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`spearman_corr`: cumulative windows
+    over each variable's distinct table, HUGEINT-exact 4·moments,
+    identical fixed-order double readout."""
+    dd = "CAST(CAST({} AS VARCHAR) AS DOUBLE)"
+    return f"""
+    WITH base AS (
+      SELECT CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y
+      FROM {source}
+    ),
+    cnt AS (
+      SELECT CAST(SUM(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN x IS NULL OR y IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      FROM base
+    ),
+    rows_ AS (
+      SELECT x, y FROM base WHERE x IS NOT NULL AND y IS NOT NULL
+    ),
+    dx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY x
+    ),
+    px AS (
+      SELECT x, c,
+             CAST(2 AS DECIMAL(38,0))
+               * CAST(SUM(c) OVER (ORDER BY x) AS DECIMAL(38,0))
+               - CAST(c AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))
+               AS r2x
+      FROM dx
+    ),
+    dy AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM rows_ GROUP BY y
+    ),
+    py AS (
+      SELECT y, c,
+             CAST(2 AS DECIMAL(38,0))
+               * CAST(SUM(c) OVER (ORDER BY y) AS DECIMAL(38,0))
+               - CAST(c AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))
+               AS r2y
+      FROM dy
+    ),
+    sxx AS (
+      SELECT SUM(CAST(c AS DECIMAL(38,0)) * r2x * r2x) AS sxx4 FROM px
+    ),
+    syy AS (
+      SELECT SUM(CAST(c AS DECIMAL(38,0)) * r2y * r2y) AS syy4 FROM py
+    ),
+    pairs AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM rows_ GROUP BY x, y
+    ),
+    sxy AS (
+      SELECT SUM(CAST(p.cxy AS DECIMAL(38,0)) * a.r2x * b.r2y) AS sxy4
+      FROM pairs p JOIN px a ON p.x = a.x JOIN py b ON p.y = b.y
+    ),
+    d AS (
+      SELECT c.n, c.n_null,
+             CAST(c.n AS DECIMAL(38,0)) * x.sxy4
+               - (CAST(c.n AS DECIMAL(38,0))
+                  * (CAST(c.n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               * (CAST(c.n AS DECIMAL(38,0))
+                  * (CAST(c.n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               AS num4,
+             CAST(c.n AS DECIMAL(38,0)) * a.sxx4
+               - (CAST(c.n AS DECIMAL(38,0))
+                  * (CAST(c.n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               * (CAST(c.n AS DECIMAL(38,0))
+                  * (CAST(c.n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               AS dxx4,
+             CAST(c.n AS DECIMAL(38,0)) * b.syy4
+               - (CAST(c.n AS DECIMAL(38,0))
+                  * (CAST(c.n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               * (CAST(c.n AS DECIMAL(38,0))
+                  * (CAST(c.n AS DECIMAL(38,0)) + CAST(1 AS DECIMAL(38,0))))
+               AS dyy4
+      FROM cnt c, sxy x, sxx a, syy b
+    )
+    SELECT n, n_null, CAST(num4 AS VARCHAR) AS num4,
+           round(CASE WHEN n > 1 AND {dd.format('dxx4')} > 0
+                       AND {dd.format('dyy4')} > 0 THEN
+             {dd.format('num4')} / sqrt({dd.format('dxx4')})
+               / sqrt({dd.format('dyy4')})
+           END, 7) AS rho
+    FROM d
     """

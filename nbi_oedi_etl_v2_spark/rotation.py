@@ -1,9 +1,9 @@
 """Driver-slot rotation policy (round 10).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 209 specs
-(203 + the wave-28 rank statistics and wave-29 experimentation
-family added this round).
+correctness rows per round, while the registry holds 211 specs
+(209 + the wave-30 rank statistics: Mann-Whitney U and sort-free
+Spearman, added in round 10).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -34,19 +34,21 @@ export is exactly what the round-9 note predicted: PIN + the new
 TOUCH (this round's code changes: the two-level-prefix full-outer
 boundary guard and its three consumers, the NULL-flag semantics fix
 in the two-sample tests, the graph mem-parse strictness, and the
-explode-funnel widenings) + the 29-spec r5 cohort at age 5 - they
-MUST all export this round or the bound breaks for the first time -
-with any remaining slots from the r6 cohort oldest-first.
-``DEFER_FIRST_ROW`` is EMPTY.
+explode-funnel widenings) + the 2 never-verified wave-30 specs +
+the 29-spec r5 cohort at age 5 - they MUST all export this round or
+the bound breaks for the first time - with the remaining 5 slots
+from the r6 cohort oldest-first. ``DEFER_FIRST_ROW`` is EMPTY.
 
 ROUND-11 NOTE (computed at the end of round 10, don't rediscover
-it): merge CORRECTNESS_r10 greens first (expected: PIN + TOUCH +
-all 29 r5-cohort specs -> the oldest cohort becomes r6, 43 specs at
-age 5 at r11). 43 + PIN(3) + TOUCH already presses the cap, so keep
-the r11 TOUCH small or defer fill slots - never the forced age-5
-set. Bound 5 stays feasible while R <= 250; the prospective
-capacity assert in tests/test_workload_oracle.py fails the round a
-spec lands past that ceiling.
+it): merge CORRECTNESS_r10 greens first (expected: PIN + TOUCH(12) +
+2 wave-30 first rows + all 29 r5-cohort + 5 oldest r6 names ->
+the oldest cohort becomes r6 with 38 specs at age 5 at r11). The
+r11 forced set is PIN + new TOUCH + those 38 - meaning TOUCH + any
+new-wave first rows can take at most 9 slots at r11; keep the r11
+diff tight or defer fill, never the forced age-5 set. Bound 5 stays
+feasible while R <= 250; the prospective capacity assert in
+tests/test_workload_oracle.py fails the round a spec lands past
+that ceiling.
 """
 
 from __future__ import annotations

@@ -7590,3 +7590,68 @@ def q_orders_chi2_priority_status(
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return _stats28.chi2_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Wave 30 — the remaining classical rank statistics on the shared
+# two-level prefix scan: Mann-Whitney U (stochastic dominance, the
+# two-sample sibling of Kruskal-Wallis) and sort-free tie-corrected
+# Spearman rank correlation (two prefix scans + one pair-table
+# moment aggregate instead of two global sorts).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_mannwhitney_price_drift",
+    headline=True,
+    oracle=_stats28.mann_whitney_u_oracle_sql(
+        "round(o_totalprice * 100)",
+        "o_orderdate < TIMESTAMP '1995-07-01'",
+        "orders",
+    ),
+    doc="EXACT tie-corrected Mann-Whitney U on price cents across "
+        "the 1995-07 cutover — the stochastic-dominance reading of "
+        "the same drift question the KS spec answers for shape: "
+        "2*rank-sum as a DECIMAL(38,0) integer on the pooled "
+        "distinct-cents table (one two_level_prefix, bounded tasks), "
+        "tie-corrected normal z in one fixed-order double readout "
+        "(operators/stats.py mann_whitney_u). NULL flags excluded "
+        "and counted in n_null.",
+)
+def q_orders_mannwhitney_price_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.col("o_orderdate") < F.to_timestamp(F.lit("1995-07-01"))
+        ).alias("pre"),
+    )
+    return _stats28.mann_whitney_u(o, "cents", "pre")
+
+
+@query(
+    "lineitem_spearman_qty_price",
+    headline=True,
+    oracle=_stats28.spearman_corr_oracle_sql(
+        "CAST(l_quantity AS BIGINT)", "round(l_extendedprice * 100)",
+        "lineitem",
+    ),
+    doc="EXACT tie-corrected Spearman rank correlation of quantity "
+        "vs price cents over lineitem, SORT-FREE: midranks collapse "
+        "onto each variable's distinct-value table (one "
+        "two_level_prefix each — the naive form pays two global "
+        "sorts), joined onto the distinct (qty, cents) pair table "
+        "for ONE exact-decimal moment aggregate; rho is a single "
+        "fixed-order double readout with the 4x-scaled integer "
+        "moments carried as DECIMAL(38,0) "
+        "(operators/stats.py spearman_corr).",
+)
+def q_lineitem_spearman_qty_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return _stats28.spearman_corr(li, "qty", "cents")

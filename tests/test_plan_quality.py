@@ -982,3 +982,40 @@ def test_woe_iv_one_aggregate(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "orders_woe_iv_priority")
     assert "partial_sum" in plan
     assert plan.count("FileScan") == 1
+
+
+def _final_plan_scan_count(spark, sf_dir, name: str) -> int:
+    """Raw-table scan count in the EXECUTED AQE final plan. The
+    formatted explain also prints the pre-AQE 'Initial Plan' section,
+    which triples node counts (the r10 lesson) — split it off first."""
+    import contextlib
+    import io
+    import re
+
+    df = workload.all_specs()[name].fn(spark, sf_dir)
+    df.collect()  # materialize so AQE settles the final plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    return len(re.findall(r"\bScan parquet\b", final))
+
+
+def test_rank_statistics_scan_counts(spark, sf_dir):
+    # r10: totals read off the prefix itself so every consumer reuses
+    # the ONE range exchange — a pruning-divergent rewrite silently
+    # re-scans raw per consumer (the KS draft paid 4 scans); pin it.
+    assert _final_plan_scan_count(spark, sf_dir, "orders_ks_price_drift") == 1
+    assert (
+        _final_plan_scan_count(spark, sf_dir, "orders_mannwhitney_price_drift")
+        == 1
+    )
+    # Catalyst rightly prefers pushdown over reuse for these two
+    # (collapsed agg-over-agg / not-null filter pushed below the
+    # groupBy) — 2 column-pruned scans is the intended shape, and a
+    # third would mean a new divergence crept in
+    assert _final_plan_scan_count(spark, sf_dir, "orders_kruskal_priority") <= 2
+    assert (
+        _final_plan_scan_count(spark, sf_dir, "lineitem_spearman_qty_price")
+        <= 2
+    )
