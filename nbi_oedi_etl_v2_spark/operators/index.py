@@ -99,10 +99,14 @@ def bm25_topk(
     to 5 decimals — a divergence would need a true value within 1e-15
     of a rounding boundary. Ranking ties break on doc id.
 
-    Plan: corpus scanned once; (doc, term) tfs for the ≤|query| terms
-    survive the scan filter; df-per-term and doc-length aggregates
-    join back broadcast (both bounded: |query| rows, and doc lengths
-    re-derived per matching doc, not per corpus row).
+    Plan (final-plan audited r10): the corpus is tokenized TWICE —
+    once unfiltered for the doc-length normalizer, once under the
+    pushed-down query-term filter for tf — and that is deliberate:
+    folding doclen out of an unfiltered (doc, tok) aggregate would
+    replace the second map-side tokenize (CPU-only, combines to
+    |docs| rows before any exchange) with a corpus-sized token
+    shuffle. df-per-term and the global stats join back broadcast
+    (both bounded: |query| rows and one row).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
