@@ -2247,17 +2247,20 @@ def ks_two_sample(
     input carried no period label (the old behaviour silently
     bucketed NULLs into sample B).
 
-    SINGLE-SCAN SHAPE (r10, found by node-counting the executed
-    plan): deriving totals from a separate aggregate over ``dist``
-    canonicalizes differently per consumer once column pruning
-    diverges, so exchange reuse does NOT fire and the raw input is
-    scanned once per consumer (4× in the first r10 draft). Instead
-    every consumer — totals, the D-max, the output anchor — sits
-    ABOVE the one range exchange of :func:`two_level_prefix`, which
-    AQE provably reuses: ``cnull`` rides as a third prefix column and
-    the totals are read off the prefix itself (``max(p_c)`` = Σc,
-    inclusive prefixes of non-negative counts being non-decreasing).
-    The raw table is scanned exactly once at any N.
+    PLAN SHAPE (r10, decided by fresh-process A/B + final-plan node
+    counts — both measurements matter): totals come from a direct
+    aggregate over ``dist``. Column pruning makes that branch
+    canonicalize differently from the prefix branch, so AQE exchange
+    reuse does not fire and the raw table is scanned twice — and
+    that is the RIGHT trade: the alternative "single-scan" shape
+    (totals read off the prefix via ``max(p_c)``) runs the whole
+    prefix machinery — range exchange, four windows, the full-outer
+    guard join — once per consumer (3×), which costs more than one
+    extra column-pruned scan at every scale once the distinct-value
+    table is near input-sized (warm A/B at sf0.1: 3.2 s vs 2.2 s in
+    favour of two scans). ``cnull`` rides the prefix as a third
+    column so null-only values keep per-chunk sums strictly positive
+    and the all-null edge reads d_num = 0 on both engines.
 
     Returns ONE row: (n_a, n_b, n_null, d_num as a decimal string,
     ks double 7 dp). Either sample empty → NULL ks (no distribution
@@ -2285,10 +2288,10 @@ def ks_two_sample(
         range_partitions,
         "ks_two_sample",
     )
-    totals = pref.agg(
-        F.coalesce(F.max("p_ca"), F.lit(0)).cast("bigint").alias("n_a"),
-        F.coalesce(F.max("p_cb"), F.lit(0)).cast("bigint").alias("n_b"),
-        F.coalesce(F.max("p_cnull"), F.lit(0))
+    totals = dist.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum("cnull"), F.lit(0))
         .cast("bigint")
         .alias("n_null"),
     )
@@ -3001,12 +3004,11 @@ def mann_whitney_u(
 
     NULL-flag semantics match :func:`ks_two_sample`: a NULL flag is
     "membership unknown" — excluded from both samples, counted in
-    ``n_null``. Single-scan shape too (the r10 node-count finding):
-    totals are read off the prefix itself (``max(p_c)`` = Σc) with
-    ``cnull`` riding as a third prefix column, so every consumer
-    reuses the ONE range exchange and the raw input is scanned
-    exactly once. Null-only values contribute c = 0 pooled rows
-    whose rank terms vanish (ca·mid2 = 0, c³−c = 0).
+    ``n_null``. Plan shape matches KS too (the r10 A/B): totals are
+    a direct ``dist`` aggregate — two column-pruned raw scans beat
+    re-running the prefix machinery per consumer once the distinct
+    table is near input-sized. Null-only values contribute c = 0
+    pooled rows whose rank terms vanish (ca·mid2 = 0, c³−c = 0).
 
     Returns ONE row: (n_a, n_b, n_null, u2 = 2·U_A as a decimal
     string, u double, z double), 7 dp; an empty arm or zero variance
@@ -3030,10 +3032,10 @@ def mann_whitney_u(
         range_partitions,
         "mann_whitney_u",
     )
-    totals = pref.agg(
-        F.coalesce(F.max("p_ca"), F.lit(0)).cast("bigint").alias("n_a"),
-        F.coalesce(F.max("p_cb"), F.lit(0)).cast("bigint").alias("n_b"),
-        F.coalesce(F.max("p_cnull"), F.lit(0))
+    totals = dist.agg(
+        F.coalesce(F.sum("ca"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("cb"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum("cnull"), F.lit(0))
         .cast("bigint")
         .alias("n_null"),
     )

@@ -1002,18 +1002,20 @@ def _final_plan_scan_count(spark, sf_dir, name: str) -> int:
 
 
 def test_rank_statistics_scan_counts(spark, sf_dir):
-    # r10: totals read off the prefix itself so every consumer reuses
-    # the ONE range exchange — a pruning-divergent rewrite silently
-    # re-scans raw per consumer (the KS draft paid 4 scans); pin it.
-    assert _final_plan_scan_count(spark, sf_dir, "orders_ks_price_drift") == 1
+    # r10 A/B-decided shape: TWO column-pruned raw scans per
+    # two-sample test (totals from dist + the prefix branch). The
+    # tempting "single-scan" alternative (totals via max(p_c) off the
+    # prefix) re-runs the whole prefix machinery per consumer — 3×
+    # the range-exchange/window/guard-join work, measured ~50% slower
+    # warm at sf0.1 on near-unique keys. A THIRD scan would mean a
+    # new pruning divergence crept into a consumer; pin <= 2.
+    assert _final_plan_scan_count(spark, sf_dir, "orders_ks_price_drift") <= 2
     assert (
         _final_plan_scan_count(spark, sf_dir, "orders_mannwhitney_price_drift")
-        == 1
+        <= 2
     )
-    # Catalyst rightly prefers pushdown over reuse for these two
-    # (collapsed agg-over-agg / not-null filter pushed below the
-    # groupBy) — 2 column-pruned scans is the intended shape, and a
-    # third would mean a new divergence crept in
+    # collapsed agg-over-agg / not-null filter pushed below the
+    # groupBy — 2 column-pruned scans is the intended shape here too
     assert _final_plan_scan_count(spark, sf_dir, "orders_kruskal_priority") <= 2
     assert (
         _final_plan_scan_count(spark, sf_dir, "lineitem_spearman_qty_price")
