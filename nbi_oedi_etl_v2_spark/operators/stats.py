@@ -3350,3 +3350,882 @@ def spearman_corr_oracle_sql(
            END, 7) AS rho
     FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# Wave 31 — classical-inference completion: one-way ANOVA F (the
+# parametric sibling of Kruskal-Wallis), Brown-Forsythe variance
+# homogeneity (median-centred Levene) off the same distinct-value
+# table, the two-group log-rank survival test on Kaplan-Meier's
+# per-duration machinery, and large-scale multiple testing with a
+# Benjamini-Hochberg step-up selected through the distributed prefix
+# scan instead of a single-partition global sort.
+# ---------------------------------------------------------------------------
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F test — does the metric's MEAN differ across k
+    groups, the parametric reading of the question
+    :func:`kruskal_wallis` answers for ranks. ONE map-side-combined
+    aggregate to the catalog-bounded (group) cell table of exact-
+    decimal moments (the dsum convention), then a one-row totals
+    aggregate OVER the cell table (never a data re-scan): SS_within
+    = Σ_g (Σx² − (Σx)²/n_g), SS_between = SS_total − SS_within, F =
+    (SSB/(k−1)) / (SSW/(N−k)). Per-group double terms are fixed
+    order; the k-term sums ride the DECIMAL(38,10) cast so combine
+    order cannot float — the SQL twin replays every token.
+
+    NULL semantics (the :func:`welch_ttest` convention): an
+    observation needs a non-null group AND a non-null value; every
+    other row is excluded from the moments and counted in the
+    repeated ``n_null`` output column.
+
+    Returns k rows, one per non-null group (the WOE-IV unsummed-
+    table precedent): (group, n, mean, var, n_null, k, f, df1, df2,
+    eta2); k < 2, N ≤ k or a zero SSW → NULL f. f/eta2 are rounded
+    7 dp (small magnitude); mean/var are emitted UNROUNDED — they
+    are bit-identical doubles in both engines (exact-decimal inputs,
+    identical IEEE expression order) and the driver rounds floats at
+    compare time, whereas an engine-side round(x, 7) of a ≥1e7-
+    magnitude double is the cross-engine rounding trap (DuckDB
+    multiplies by 1e7 first, which itself rounds; measured 3/1500
+    flipped cells on the BH mean column before this convention).
+    """
+    from ..functions import SUM_DECIMAL, dsum
+
+    g = F.col(f"`{group_col}`").cast("string")
+    x = F.col(f"`{value_col}`").cast("double")
+    cells = df.groupBy(g.alias("grp")).agg(
+        F.sum(F.when(x.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        dsum(F.when(x.isNotNull(), x).otherwise(F.lit(0.0))).alias("sa"),
+        dsum(F.when(x.isNotNull(), x * x).otherwise(F.lit(0.0))).alias(
+            "saa"
+        ),
+        F.sum(F.when(x.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nv"),
+    )
+    nd_g = F.col("n").cast("double")
+    cells = cells.withColumn(
+        "_ssw",
+        F.when(
+            F.col("grp").isNotNull() & (F.col("n") > 0),
+            F.col("saa") - F.col("sa") * F.col("sa") / nd_g,
+        ).otherwise(F.lit(0.0)),
+    )
+
+    def _dec(c: Column) -> Column:
+        return F.sum(c.cast(SUM_DECIMAL)).cast("double")
+
+    grp_ok = F.col("grp").isNotNull()
+    tot = cells.agg(
+        F.coalesce(
+            F.sum(F.when(grp_ok, F.col("n")).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_total"),
+        F.coalesce(
+            F.sum(
+                F.when(grp_ok & (F.col("n") > 0), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("k"),
+        _dec(F.when(grp_ok, F.col("sa")).otherwise(F.lit(0.0))).alias(
+            "_s"
+        ),
+        _dec(F.when(grp_ok, F.col("saa")).otherwise(F.lit(0.0))).alias(
+            "_ss"
+        ),
+        _dec(F.col("_ssw")).alias("_ssw_tot"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("grp").isNull(), F.col("n") + F.col("nv")
+                ).otherwise(F.col("nv"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    nd = F.col("n_total").cast("double")
+    kd = F.col("k").cast("double")
+    sst = F.col("_ss") - F.col("_s") * F.col("_s") / nd
+    ssb = sst - F.col("_ssw_tot")
+    ok = (
+        (F.col("k") > 1)
+        & (F.col("n_total") > F.col("k"))
+        & (F.col("_ssw_tot") > 0)
+    )
+    f_stat = (ssb / (kd - F.lit(1.0))) / (
+        F.col("_ssw_tot") / (nd - kd)
+    )
+    return (
+        cells.filter(grp_ok)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.when(F.col("n") > 0, F.col("sa") / nd_g).alias("mean"),
+            F.when(
+                F.col("n") > 1,
+                (nd_g * F.col("saa") - F.col("sa") * F.col("sa"))
+                / (nd_g * (nd_g - F.lit(1.0))),
+            ).alias("var"),
+            "n_null",
+            "k",
+            F.round(F.when(ok, f_stat), 7).alias("f"),
+            (F.col("k") - 1).cast("bigint").alias("df1"),
+            (F.col("n_total") - F.col("k")).cast("bigint").alias("df2"),
+            F.round(
+                F.when(ok & (sst > 0), ssb / sst), 7
+            ).alias("eta2"),
+        )
+    )
+
+
+def anova_oneway_oracle_sql(
+    group_expr: str, value_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`anova_oneway`, token-for-token (dsum
+    decimal moments, VARCHAR-routed decimal→double casts)."""
+    from ..functions import dsum_sql
+
+    x = f"CAST({value_expr} AS DOUBLE)"
+
+    def dec(expr: str) -> str:
+        return (
+            "CAST(CAST(SUM(CAST(("
+            + expr
+            + ") AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+        )
+
+    return f"""
+    WITH cells AS (
+      SELECT CAST({group_expr} AS VARCHAR) AS grp,
+        CAST(SUM(CASE WHEN {x} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n,
+        {dsum_sql(f'CASE WHEN {x} IS NOT NULL THEN {x} ELSE 0.0 END')}
+          AS sa,
+        {dsum_sql(
+            f'CASE WHEN {x} IS NOT NULL THEN {x} * {x} ELSE 0.0 END'
+        )} AS saa,
+        CAST(SUM(CASE WHEN {x} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nv
+      FROM {source} GROUP BY 1
+    ),
+    c2 AS (
+      SELECT *,
+             CASE WHEN grp IS NOT NULL AND n > 0
+                  THEN saa - sa * sa / CAST(n AS DOUBLE)
+                  ELSE 0.0 END AS ssw_term
+      FROM cells
+    ),
+    tot AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN grp IS NOT NULL THEN n ELSE 0 END),
+             0) AS BIGINT) AS n_total,
+        CAST(COALESCE(SUM(CASE WHEN grp IS NOT NULL AND n > 0
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS k,
+        {dec('CASE WHEN grp IS NOT NULL THEN sa ELSE 0.0 END')} AS s,
+        {dec('CASE WHEN grp IS NOT NULL THEN saa ELSE 0.0 END')} AS ss,
+        {dec('ssw_term')} AS ssw_tot,
+        CAST(COALESCE(SUM(CASE WHEN grp IS NULL THEN n + nv
+             ELSE nv END), 0) AS BIGINT) AS n_null
+      FROM c2
+    ),
+    d AS (
+      SELECT c2.*, tot.n_total, tot.k, tot.n_null, tot.ssw_tot,
+             ss - s * s / CAST(n_total AS DOUBLE) AS sst
+      FROM c2, tot
+      WHERE c2.grp IS NOT NULL
+    )
+    SELECT grp AS "{group_expr}",
+      n,
+      CASE WHEN n > 0 THEN sa / CAST(n AS DOUBLE) END AS mean,
+      CASE WHEN n > 1 THEN
+        (CAST(n AS DOUBLE) * saa - sa * sa)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END
+        AS var,
+      n_null, k,
+      round(CASE WHEN k > 1 AND n_total > k AND ssw_tot > 0 THEN
+        ((sst - ssw_tot) / (CAST(k AS DOUBLE) - 1.0))
+          / (ssw_tot / (CAST(n_total AS DOUBLE) - CAST(k AS DOUBLE)))
+        END, 7) AS f,
+      CAST(k - 1 AS BIGINT) AS df1,
+      CAST(n_total - k AS BIGINT) AS df2,
+      round(CASE WHEN k > 1 AND n_total > k AND ssw_tot > 0
+                  AND sst > 0
+            THEN (sst - ssw_tot) / sst END, 7) AS eta2
+    FROM d
+    """
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (the median-centred
+    Levene variant — robust to non-normality): are the k groups'
+    SPREADS equal, the diagnostic that decides whether pooled-
+    variance ANOVA is even admissible. Values must be integers
+    (cents convention).
+
+    Everything runs off the (group, value) distinct table — the raw
+    data is scanned ONCE: per-group exact lower medians come from
+    one :func:`two_level_prefix` scan (bounded tasks at any value
+    continuity; med_g = min v with 2·prefix ≥ n_g), and the absolute
+    deviations z = |v − med_g| fold back onto the SAME distinct
+    table with multiplicity weights (Σ c·z, Σ c·z² as exact
+    DECIMAL(38,0)), never a second data pass. The one-way ANOVA F on
+    the deviations reads out over the catalog-bounded group table
+    with DECIMAL(38,10)-cast term sums (the kruskal_wallis
+    precedent) — the SQL twin replays every token.
+
+    NULL semantics (the :func:`welch_ttest` convention): rows
+    missing group or value are excluded and counted in the repeated
+    ``n_null`` column.
+
+    Returns k rows: (group, n, median, mean_absdev, n_null, k,
+    f, df1, df2); k < 2, N ≤ k or zero within-group deviation →
+    NULL f. f is rounded 7 dp; mean_absdev is UNROUNDED (the
+    anova_oneway large-magnitude convention — bit-identical doubles,
+    driver-side rounding).
+    """
+    from pyspark.sql import Window
+
+    from ..functions import SUM_DECIMAL
+
+    g = F.col(f"`{group_col}`").cast("string")
+    v = F.col(f"`{value_col}`").cast("long")
+    d0 = "decimal(38,0)"
+    dgv = df.groupBy(g.alias("grp"), v.alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    bad = F.col("grp").isNull() | F.col("v").isNull()
+    totals = dgv.agg(
+        F.coalesce(F.sum(F.when(bad, F.col("cg"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_null")
+    )
+    valid = dgv.filter(~bad)
+    gtot = valid.groupBy("grp").agg(
+        F.sum("cg").cast("long").alias("n_g")
+    )
+    pref = two_level_prefix(
+        valid, ["grp"], "v", ["cg"], range_partitions, "brown_forsythe"
+    )
+    med = (
+        pref.join(F.broadcast(gtot), "grp")
+        .filter(F.lit(2) * F.col("p_cg") >= F.col("n_g"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("med"))
+    )
+    z = F.abs(F.col("v") - F.col("med")).cast(d0)
+    cgd = F.col("cg").cast(d0)
+    # deviations fold over a fresh `valid` derivation, NOT over pref:
+    # the r10 final-plan A/B measured the pref-rooted join at SIX
+    # raw scans (stats_g's prefix subtree does not stage-reuse the
+    # median pass's — column pruning diverges) vs FIVE here, at
+    # equal wall time; every scan is column-pruned to (group, value).
+    stats_g = (
+        valid.join(F.broadcast(med), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n"),
+            F.max("med").alias("median"),
+            F.sum(cgd * z).alias("_sz"),
+            F.sum(cgd * z * z).alias("_szz"),
+        )
+    )
+    szd = F.col("_sz").cast("string").cast("double")
+    szzd = F.col("_szz").cast("string").cast("double")
+    nd_g = F.col("n").cast("double")
+    staged = stats_g.withColumn(
+        "_ssw", szzd - szd * szd / nd_g
+    ).withColumn("_mean_dev", szd / nd_g)
+    w = Window.partitionBy()
+
+    def _dec(c: Column) -> Column:
+        return F.sum(c.cast(SUM_DECIMAL)).over(w).cast("double")
+
+    n_tot = F.sum("n").over(w).cast("double")
+    k = F.count(F.lit(1)).over(w).cast("bigint")
+    kd = k.cast("double")
+    s_all = _dec(szd)
+    ss_all = _dec(szzd)
+    ssw = _dec(F.col("_ssw"))
+    sst = ss_all - s_all * s_all / n_tot
+    ssb = sst - ssw
+    ok = (k > 1) & (n_tot > kd) & (ssw > 0)
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (n_tot - kd))
+    return (
+        staged.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("median").cast("bigint").alias("median"),
+            F.col("_mean_dev").alias("mean_absdev"),
+            "n_null",
+            k.alias("k"),
+            F.round(F.when(ok, f_stat), 7).alias("f"),
+            (k - F.lit(1)).cast("bigint").alias("df1"),
+            (n_tot.cast("bigint") - k).cast("bigint").alias("df2"),
+        )
+    )
+
+
+def brown_forsythe_oracle_sql(
+    group_expr: str, value_expr: str, source: str
+) -> str:
+    """DuckDB mirror of :func:`brown_forsythe`: the same distinct-
+    table medians (cumulative window per group), HUGEINT-exact
+    weighted deviation moments VARCHAR-routed to double, identical
+    fixed-order F readout."""
+    return f"""
+    WITH dgv AS (
+      SELECT CAST({group_expr} AS VARCHAR) AS grp,
+             CAST({value_expr} AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cg
+      FROM {source} GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN grp IS NULL OR v IS NULL
+             THEN cg END), 0) AS BIGINT) AS n_null
+      FROM dgv
+    ),
+    valid AS (SELECT * FROM dgv WHERE grp IS NOT NULL AND v IS NOT NULL),
+    pref AS (
+      SELECT grp, v, cg,
+             SUM(cg) OVER (PARTITION BY grp ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS p_cg,
+             SUM(cg) OVER (PARTITION BY grp) AS n_g
+      FROM valid
+    ),
+    med AS (
+      SELECT grp, MIN(v) AS med FROM pref
+      WHERE 2 * p_cg >= n_g GROUP BY grp
+    ),
+    stats_g AS (
+      SELECT valid.grp,
+             CAST(SUM(cg) AS BIGINT) AS n,
+             MAX(med) AS median,
+             SUM(CAST(cg AS DECIMAL(38,0))
+                 * CAST(ABS(v - med) AS DECIMAL(38,0))) AS sz,
+             SUM(CAST(cg AS DECIMAL(38,0))
+                 * CAST(ABS(v - med) AS DECIMAL(38,0))
+                 * CAST(ABS(v - med) AS DECIMAL(38,0))) AS szz
+      FROM valid JOIN med ON valid.grp = med.grp
+      GROUP BY valid.grp
+    ),
+    staged AS (
+      SELECT *,
+        CAST(CAST(sz AS VARCHAR) AS DOUBLE) AS szd,
+        CAST(CAST(szz AS VARCHAR) AS DOUBLE) AS szzd
+      FROM stats_g
+    ),
+    staged2 AS (
+      SELECT *,
+        szzd - szd * szd / CAST(n AS DOUBLE) AS ssw_term
+      FROM staged
+    ),
+    win AS (
+      SELECT *,
+        CAST(SUM(n) OVER () AS DOUBLE) AS n_tot,
+        CAST(COUNT(*) OVER () AS BIGINT) AS k,
+        CAST(CAST(SUM(CAST(szd AS DECIMAL(38,10))) OVER ()
+             AS VARCHAR) AS DOUBLE) AS s_all,
+        CAST(CAST(SUM(CAST(szzd AS DECIMAL(38,10))) OVER ()
+             AS VARCHAR) AS DOUBLE) AS ss_all,
+        CAST(CAST(SUM(CAST(ssw_term AS DECIMAL(38,10))) OVER ()
+             AS VARCHAR) AS DOUBLE) AS ssw
+      FROM staged2
+    )
+    SELECT grp AS "{group_expr}",
+      n,
+      CAST(median AS BIGINT) AS median,
+      szd / CAST(n AS DOUBLE) AS mean_absdev,
+      totals.n_null AS n_null,
+      k,
+      round(CASE WHEN k > 1 AND n_tot > CAST(k AS DOUBLE)
+                  AND ssw > 0 THEN
+        (((ss_all - s_all * s_all / n_tot) - ssw)
+           / (CAST(k AS DOUBLE) - 1.0))
+          / (ssw / (n_tot - CAST(k AS DOUBLE)))
+        END, 7) AS f,
+      CAST(k - 1 AS BIGINT) AS df1,
+      CAST(CAST(n_tot AS BIGINT) - k AS BIGINT) AS df2
+    FROM win, totals
+    """
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    flag_col: str,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Two-group log-rank test — do the survival curves differ, the
+    inferential companion to the Kaplan-Meier estimator (KM draws
+    the curves; log-rank says whether the gap is noise). Input is
+    one row per SUBJECT: an integer duration, an event indicator
+    (1 = event observed, 0 = right-censored at that duration), and a
+    boolean group flag (true = group A).
+
+    At every distinct duration t with d(t) events the hypergeometric
+    reading expects group A to carry e₁(t) = d·n₁/n of them, where
+    n_j(t) is the at-risk count — subjects with duration ≥ t. Risk
+    sets are SUFFIX counts, so they come from the inclusive prefix
+    scan over the distinct-duration table (n_j = N_j − p_j + r_j;
+    one :func:`two_level_prefix`, bounded tasks), never a per-t data
+    pass. Per-t terms are fixed-order doubles from exact longs and
+    their sum over the duration table rides the DECIMAL(38,10) cast
+    (the dsum convention); variance v(t) = d·(n₁/n)·(n₂/n)·(n−d)/
+    (n−1). z = (O₁−E₁)/√V, chi2 = z² (1 df).
+
+    NULL semantics (the :func:`mann_whitney_u` convention): a
+    subject missing duration, event, or flag is excluded and counted
+    in ``n_null``.
+
+    Returns ONE row: (n_a, n_b, n_null, n_events, o1, e1, v, z,
+    chi2), 7 dp; an empty arm or zero variance → NULL z/chi2.
+    """
+    from ..functions import dsum
+
+    t = F.col(f"`{duration_col}`").cast("long")
+    e = F.col(f"`{event_col}`").cast("int")
+    a = F.col(f"`{flag_col}`").cast("boolean")
+    ok_row = t.isNotNull() & e.isNotNull() & a.isNotNull()
+    dist = df.groupBy(t.alias("t")).agg(
+        F.sum(F.when(ok_row & a, 1).otherwise(0)).cast("long").alias("r1"),
+        F.sum(F.when(ok_row & ~a, 1).otherwise(0))
+        .cast("long")
+        .alias("r2"),
+        F.sum(F.when(ok_row & a & (e == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum(F.when(ok_row & ~a & (e == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("d2"),
+        F.sum(F.when(~ok_row, 1).otherwise(0)).cast("long").alias("cnull"),
+    )
+    totals = dist.agg(
+        F.coalesce(F.sum("r1"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("r2"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.col("d1") + F.col("d2")), F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.coalesce(F.sum("cnull"), F.lit(0))
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    pref = two_level_prefix(
+        dist.filter(F.col("t").isNotNull()),
+        [],
+        "t",
+        ["r1", "r2"],
+        range_partitions,
+        "logrank_test",
+    )
+    per_t = pref.crossJoin(F.broadcast(totals))
+    n1 = (F.col("n_a") - F.col("p_r1") + F.col("r1")).cast("double")
+    n2 = (F.col("n_b") - F.col("p_r2") + F.col("r2")).cast("double")
+    n = n1 + n2
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    e1_t = F.when(n > 0, d * n1 / n).otherwise(F.lit(0.0))
+    v_t = F.when(
+        n > 1,
+        d * (n1 / n) * (n2 / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    moments = per_t.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(dsum(e1_t), F.lit(0.0)).alias("_e1"),
+        F.coalesce(dsum(v_t), F.lit(0.0)).alias("_v"),
+    )
+    out = totals.crossJoin(F.broadcast(moments))
+    z = (F.col("o1").cast("double") - F.col("_e1")) / F.sqrt(F.col("_v"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("_v") > 0)
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_null",
+        "n_events",
+        "o1",
+        F.round(F.col("_e1"), 7).alias("e1"),
+        F.round(F.col("_v"), 7).alias("v"),
+        F.round(F.when(ok, z), 7).alias("z"),
+        F.round(F.when(ok, z * z), 7).alias("chi2"),
+    )
+
+
+def logrank_oracle_sql(subjects_sql: str) -> str:
+    """DuckDB mirror of :func:`logrank_test`. ``subjects_sql`` must
+    be a query producing (t, e, a) — integer duration, 0/1 event,
+    boolean group flag — one row per subject; the mirror replays the
+    distinct-duration aggregate, cumulative-window risk sets and the
+    fixed-order hypergeometric readout token-for-token."""
+    return f"""
+    WITH subj AS ({subjects_sql}),
+    dist AS (
+      SELECT CAST(t AS BIGINT) AS t,
+        CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NOT NULL
+                 AND a IS NOT NULL AND a THEN 1 ELSE 0 END) AS BIGINT)
+          AS r1,
+        CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NOT NULL
+                 AND a IS NOT NULL AND NOT a THEN 1 ELSE 0 END)
+             AS BIGINT) AS r2,
+        CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NOT NULL
+                 AND a IS NOT NULL AND a AND e = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN t IS NOT NULL AND e IS NOT NULL
+                 AND a IS NOT NULL AND NOT a AND e = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN t IS NULL OR e IS NULL OR a IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS cnull
+      FROM subj GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(COALESCE(SUM(r1), 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(SUM(r2), 0) AS BIGINT) AS n_b,
+             CAST(COALESCE(SUM(d1 + d2), 0) AS BIGINT) AS n_events,
+             CAST(COALESCE(SUM(cnull), 0) AS BIGINT) AS n_null
+      FROM dist
+    ),
+    pref AS (
+      SELECT t, r1, r2, d1, d2,
+        SUM(r1) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS p_r1,
+        SUM(r2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS p_r2
+      FROM dist WHERE t IS NOT NULL
+    ),
+    per_t AS (
+      SELECT
+        CAST(n_a - p_r1 + r1 AS DOUBLE) AS n1,
+        CAST(n_b - p_r2 + r2 AS DOUBLE) AS n2,
+        CAST(d1 + d2 AS DOUBLE) AS d,
+        d1
+      FROM pref, totals
+    ),
+    terms AS (
+      SELECT d1,
+        CASE WHEN n1 + n2 > 0 THEN d * n1 / (n1 + n2)
+             ELSE 0.0 END AS e1_t,
+        CASE WHEN n1 + n2 > 1 THEN
+          d * (n1 / (n1 + n2)) * (n2 / (n1 + n2))
+            * ((n1 + n2) - d) / ((n1 + n2) - 1.0)
+        ELSE 0.0 END AS v_t
+      FROM per_t
+    ),
+    moments AS (
+      SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o1,
+        COALESCE(CAST(CAST(SUM(CAST(e1_t AS DECIMAL(38,10)))
+                 AS VARCHAR) AS DOUBLE), 0.0) AS e1s,
+        COALESCE(CAST(CAST(SUM(CAST(v_t AS DECIMAL(38,10)))
+                 AS VARCHAR) AS DOUBLE), 0.0) AS vs
+      FROM terms
+    )
+    SELECT n_a, n_b, n_null, n_events, o1,
+      round(e1s, 7) AS e1,
+      round(vs, 7) AS v,
+      round(CASE WHEN n_a > 0 AND n_b > 0 AND vs > 0 THEN
+        (CAST(o1 AS DOUBLE) - e1s) / sqrt(vs) END, 7) AS z,
+      round(CASE WHEN n_a > 0 AND n_b > 0 AND vs > 0 THEN
+        ((CAST(o1 AS DOUBLE) - e1s) / sqrt(vs))
+          * ((CAST(o1 AS DOUBLE) - e1s) / sqrt(vs)) END, 7) AS chi2
+    FROM totals, moments
+    """
+
+
+def _norm_p_two_sided(z_abs: Column) -> Column:
+    """Two-sided normal p-value 2·(1−Φ(|z|)) via the Zelen-Severo
+    polynomial (Abramowitz & Stegun 26.2.17, |err| < 7.5e-8). Pure
+    exp/multiply arithmetic both engines evaluate identically — the
+    approximation error is deterministic and shared, so parity never
+    depends on it; the SQL twin replays the same literals in the
+    same nesting order."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z_abs)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.exp(-z_abs * z_abs / F.lit(2.0)) * F.lit(0.3989422804014327)
+    return F.lit(2.0) * pdf * poly
+
+
+def _norm_p_two_sided_sql(z_abs: str) -> str:
+    """SQL mirror of :func:`_norm_p_two_sided` (same literals, same
+    nesting; every product pairs with a double so DuckDB's decimal
+    literals promote)."""
+    t = f"(1.0 / (1.0 + 0.2316419 * {z_abs}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} "
+        f"* (1.781477937 + {t} * (-1.821255978 + {t} "
+        f"* 1.330274429)))))"
+    )
+    pdf = f"(exp(-{z_abs} * {z_abs} / 2.0) * 0.3989422804014327)"
+    return f"(2.0 * {pdf} * {poly})"
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    q: float = 0.05,
+    range_partitions: int | None = None,
+) -> DataFrame:
+    """Large-scale multiple testing with Benjamini-Hochberg FDR
+    control: screen EVERY key (clerk, segment, feature …) for a mean
+    shift against the global mean, then select discoveries by the BH
+    step-up at FDR level ``q`` — the procedure that makes
+    million-test screens honest where per-test α = 0.05 would drown
+    in false positives.
+
+    Per-key one-sample z: z_k = (x̄_k − μ)/(σ/√n_k) with μ, σ the
+    global moments (one aggregate OVER the key table — the data is
+    scanned once into the key cells, never re-scanned); two-sided
+    p from the shared Zelen-Severo Φ approximation, ROUNDED to 7 dp
+    before any BH comparison so engine-ulp differences in exp cannot
+    flip a selection. The step-up needs every p's ascending rank —
+    a global sort that must NOT become a single-partition window at
+    1e8 keys — so ranks come from one :func:`two_level_prefix` over
+    the distinct-p table (inclusive prefix = largest rank among
+    ties, exactly the lenient index BH wants), and k* = max{i :
+    p_(i) ≤ i·q/m}, p* = p_(k*) are one bounded aggregate. A key is
+    rejected iff p ≤ p*.
+
+    NULL semantics (the :func:`welch_ttest` convention): rows with a
+    NULL key or value are excluded and counted in the repeated
+    ``n_null``; a key with zero variance context (global σ = 0)
+    gets NULL z/p and a NULL rejected flag.
+
+    Returns one row per non-null key: (key, n, mean, z, p,
+    rejected, m, k_star, p_star, n_null); z/p rounded 7 dp, mean
+    UNROUNDED (the anova_oneway large-magnitude convention).
+    """
+    from ..functions import SUM_DECIMAL, dsum
+
+    k_ = F.col(f"`{key_col}`").cast("string")
+    x = F.col(f"`{value_col}`").cast("double")
+    cells = df.groupBy(k_.alias("key")).agg(
+        F.sum(F.when(x.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        dsum(F.when(x.isNotNull(), x).otherwise(F.lit(0.0))).alias("sa"),
+        dsum(F.when(x.isNotNull(), x * x).otherwise(F.lit(0.0))).alias(
+            "saa"
+        ),
+        F.sum(F.when(x.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nv"),
+    )
+
+    def _dec(c: Column) -> Column:
+        return F.sum(c.cast(SUM_DECIMAL)).cast("double")
+
+    key_ok = F.col("key").isNotNull()
+    tested = key_ok & (F.col("n") > 0)
+    tot = cells.agg(
+        F.coalesce(F.sum(F.when(tested, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias("m"),
+        F.coalesce(
+            F.sum(F.when(key_ok, F.col("n")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_total"),
+        _dec(F.when(key_ok, F.col("sa")).otherwise(F.lit(0.0))).alias(
+            "_s"
+        ),
+        _dec(F.when(key_ok, F.col("saa")).otherwise(F.lit(0.0))).alias(
+            "_ss"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("key").isNull(), F.col("n") + F.col("nv")
+                ).otherwise(F.col("nv"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_null"),
+    )
+    nd = F.col("n_total").cast("double")
+    var_g = (nd * F.col("_ss") - F.col("_s") * F.col("_s")) / (
+        nd * (nd - F.lit(1.0))
+    )
+    mu = F.col("_s") / nd
+    scored = (
+        cells.filter(tested)
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_z",
+            F.when(
+                (F.col("n_total") > 1) & (var_g > 0),
+                (F.col("sa") / F.col("n").cast("double") - mu)
+                / (
+                    F.sqrt(var_g)
+                    / F.sqrt(F.col("n").cast("double"))
+                ),
+            ),
+        )
+        .withColumn(
+            "_p", F.round(_norm_p_two_sided(F.abs(F.col("_z"))), 7)
+        )
+    )
+    dist_p = (
+        scored.filter(F.col("_p").isNotNull())
+        .groupBy("_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pref = two_level_prefix(
+        dist_p, [], "_p", ["cnt"], range_partitions, "bh_fdr"
+    )
+    sat = F.col("_p") <= (
+        F.col("p_cnt").cast("double")
+        * F.lit(float(q))
+        / F.col("m").cast("double")
+    )
+    sel = (
+        pref.crossJoin(F.broadcast(tot.select("m")))
+        .agg(
+            F.max(F.when(sat, F.col("p_cnt"))).cast("bigint").alias(
+                "k_star"
+            ),
+            F.max(F.when(sat, F.col("_p"))).alias("p_star"),
+        )
+    )
+    out = scored.crossJoin(F.broadcast(sel))
+    rejected = F.when(
+        F.col("_p").isNotNull(),
+        F.coalesce(F.col("_p") <= F.col("p_star"), F.lit(False)),
+    )
+    return out.select(
+        F.col("key").alias(key_col),
+        "n",
+        (F.col("sa") / F.col("n").cast("double")).alias("mean"),
+        F.round(F.col("_z"), 7).alias("z"),
+        F.col("_p").alias("p"),
+        rejected.alias("rejected"),
+        "m",
+        F.coalesce(F.col("k_star"), F.lit(0)).cast("bigint").alias(
+            "k_star"
+        ),
+        F.col("p_star").alias("p_star"),
+        "n_null",
+    )
+
+
+def bh_fdr_oracle_sql(
+    key_expr: str, value_expr: str, source: str, q: float = 0.05
+) -> str:
+    """DuckDB mirror of :func:`bh_fdr`: the same key cells, one-row
+    global moments, shared Φ polynomial (identical literals), ranks
+    from a cumulative window over the distinct-p table, and the same
+    7-dp-first BH comparison."""
+    from ..functions import dsum_sql
+
+    x = f"CAST({value_expr} AS DOUBLE)"
+
+    def dec(expr: str) -> str:
+        return (
+            "CAST(CAST(SUM(CAST(("
+            + expr
+            + ") AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+        )
+
+    p_expr = _norm_p_two_sided_sql("ABS(zz)")
+    return f"""
+    WITH cells AS (
+      SELECT CAST({key_expr} AS VARCHAR) AS key,
+        CAST(SUM(CASE WHEN {x} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n,
+        {dsum_sql(f'CASE WHEN {x} IS NOT NULL THEN {x} ELSE 0.0 END')}
+          AS sa,
+        {dsum_sql(
+            f'CASE WHEN {x} IS NOT NULL THEN {x} * {x} ELSE 0.0 END'
+        )} AS saa,
+        CAST(SUM(CASE WHEN {x} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS nv
+      FROM {source} GROUP BY 1
+    ),
+    tot AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN key IS NOT NULL AND n > 0
+             THEN 1 ELSE 0 END), 0) AS BIGINT) AS m,
+        CAST(COALESCE(SUM(CASE WHEN key IS NOT NULL THEN n ELSE 0 END),
+             0) AS BIGINT) AS n_total,
+        {dec('CASE WHEN key IS NOT NULL THEN sa ELSE 0.0 END')} AS s,
+        {dec('CASE WHEN key IS NOT NULL THEN saa ELSE 0.0 END')} AS ss,
+        CAST(COALESCE(SUM(CASE WHEN key IS NULL THEN n + nv
+             ELSE nv END), 0) AS BIGINT) AS n_null
+      FROM cells
+    ),
+    scored AS (
+      SELECT cells.*, tot.m, tot.n_total, tot.n_null,
+        CASE WHEN tot.n_total > 1
+              AND (CAST(tot.n_total AS DOUBLE) * tot.ss
+                   - tot.s * tot.s)
+                  / (CAST(tot.n_total AS DOUBLE)
+                     * (CAST(tot.n_total AS DOUBLE) - 1.0)) > 0
+        THEN (sa / CAST(n AS DOUBLE)
+              - tot.s / CAST(tot.n_total AS DOUBLE))
+             / (sqrt((CAST(tot.n_total AS DOUBLE) * tot.ss
+                      - tot.s * tot.s)
+                     / (CAST(tot.n_total AS DOUBLE)
+                        * (CAST(tot.n_total AS DOUBLE) - 1.0)))
+                / sqrt(CAST(n AS DOUBLE)))
+        END AS zz
+      FROM cells, tot
+      WHERE cells.key IS NOT NULL AND cells.n > 0
+    ),
+    scored2 AS (
+      SELECT *, round({p_expr}, 7) AS p FROM scored
+    ),
+    dist_p AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM scored2 WHERE p IS NOT NULL GROUP BY p
+    ),
+    pref AS (
+      SELECT p,
+        SUM(cnt) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS i
+      FROM dist_p
+    ),
+    sel AS (
+      SELECT
+        CAST(COALESCE(MAX(CASE WHEN p <= CAST(i AS DOUBLE)
+             * {q!r} / CAST(m AS DOUBLE) THEN i END), 0) AS BIGINT)
+          AS k_star,
+        MAX(CASE WHEN p <= CAST(i AS DOUBLE) * {q!r}
+             / CAST(m AS DOUBLE) THEN p END) AS p_star
+      FROM pref, tot
+    )
+    SELECT key AS "{key_expr}",
+      n,
+      sa / CAST(n AS DOUBLE) AS mean,
+      round(zz, 7) AS z,
+      p,
+      CASE WHEN p IS NOT NULL
+           THEN COALESCE(p <= p_star, FALSE) END AS rejected,
+      m, k_star, p_star, n_null
+    FROM scored2, sel
+    """

@@ -1,9 +1,11 @@
 """Driver-slot rotation policy (round 10).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
-correctness rows per round, while the registry holds 211 specs
+correctness rows per round, while the registry holds 215 specs
 (209 + the wave-30 rank statistics: Mann-Whitney U and sort-free
-Spearman, added in round 10).
+Spearman, + the wave-31 inference completion: one-way ANOVA F,
+Brown-Forsythe, log-rank, BH-FDR — all four DEFERRED to r11 for
+their first rows; both waves added in round 10).
 Rounds 1-5 hand-picked each round's export; VERDICT r5 ("What's
 wrong" #2) demanded the rotation guarantee a STALENESS BOUND -
 every spec re-earns a driver row within K rounds, or old green rows
@@ -43,10 +45,11 @@ ROUND-11 NOTE (computed at the end of round 10, don't rediscover
 it): merge CORRECTNESS_r10 greens first (expected: PIN + TOUCH(12) +
 2 wave-30 first rows + all 29 r5-cohort + 5 oldest r6 names ->
 the oldest cohort becomes r6 with 38 specs at age 5 at r11). The
-r11 forced set is PIN + new TOUCH + those 38 - meaning TOUCH + any
-new-wave first rows can take at most 9 slots at r11; keep the r11
-diff tight or defer fill, never the forced age-5 set. Bound 5 stays
-feasible while R <= 250; the prospective capacity assert in
+r11 forced set is PIN + new TOUCH + those 38 + the 4 deferred
+wave-31 first rows (see DEFER_FIRST_ROW below) - meaning at most
+5 r11 TOUCH slots remain; keep the r11 diff tight or defer fill,
+never the forced age-5 set. Bound 5 stays feasible while R <= 250
+(R = 215 after wave 31); the prospective capacity assert in
 tests/test_workload_oracle.py fails the round a spec lands past
 that ceiling.
 """
@@ -320,9 +323,18 @@ TOUCH: frozenset[str] = frozenset({
 # verdict's items all resolve to TOUCH or to the forced age-5 fill).
 ADVISED: frozenset[str] = frozenset()
 
-# DEFER_FIRST_ROW - EMPTY: every spec has a green driver row, so
-# there are no first rows to defer.
-DEFER_FIRST_ROW: frozenset[str] = frozenset()
+# DEFER_FIRST_ROW - the wave-31 inference specs (landed late in
+# round 10, after the r10 export was already fixed by the round-9
+# note's arithmetic): their first driver rows come at r11, inside
+# the 9-slot budget the ROUND-11 NOTE reserves beyond PIN + the
+# 38-spec forced age-5 cohort (4 first rows -> at most 5 r11 TOUCH
+# slots remain; keep the r11 diff tight).
+DEFER_FIRST_ROW: frozenset[str] = frozenset({
+    "orders_anova_priority",
+    "orders_levene_priority",
+    "events_logrank_arms",
+    "orders_bh_fdr_customers",
+})
 
 
 def build_driver_export(registry: set[str], cap: int) -> frozenset[str]:

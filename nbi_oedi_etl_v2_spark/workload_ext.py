@@ -7655,3 +7655,146 @@ def q_lineitem_spearman_qty_price(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     return _stats28.spearman_corr(li, "qty", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Wave 31 — classical-inference completion: one-way ANOVA F and its
+# admissibility diagnostic (Brown-Forsythe variance homogeneity),
+# the two-group log-rank survival test, and large-scale multiple
+# testing with a distributed Benjamini-Hochberg step-up.
+# ---------------------------------------------------------------------------
+
+_ANOVA_CENTS = "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)"
+
+
+@query(
+    "orders_anova_priority",
+    oracle=_stats28.anova_oneway_oracle_sql(
+        "o_orderpriority", _ANOVA_CENTS, "orders"
+    ),
+    doc="One-way ANOVA F of order price cents across the five "
+        "priorities — the parametric mean-shift reading beside the "
+        "rank-based Kruskal-Wallis on the same split: one map-side-"
+        "combined aggregate to the catalog-bounded group cells of "
+        "exact-decimal moments, a one-row totals aggregate OVER the "
+        "cell table (never a data re-scan), SSB = SST - SSW and the "
+        "F/eta^2 readout in fixed-order doubles with DECIMAL(38,10)-"
+        "cast term sums (operators/stats.py anova_oneway). Per-group "
+        "unsummed rows, the WOE-IV precedent.",
+)
+def q_orders_anova_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("double")
+        .alias("cents"),
+    )
+    return _stats28.anova_oneway(o, "o_orderpriority", "cents")
+
+
+@query(
+    "orders_levene_priority",
+    oracle=_stats28.brown_forsythe_oracle_sql(
+        "o_orderpriority", "round(o_totalprice * 100)", "orders"
+    ),
+    doc="Brown-Forsythe (median-centred Levene) variance-homogeneity "
+        "test of price cents across the five priorities — the "
+        "admissibility diagnostic for pooled-variance ANOVA: exact "
+        "per-group lower medians from ONE two_level_prefix over the "
+        "(group, cents) distinct table, absolute deviations folded "
+        "back onto the SAME distinct table with multiplicity weights "
+        "(never a second data pass), and the ANOVA-F-on-deviations "
+        "readout over the catalog-bounded group table "
+        "(operators/stats.py brown_forsythe).",
+)
+def q_orders_levene_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return _stats28.brown_forsythe(o, "o_orderpriority", "cents")
+
+
+_LOGRANK_SUBJECTS_SQL = """
+      SELECT
+        date_diff('day', CAST(first_ts AS DATE),
+                  CAST(COALESCE(first_err, last_ts) AS DATE)) AS t,
+        CASE WHEN first_err IS NOT NULL THEN 1 ELSE 0 END AS e,
+        user_id % 2 = 0 AS a
+      FROM (
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+               min(CASE WHEN event_type = 'error' THEN ts END)
+                 AS first_err
+        FROM events GROUP BY user_id
+      )
+"""
+
+
+@query(
+    "events_logrank_arms",
+    headline=True,
+    oracle=_stats28.logrank_oracle_sql(_LOGRANK_SUBJECTS_SQL),
+    doc="Two-group log-rank test of time-to-first-error across the "
+        "deterministic user-parity arms — the inferential companion "
+        "to the Kaplan-Meier churn curve (same subjects: duration = "
+        "days from first activity to first error, error-free users "
+        "right-censored at last activity): risk sets are SUFFIX "
+        "counts off ONE two_level_prefix over the distinct-duration "
+        "table (n_j = N_j - p_j + r_j, bounded tasks), per-duration "
+        "hypergeometric terms in fixed-order doubles summed through "
+        "the DECIMAL(38,10) cast, z = (O1-E1)/sqrt(V) "
+        "(operators/stats.py logrank_test).",
+)
+def q_events_logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "first_err"
+        ),
+    )
+    subj = span.select(
+        F.datediff(
+            F.to_date(F.coalesce("first_err", "last_ts")),
+            F.to_date("first_ts"),
+        ).alias("t"),
+        F.when(F.col("first_err").isNotNull(), 1).otherwise(0).alias("e"),
+        (F.col("user_id") % 2 == 0).alias("a"),
+    )
+    return _stats28.logrank_test(subj, "t", "e", "a")
+
+
+@query(
+    "orders_bh_fdr_customers",
+    headline=True,
+    oracle=_stats28.bh_fdr_oracle_sql(
+        "o_custkey", _ANOVA_CENTS, "orders", q=0.05
+    ),
+    doc="Per-customer mean-price screen with Benjamini-Hochberg FDR "
+        "control at q=0.05 — the large-scale multiple-testing shape "
+        "(one test per customer, SF-proportional m): one aggregate to "
+        "the key cells, global moments OVER the cell table, the "
+        "shared Zelen-Severo Phi polynomial for two-sided p (rounded "
+        "7 dp BEFORE any BH comparison so engine-ulp exp differences "
+        "cannot flip a selection), and the step-up k* = max{i: p_(i) "
+        "<= i q/m} selected through the distributed prefix scan over "
+        "the distinct-p table instead of a single-partition global "
+        "sort (operators/stats.py bh_fdr).",
+)
+def q_orders_bh_fdr_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("double")
+        .alias("cents"),
+    )
+    return _stats28.bh_fdr(o, "o_custkey", "cents", q=0.05)
