@@ -182,3 +182,117 @@ def test_bh_fdr_null_and_no_rejections(spark):
     assert out["a"].n_null == 2 and out["a"].m == 2
     assert out["a"].k_star == 0 and out["a"].p_star is None
     assert out["a"].rejected is False
+
+
+# --- property-style invariants (hypothesis; few examples — each is
+# a Spark job, the value is input diversity) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+FEW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_groups = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=6,
+    max_size=40,
+)
+
+
+@FEW
+@given(rows=_groups)
+def test_anova_f_nonneg_eta2_bounded(spark, rows):
+    from nbi_oedi_etl_v2_spark.operators.stats import anova_oneway
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, x double"
+    )
+    out = anova_oneway(df, "g", "x").collect()
+    fs = {r.f for r in out}
+    assert len(fs) == 1  # shared statistic repeated per group
+    f = fs.pop()
+    if f is not None:
+        assert f >= -1e-9
+    for r in out:
+        if r.eta2 is not None:
+            assert -1e-9 <= r.eta2 <= 1 + 1e-9
+
+
+@FEW
+@given(rows=_groups)
+def test_brown_forsythe_scale_invariance(spark, rows):
+    """Multiplying integer values by a constant scales medians and
+    deviations linearly and leaves the F ratio unchanged (exact in
+    integer cents — both runs see exact arithmetic)."""
+    from nbi_oedi_etl_v2_spark.operators.stats import brown_forsythe
+
+    df1 = spark.createDataFrame(rows, "g string, v long")
+    df2 = spark.createDataFrame(
+        [(g, v * 7) for g, v in rows], "g string, v long"
+    )
+    r1 = {r.g: r for r in brown_forsythe(df1, "g", "v").collect()}
+    r2 = {r.g: r for r in brown_forsythe(df2, "g", "v").collect()}
+    assert set(r1) == set(r2)
+    for g in r1:
+        assert r2[g].median == r1[g].median * 7
+        if r1[g].f is None:
+            assert r2[g].f is None
+        else:
+            assert r2[g].f == pytest.approx(r1[g].f, rel=1e-6, abs=1e-6)
+
+
+@FEW
+@given(
+    subj=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=1),
+            st.booleans(),
+        ),
+        min_size=4,
+        max_size=30,
+    )
+)
+def test_logrank_arm_swap_negates_z(spark, subj):
+    """Swapping the arms negates z and preserves chi2/v — the
+    two-sided statistic cannot depend on which arm is 'A'."""
+    from nbi_oedi_etl_v2_spark.operators.stats import logrank_test
+
+    df = spark.createDataFrame(subj, "t long, e int, a boolean")
+    swapped = spark.createDataFrame(
+        [(t, e, not a) for t, e, a in subj], "t long, e int, a boolean"
+    )
+    r1 = logrank_test(df, "t", "e", "a").collect()[0]
+    r2 = logrank_test(swapped, "t", "e", "a").collect()[0]
+    assert (r1.n_a, r1.n_b) == (r2.n_b, r2.n_a)
+    assert r1.v == pytest.approx(r2.v, abs=1e-9)
+    if r1.z is None:
+        assert r2.z is None
+    else:
+        assert r1.z == pytest.approx(-r2.z, abs=2e-7)
+        assert r1.chi2 == pytest.approx(r2.chi2, abs=2e-7)
+
+
+def test_bh_fdr_monotone_in_q(spark):
+    """BH at a smaller q can only reject a subset of a larger q's
+    rejections (step-up monotonicity)."""
+    from nbi_oedi_etl_v2_spark.operators.stats import bh_fdr
+
+    rows = []
+    for i in range(20):
+        for j in range(5):
+            rows.append((f"k{i:02d}", 10.0 + i + 0.3 * j))
+    df = spark.createDataFrame(rows, "key string, x double")
+    rej = {}
+    for q in (0.01, 0.05, 0.25):
+        out = bh_fdr(df, "key", "x", q=q).collect()
+        rej[q] = {r[0] for r in out if r.rejected}
+        assert sum(1 for r in out if r.rejected) == out[0].k_star
+    assert rej[0.01] <= rej[0.05] <= rej[0.25]
