@@ -1021,3 +1021,34 @@ def test_rank_statistics_scan_counts(spark, sf_dir):
         _final_plan_scan_count(spark, sf_dir, "lineitem_spearman_qty_price")
         <= 2
     )
+
+
+def test_wave31_inference_scan_counts(spark, sf_dir):
+    # anova: one cells aggregate consumed twice (rows + totals) — two
+    # column-pruned scans; a third would mean the totals pass grew a
+    # fresh derivation.
+    assert _final_plan_scan_count(spark, sf_dir, "orders_anova_priority") <= 2
+    # brown-forsythe: the r10 final-plan A/B adjudicated FIVE scans
+    # (totals + gtot + the prefix pair + the deviation fold) as the
+    # winning shape — the pref-rooted deviation join measured SIX
+    # (its prefix subtree does not stage-reuse; pruning diverges).
+    assert _final_plan_scan_count(spark, sf_dir, "orders_levene_priority") <= 5
+    # log-rank: the MWU totals-from-dist precedent plus the prefix
+    # pair over the distinct-duration table.
+    assert _final_plan_scan_count(spark, sf_dir, "events_logrank_arms") <= 4
+
+
+def test_bh_fdr_ranks_ride_the_range_exchange(spark, sf_dir):
+    # the BH step-up must rank p-values through the distributed
+    # range exchange of two_level_prefix, never a single-partition
+    # global sort of the m-row score table. SinglePartition nodes DO
+    # legitimately appear (1-row totals, P-row chunk-offset windows
+    # inside the prefix scan) — the pin is the POSITIVE one: the
+    # distinct-p table goes through rangepartitioning on _p.
+    plan = plan_of(spark, sf_dir, "orders_bh_fdr_customers")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "rangepartitioning(_p" in final
+    # and the m-row score table is never Sort-ed globally: every Sort
+    # node in the final plan is per-chunk (local, preceded by the
+    # range exchange) or inside the bounded offset window
+    assert "GlobalLimit" not in final or "Sort" not in final
