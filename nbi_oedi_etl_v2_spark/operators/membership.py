@@ -75,12 +75,22 @@ def build_bloom(
     sketch) — sketch-sized, never data-sized. Two sketches over
     disjoint batches merge by element-wise OR.
     """
+    from ._scale import widen_narrow_input
+
     pos = F.explode(F.array(*_positions(F.col(key_col), bits))).alias(
         "pos"
     )
+    # widen a narrow scan before the k-hash explode (the narrow-scan
+    # funnel, _scale.widen_narrow_input): a small key table arrives in
+    # 1-3 file splits, so the k·N hashing + map-side bit_or partials
+    # otherwise run on that many cores. bit_or is commutative, so the
+    # round-robin shuffle of the bare key column cannot change the
+    # sketch; a wide input — the 100 TB case — passes through.
+    src = widen_narrow_input(
+        keys.where(F.col(key_col).isNotNull()).select(key_col)
+    )
     words = (
-        keys.where(F.col(key_col).isNotNull())
-        .select(pos)
+        src.select(pos)
         .groupBy((F.col("pos") / 64).cast("int").alias("word"))
         .agg(
             F.bit_or(

@@ -275,6 +275,16 @@ def table_profile(df: DataFrame, exact_ndv: bool = True) -> DataFrame:
         ByteType, ShortType, IntegerType, LongType,
         FloatType, DoubleType, DecimalType,
     )
+    # widen a narrow scan ahead of the aggregate (the narrow-scan
+    # funnel, _scale.widen_narrow_input): a small table arrives in 1-3
+    # file splits, so the Expand fan-out (exact mode: p+1 rows per
+    # input row) + map-side partial aggregation otherwise run on that
+    # many cores. Every statistic here is partitioning-invariant
+    # (counts, count_distinct, HLL merge, min/max), and a wide input
+    # — the 100 TB case — passes through untouched.
+    from ._scale import widen_narrow_input
+
+    df = widen_narrow_input(df)
     aggs = [F.count(F.lit(1)).cast("bigint").alias("_rows")]
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")

@@ -47,8 +47,17 @@ def cosine_topk(
     streams through one codegen'd stage — no corpus-side shuffle
     before the per-query top-k, which AQE executes as a partial
     top-k per partition (window + filter over rank).
+
+    The corpus side sits behind ``widen_narrow_input`` (r10, the
+    narrow-scan funnel): the |corpus|·|queries| scoring fan-out
+    inherits the scan's partitioning, and a small embedding table
+    arrives in ONE file split, so brute-force scoring otherwise runs
+    on one core. Result is partitioning-invariant (deterministic
+    (cosine DESC, id) tie-break); a wide corpus passes through.
     """
-    c = with_norm(corpus, vec_col).select(
+    from ._scale import widen_narrow_input
+
+    c = with_norm(widen_narrow_input(corpus), vec_col).select(
         F.col(f"`{id_col}`").alias("neighbor_id"),
         F.col("vec").alias("c_vec"),
         F.col("norm").alias("c_norm"),
@@ -546,7 +555,14 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = first_k_centroids(df, id_col, vec_col, nlist)
-    v = with_norm(df, vec_col).select(
+    # widen a narrow scan ahead of the per-row centroid-argmin fold
+    # and the within-cluster pair join (r10, the narrow-scan funnel):
+    # a small embedding table is ONE file split. The prune set is a
+    # DISTINCT over an id column and the assignment is per-row, so
+    # the result is partitioning-invariant; wide inputs pass through.
+    from ._scale import widen_narrow_input
+
+    v = with_norm(widen_narrow_input(df), vec_col).select(
         F.col(f"`{id_col}`").alias("vid"), "vec", "norm"
     )
     assign = ivf_assign(v, centroids, "vid", nprobe=1).select(
@@ -697,7 +713,18 @@ def pq_cosine_topk(
     query's per-subspace inner-product lookup table (computed
     in-plan on the broadcast query side), keep the top-``rerank``
     ADC candidates per query, exact-cosine re-rank, emit top-k.
-    Everything after training is whole-stage-codegen JVM."""
+    Everything after training is whole-stage-codegen JVM.
+
+    The corpus side is widened ahead of the encode (r10, the
+    narrow-scan funnel): the per-row m·ksub·dsub argmin fold plus the
+    per-(query, vector) ADC estimate inherit the scan's partitioning,
+    and a small embedding table is ONE file split — the whole encode
+    + scoring pipeline otherwise runs on one core. Deterministic
+    (score DESC, id) tie-breaks make the result partitioning-
+    invariant; a wide corpus passes through."""
+    from ._scale import widen_narrow_input
+
+    corpus = widen_narrow_input(corpus)
     cents = pq_train_centroids(corpus, id_col, vec_col, m=m, ksub=ksub)
     # a training sample smaller than ksub yields fewer centroids; the
     # encode/ADC expressions must index the ACTUAL codebook size or

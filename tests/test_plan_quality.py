@@ -930,11 +930,30 @@ def test_bootstrap_map_side_combined_replicates(spark, sf_dir):
 
 
 def test_kcore_round_broadcast_semi_joins(spark, sf_dir):
+    # r10: at the fixed point kcore returns the last round's
+    # checkpointed (node, degree) state — survivors(t) ⊆
+    # survivors(t−1), so equal counts imply the equal set and the
+    # in-loop degrees ARE the within-core degrees. The returned plan
+    # must therefore be a bare checkpoint scan: no FileScan (the old
+    # final pass re-derived the by-then-unpersisted edge table from
+    # parquet at force time) and no join.
     plan = plan_of(spark, sf_dir, "part_copurchase_kcore")
-    # survivor sets broadcast into the semi-joins (auto rule), so the
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan and "Join" not in plan
+    # the in-loop shape is captured per round by the plan_probe hook
+    # (the checkpoint erases it from the returned plan): survivor
+    # sets broadcast into the semi-joins (auto rule), so the
     # persisted edge table is never re-shuffled in the loop
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "CartesianProduct" not in plan
+    from nbi_oedi_etl_v2_spark.operators import graph
+    from nbi_oedi_etl_v2_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    probe: list[str] = []
+    graph.kcore(graph.copurchase_edges(li), k=80, plan_probe=probe)
+    assert len(probe) >= 2  # round 1 is unfiltered; ≥1 filtered round
+    for loop_plan in probe[1:]:
+        assert "BroadcastHashJoin" in loop_plan and "LeftSemi" in loop_plan
+        assert "CartesianProduct" not in loop_plan
 
 
 def test_conformal_coverage_is_one_litfit_scan(spark, sf_dir):
