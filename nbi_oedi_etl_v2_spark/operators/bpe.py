@@ -36,7 +36,24 @@ replaying the sequential trainer:
   and the strict trim keeps every accepted count above that, so the
   accepted pair stays the unique argmax at its step (ties inside the
   batch resolve by the original (pair asc) order, same as
-  sequential).
+  sequential);
+* EXCEPT a SELF-pair (l == r): its greedy leftovers (``aaa`` →
+  ``[aa, a]``) create (ll, l) / (ll, ll) adjacencies whose bounding
+  original adjacency is the accepted pair ITSELF — not a conflicting
+  candidate — so the stop-count argument does not cover them, and a
+  LATER batch member whose count they reach would lose the sequential
+  (count desc, pair asc) order to them (found by the hypothesis
+  sweep: corpus ['bb', 'aaa'] — sequential step 2 is the new (aa, a),
+  which TIES the batched (b, b) at count 1 and wins the lex
+  tie-break). The sharp bound: every such new adjacency consumes a
+  distinct (l, l, l) TRIPLE occurrence — (ll, l) needs an odd run ≥ 3,
+  (ll, ll) a run ≥ 4, and a run of length n holds n−2 triples ≥ the
+  new adjacencies it yields — so ``trip(l) = Σ cnt·#{i: s[i]=s[i+1]=
+  s[i+2]=l}``, aggregated in the SAME pair-count pass, bounds them
+  all. A candidate whose count is ≤ the max trip of any earlier
+  accepted self-pair ends the batch there (strictly-greater counts
+  stay safe: a new pair can at best tie the bound, never beat a
+  strictly larger count).
 
 The first candidate is always kept even when the trim would drop it
 (that round degenerates to one sequential step — still correct by
@@ -158,13 +175,20 @@ def _accept_batch(
     taken: set[str] = set()
     accepted: list[tuple[str, str, int]] = []
     c_stop = 0
+    self_bound = 0  # max trip(l) over accepted self-pairs so far
     for i, row in enumerate(cands):
         l, r, c = row["l"], row["r"], int(row["c"])
-        if i >= batch_size or {l, r, l + r} & taken:
+        if i >= batch_size or {l, r, l + r} & taken or c <= self_bound:
+            # c <= self_bound: an earlier accepted self-merge can
+            # create (ll, l)/(ll, ll) pairs with counts up to its
+            # triple count (module doc) — this candidate could lose
+            # its sequential step to one of them, so the batch ends.
             c_stop = c
             break
         accepted.append((l, r, c))
         taken.update((l, r, l + r))
+        if l == r:
+            self_bound = max(self_bound, int(row["trip"]))
     kept = [p for p in accepted if p[2] > c_stop]
     return kept if kept else accepted[:1]
 
@@ -208,13 +232,20 @@ def learn_bpe(
     words = word_counts(df, text_col).localCheckpoint()
     learned = []
     while len(learned) < num_merges:
+        # t flags a TRIPLE occurrence (s[i]=s[i+1]=s[i+2]) on each
+        # self-adjacency: sum(t·cnt) = trip(l), the bound on every
+        # (ll, l)/(ll, ll) adjacency a self-merge can create — the
+        # exact-batch safety check in _accept_batch (module doc)
         pairs = words.select(
             "cnt",
             F.explode(
                 F.expr(
                     "CASE WHEN size(syms) >= 2 THEN"
                     " transform(sequence(0, size(syms) - 2),"
-                    " i -> struct(syms[i] as l, syms[i + 1] as r))"
+                    " i -> struct(syms[i] as l, syms[i + 1] as r,"
+                    " CASE WHEN syms[i] = syms[i + 1]"
+                    " AND try_element_at(syms, i + 3) = syms[i]"
+                    " THEN 1 ELSE 0 END as t))"
                     " ELSE array() END"
                 )
             ).alias("p"),
@@ -225,7 +256,10 @@ def learn_bpe(
         horizon = room + 1 if exact else max(4 * room, 64)
         cands = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("c"))
+            .agg(
+                F.sum("cnt").alias("c"),
+                F.sum(F.col("p.t") * F.col("cnt")).alias("trip"),
+            )
             .orderBy(F.col("c").desc(), "l", "r")
             .limit(horizon)
             .collect()

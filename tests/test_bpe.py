@@ -67,6 +67,19 @@ def test_bpe_adjacent_repeat_semantics(spark):
     assert got[0][1:4] == ("a", "a", "aa")
 
 
+def test_bpe_self_pair_ends_exact_batch(spark):
+    # hypothesis-found batching counterexample (r10): after merging
+    # the SELF-pair (a,a), 'aaa' -> [aa, a] leaves a new (aa, a)
+    # adjacency whose count (1) TIES the batched (b,b) candidate and
+    # wins the sequential (pair asc) tie-break — so an exact batch
+    # must end at a self-pair instead of accepting (b,b) alongside
+    texts = ["bb", "aaa"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in bpe.learn_bpe(spark, df, "text", 4).collect()]
+    assert got == _ref_bpe(texts, 4)
+    assert got[1][1:4] == ("aa", "a", "aaa")
+
+
 def test_bpe_empty_and_nonalpha(spark):
     df = spark.createDataFrame([("!!! ???",), ("",)], "text string")
     assert bpe.learn_bpe(spark, df, "text", 4).count() == 0
