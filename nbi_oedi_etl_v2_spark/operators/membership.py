@@ -159,8 +159,16 @@ def bloom_anti_join(
     c = F.col(probe_key)
     candidate = c.isNotNull() & might_contain(c, bloom, bits)
     definite = probe.where(~candidate)
+    # DISTINCT the seen side before the verify join (r10): anti-join
+    # semantics are duplicate-invariant on the right, and a seen table
+    # is typically an event log with many rows per key — the partial
+    # (map-side) aggregate collapses each partition to its local NDV
+    # before the exchange, so the join shuffles key cardinality
+    # instead of event volume, and a post-distinct side small enough
+    # to broadcast lets AQE skip the probe-side shuffle entirely.
+    seen_keys = seen.select(seen_key).distinct()
     verified = probe.where(candidate).join(
-        seen, probe[probe_key] == seen[seen_key], "left_anti"
+        seen_keys, probe[probe_key] == seen_keys[seen_key], "left_anti"
     )
     return definite.unionByName(verified)
 
@@ -177,6 +185,8 @@ def bloom_semi_join(
     bloom = build_bloom(seen.select(seen_key), seen_key, bits)
     c = F.col(probe_key)
     candidate = c.isNotNull() & might_contain(c, bloom, bits)
+    # same duplicate-invariant seen-side distinct as bloom_anti_join
+    seen_keys = seen.select(seen_key).distinct()
     return probe.where(candidate).join(
-        seen, probe[probe_key] == seen[seen_key], "left_semi"
+        seen_keys, probe[probe_key] == seen_keys[seen_key], "left_semi"
     )

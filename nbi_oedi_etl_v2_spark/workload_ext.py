@@ -1786,7 +1786,13 @@ def q_multimodal_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of scope, matching JPEG.",
 )
 def q_multimodal_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen BEFORE payload synthesis (narrow-scan funnel, r10): like
+    # the JPEG spec, the exchange carries only (doc_id, text) and the
+    # ISO-BMFF synthesis + box walk — the expensive per-row JVM work —
+    # then runs on every core instead of the scan's single split
+    docs = widen_narrow_input(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     did = F.col("doc_id")
 
     def be32(col):  # big-endian u32 hex

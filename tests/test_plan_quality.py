@@ -157,11 +157,17 @@ def test_quantile_rollup_broadcasts_estimates(spark, sf_dir):
 
 def test_mp4_box_walk_map_only_no_python(spark, sf_dir):
     # the ISO-BMFF box walk is pure JVM expressions (aggregate folds
-    # over the hex image): no shuffle, no Python worker — and the
-    # staged projections must not have been re-inlined into one
-    # exponential expression tree (plan string stays bounded)
+    # over the hex image): no Python worker, and the staged
+    # projections must not have been re-inlined into one exponential
+    # expression tree (plan string stays bounded). r10 allows exactly
+    # ONE exchange — the round-robin narrow-scan-funnel widen BELOW
+    # the payload synthesis (it carries only doc_id/text, so the
+    # multi-KB synthesized payload never crosses the wire; a wide
+    # 100 TB input skips it entirely), same contract as the JPEG pin.
     plan = plan_of(spark, sf_dir, "multimodal_mp4_headers")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1
+    if "Exchange" in plan:
+        assert "roundrobin" in plan.lower()
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert len(plan) < 2_000_000
 
