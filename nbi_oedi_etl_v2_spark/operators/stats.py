@@ -3170,7 +3170,9 @@ def spearman_corr(
         ρ = (N·S_xy4 − N²(N+1)²)
             / √(N·S_xx4 − N²(N+1)²) / √(N·S_yy4 − N²(N+1)²)
 
-    with S_xy4 = Σ_(x,y) c_xy·rx2·ry2, S_xx4 = Σ_x c_x·rx2² — every
+    with S_xy4 = Σ_(x,y) c_xy·rx2·ry2, S_xx4 = Σ_x c_x·rx2²
+    (= Σ_(x,y) c_xy·rx2², the form actually aggregated — the marginal
+    moments ride the same pair-table pass as S_xy4) — every
     term an exact DECIMAL(38,0) integer (≤ 4N⁴ < 10³⁸ at 10⁹ rows),
     the ρ readout one fixed-order double expression the SQL twin
     replays. Rows with a NULL in either column are excluded and
@@ -3217,35 +3219,33 @@ def spearman_corr(
             - F.col("c").cast(d0)
             + F.lit(1).cast(d0)
         )
-        return pr.select(
-            col, F.col("c").alias(f"c_{col}"), r2.alias(f"r2_{col}")
-        )
+        return pr.select(col, r2.alias(f"r2_{col}"))
 
     dx, dy = rank2("x"), rank2("y")
-    sxx = dx.agg(
-        F.sum(
-            F.col("c_x").cast(d0) * F.col("r2_x") * F.col("r2_x")
-        ).alias("_sxx4")
-    )
-    syy = dy.agg(
-        F.sum(
-            F.col("c_y").cast(d0) * F.col("r2_y") * F.col("r2_y")
-        ).alias("_syy4")
-    )
-    sxy = (
-        pairs.join(dx.drop("c_x"), "x")
-        .join(dy.drop("c_y"), "y")
+    # ONE moment aggregate over the joined pair table (r10): since
+    # c_x = Σ_y c_xy, the marginal moments fold into the same pass —
+    # S_xx4 = Σ_x c_x·r2_x² = Σ_(x,y) c_xy·r2_x² — as exact
+    # non-negative DECIMAL(38,0) sums of the same total, so the
+    # result is bit-identical while the plan loses the two separate
+    # dx/dy re-reads and their final aggregates (~5 stages; measured
+    # 3.89 → 3.81 s warm median at sf0.1, i.e. inside noise locally,
+    # but strictly fewer passes over the rank tables at scale).
+    mom = (
+        pairs.join(dx, "x")
+        .join(dy, "y")
         .agg(
             F.sum(
                 F.col("cxy").cast(d0) * F.col("r2_x") * F.col("r2_y")
-            ).alias("_sxy4")
+            ).alias("_sxy4"),
+            F.sum(
+                F.col("cxy").cast(d0) * F.col("r2_x") * F.col("r2_x")
+            ).alias("_sxx4"),
+            F.sum(
+                F.col("cxy").cast(d0) * F.col("r2_y") * F.col("r2_y")
+            ).alias("_syy4"),
         )
     )
-    staged = (
-        counts.crossJoin(F.broadcast(sxy))
-        .crossJoin(F.broadcast(sxx))
-        .crossJoin(F.broadcast(syy))
-    )
+    staged = counts.crossJoin(F.broadcast(mom))
     nD = F.col("n").cast(d0)
     sq = nD * (nD + F.lit(1).cast(d0))  # N(N+1), squared below
     num4 = nD * F.col("_sxy4") - sq * sq
