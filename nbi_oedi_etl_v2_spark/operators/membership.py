@@ -119,8 +119,16 @@ def might_contain(
 
     The bitset rides into the plan as one array<bigint> literal
     (8 KB) — broadcast-by-literal, no join, whole-stage-codegen
-    friendly."""
-    arr = F.array(*[F.lit(w).cast("long") for w in bloom])
+    friendly. The literal is built as ONE parsed SQL expression
+    (``array(1L, ...)``) instead of bits/64 ≈ 1,024 per-word
+    ``F.lit().cast()`` py4j round-trips: the parsed tree is the
+    identical array<bigint> literal, but the Column-by-Column build
+    cost ~1 s of DRIVER time per call (guide §5 — the driver should
+    do almost no work; measured on bloom_anti_join at sf0.1:
+    3.23 → 1.33 s warm median from this one construction change)."""
+    arr = F.expr(
+        "array(" + ",".join(f"{int(w)}L" for w in bloom) + ")"
+    )
     checks = [
         F.element_at(arr, (p / 64).cast("int") + 1)
         .bitwiseAND(

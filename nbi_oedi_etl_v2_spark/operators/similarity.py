@@ -663,7 +663,37 @@ def pq_train_centroids(
 
 
 def _pq_cent_literal(cents: list[list[list[float]]]):
-    return F.array(
+    """The m·ksub·dsub codebook as ONE parsed SQL literal. The
+    Column-by-Column form (nested ``F.array(F.lit(...))``) cost
+    ~1,200 py4j round-trips of driver time per query at the default
+    8×16×8 shape (guide §5 — same lesson as cluster._sqdist_sql /
+    membership.might_contain); the parsed tree is the identical
+    nested array<array<array<double>>> literal. Non-finite
+    coordinates (degenerate training data) fall back to the Column
+    builder, whose literals accept inf/nan."""
+    import math
+
+    if all(
+        math.isfinite(x) for sub in cents for c in sub for x in c
+    ):
+        return F.expr(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(
+                    "array("
+                    + ",".join(
+                        f"CAST({float(x)!r} AS DOUBLE)" for x in c
+                    )
+                    + ")"
+                    for c in sub
+                )
+                + ")"
+                for sub in cents
+            )
+            + ")"
+        )
+    return F.array(  # pragma: no cover - non-finite codebook
         *[
             F.array(*[F.array(*[F.lit(x) for x in c]) for c in sub])
             for sub in cents
