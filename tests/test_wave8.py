@@ -248,3 +248,61 @@ def test_lloyd_arrow_strategy_runs_end_to_end(spark, sf_dir):
     assert len(cents) == 4
     assert assigned.count() == emb.count()
     assert assigned.where(F.col("cluster_id").isNull()).count() == 0
+
+
+def test_assign_clusters_expr_matches_column_fallback(spark):
+    """r10: assign_clusters builds the literal argmin via one parsed
+    SQL expression; the Column-by-Column fallback (taken for
+    non-finite centroids) must produce identical bits. Build both
+    explicitly and compare row-for-row, including ties and
+    awkward doubles (negative zero, subnormals, exact halves)."""
+    pts = [
+        (1, [0.0, -0.0]), (2, [1e-308, 2.5]), (3, [0.3, 0.7]),
+        (4, [5.0, 5.0]), (5, [-1.5, 1e300]),
+    ]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    cents = [[0.0, 0.0], [0.3, 0.7], [5.0, 5.0]]
+    fast = cluster.assign_clusters(df, "v", cents)
+    slow = df.withColumn(
+        "_best",
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        cluster._sqdist(F.col("v"), c).alias("d"),
+                        F.lit(i).alias("c"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+        ),
+    ).select(
+        "id", "v",
+        F.col("_best.c").alias("cluster_id"),
+        F.col("_best.d").alias("sq_dist"),
+    )
+    a = fast.select("id", "cluster_id", "sq_dist").orderBy("id").collect()
+    b = slow.select("id", "cluster_id", "sq_dist").orderBy("id").collect()
+    assert a == b
+    # non-finite centroid takes the fallback path and still answers
+    nf = cluster.assign_clusters(df, "v", [[0.0, 0.0], [float("nan"), 1.0]])
+    got = {r.id: r.cluster_id for r in nf.collect()}
+    assert got[1] == 0  # NaN distance never wins the argmin
+
+
+def test_pq_cent_literal_expr_matches_column_fallback(spark):
+    from nbi_oedi_etl_v2_spark.operators import similarity
+
+    cents = [[[0.25, -0.0], [1e-300, 3.0]], [[2.0, 4.5], [-7.125, 0.1]]]
+    fast = spark.range(1).select(
+        similarity._pq_cent_literal(cents).alias("c")
+    ).collect()[0]["c"]
+    slow = spark.range(1).select(
+        F.array(
+            *[
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in sub])
+                for sub in cents
+            ]
+        ).alias("c")
+    ).collect()[0]["c"]
+    assert fast == slow
