@@ -78,6 +78,18 @@ def get_spark(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+        # PySpark 4's DataFrame debugging captures a Python call site
+        # for EVERY DataFrame API call — one extra py4j round trip
+        # (conf.get + origin.set) per call, ~2.7 ms each measured here,
+        # i.e. 0.2-0.9 s of pure DRIVER time per query construction
+        # (guide §5: the driver should do almost no work; measured at
+        # sf0.1: events_logrank_arms 1.26 → 0.67 s, bh_fdr 2.74 →
+        # 2.05 s warm total). The cost is scale-independent (plan
+        # construction happens on the driver regardless of cluster
+        # size); the only loss is the Python call-site line in error
+        # messages' QueryContext. Re-enable via SPARK_GRAFT_EXTRA_CONF
+        # when debugging an operator interactively.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — ad-hoc conf injection for
     # tooling that can't reach the extra_conf parameter (tools/soak.py,
@@ -109,4 +121,15 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # best-effort: drop the per-DataFrame-call py4j origin capture in
+    # foreign sessions too (see the get_spark comment). PySpark caches
+    # the flag Python-side on first use, so this only helps when
+    # tune_session runs before the session's first DataFrame call —
+    # load_table calls it on every table load, so the first load wins.
+    try:
+        spark.conf.set(
+            "spark.python.sql.dataFrameDebugging.enabled", "false"
+        )
+    except Exception:  # pragma: no cover - conf surface drift
+        pass
     return spark
