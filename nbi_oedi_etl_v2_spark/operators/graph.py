@@ -375,6 +375,10 @@ def bfs_levels(
     dist = sources.select(F.col("node").cast("long").alias("node")).distinct()
     dist = dist.withColumn("dist", F.lit(0).cast("int"))
     frontier = dist.select("node")
+    # NOTE (r10): like weighted_sssp (see its measured note), this
+    # single-source traversal must NOT pre-partition the edge cache
+    # by dst — the frontier expansion touches a fraction of the graph
+    # per round, so the up-front full-edge shuffle never pays.
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -469,6 +473,14 @@ def weighted_sssp(
     fixed point of the relaxation, so the remaining rounds are
     provably no-ops (bit-identical to running all of them).
     """
+    # NOTE (r10, measured): do NOT pre-partition this edge cache by
+    # dst the way label_propagation does. SSSP is a single-source
+    # traversal — the reached set (and so the relax output) covers a
+    # FRACTION of the graph per round, while the up-front
+    # repartition shuffles EVERY edge; the A/B on the co-purchase
+    # graph measured the dst-partitioned form 4.23 → 5.97 s at sf1
+    # (worse on every rep). The labelprop win applies only when each
+    # round's aggregate consumes the whole edge table.
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -643,6 +655,24 @@ def label_propagation(
             .where(F.col("_rn") <= max_degree)
             .drop("_rn")
         )
+    else:
+        # r10: persist the edge table PARTITIONED BY dst (the
+        # max_degree window above already leaves hash(dst)
+        # partitioning, hence the else). hash(dst) satisfies the
+        # clustered distribution of BOTH per-round aggregates —
+        # groupBy(dst, lbl) and the groupBy(node=dst) argmax — so on
+        # the broadcast-labels path every round's vote pipeline runs
+        # exchange-free over the cache (guide §2.4: operations keyed
+        # the same way share one exchange). The per-round partial
+        # (dst, lbl) exchange this removes is up to EDGE-scale on a
+        # dense graph (per-partition NDV ≈ partition size), so one
+        # up-front edge shuffle buys its removal from every round.
+        # Results are partitioning-invariant (proven equal in the
+        # r10 A/B); measured warm medians: 9.73 → 7.07 s at sf0.1,
+        # 22.29 → 13.35 s at sf1 (all reps pairwise faster). The
+        # shuffled-labels fallback path re-exchanges by src per round
+        # regardless — unchanged there.
+        e = e.repartition("dst")
     e = e.persist()
     try:
         labels = (
