@@ -70,20 +70,37 @@ def _sqdist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def _double_literal_sql(v: float) -> str:
+    """SQL text for a finite double literal, BIT-equal after parsing.
+    `repr(float)` is the shortest round-trip form, so the parsed
+    double matches `F.lit(v)` exactly — with one exception ADVICE r10
+    caught: ``CAST(-0.0 AS DOUBLE)`` goes through a DECIMAL literal
+    (no signed zero) and silently yields +0.0. Negative zero is
+    emitted as unary minus over +0.0 instead, which constant-folds to
+    a true -0.0 double (verified in tests/test_cluster.py)."""
+    import math
+
+    if v == 0.0 and math.copysign(1.0, v) < 0.0:
+        return "(- CAST(0.0 AS DOUBLE))"
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
 def _sqdist_sql(vec_col: str, centroid: list[float]) -> str:
     """SQL-text twin of :func:`_sqdist` — IDENTICAL expression tree
     after parsing (same zip_with/aggregate fold, same left-to-right
-    adds, `repr(float)` is the shortest round-trip literal so the
-    parsed double is bit-equal), but built in ONE py4j call instead
+    adds, bit-equal literals via :func:`_double_literal_sql`,
+    including the -0.0 sign), but built in ONE py4j call instead
     of ~4·d `F.lit` round-trips per centroid. At k=4, d=64 the
     Column-by-Column construction was ~0.45 s of DRIVER time per
     Lloyd round (guide §5: the driver should do almost no work);
     the text form is microseconds. Callers fall back to
     :func:`_sqdist` when a coordinate is non-finite (repr'd
-    inf/nan do not parse as SQL double literals)."""
-    arr = ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in centroid)
+    inf/nan do not parse as SQL double literals). Backticks in
+    ``vec_col`` are escaped (ADVICE r10)."""
+    col = vec_col.replace("`", "``")
+    arr = ",".join(_double_literal_sql(v) for v in centroid)
     return (
-        f"aggregate(zip_with(`{vec_col}`, array({arr}),"
+        f"aggregate(zip_with(`{col}`, array({arr}),"
         f" (x,c)->(x-c)*(x-c)), CAST(0.0 AS DOUBLE), (acc,d)->acc+d)"
     )
 

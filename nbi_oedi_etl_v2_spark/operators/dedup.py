@@ -429,15 +429,15 @@ def minhash_signatures(
     ex = shingle_occurrences(df, id_col, text_col, k).select(
         "doc", F.xxhash64("shingle").alias("h")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        ex.groupBy("doc")
-        .agg(*aggs)
-        .select("doc", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    # the num_hashes min-aggregates as ONE parsed expression (r11,
+    # guide §5 driver-time batching — the kmeans/bloom/PQ pattern):
+    # the Column-by-Column loop paid ~3 py4j round trips per hash
+    # (~190 calls); the text form parses to the identical aggregate
+    # list (integer literal seeds, same xxhash64 tree), with array
+    # assembly in the aggregate's result projection instead of a
+    # separate Project.
+    arr = ",".join(f"min(xxhash64(h, {i}))" for i in range(num_hashes))
+    return ex.groupBy("doc").agg(F.expr(f"array({arr})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -558,21 +558,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ex = df.select(
         F.col(f"`{id_col}`").alias("doc"), F.explode(F.expr(tokens)).alias("t")
     ).select("doc", F.xxhash64("t").alias("h"))
-    sums = ex.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.lit(1)).otherwise(-1)
-            ).alias(f"c{b}")
-            for b in range(64)
-        ]
+    # 64 conditional sums + the sign-bit assembly as ONE parsed
+    # expression (r11, guide §5 driver-time batching — the
+    # kmeans/bloom/PQ pattern): the Column-by-Column loop paid ~3
+    # py4j round trips per bit (~190 calls); the fused text form
+    # parses to the identical 64 sum aggregates with the bit OR
+    # chain in the aggregate's result projection.
+    bits = " | ".join(
+        f"(CASE WHEN sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) >= 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(64)
     )
-    bits = F.expr(
-        " | ".join(
-            f"(CASE WHEN c{b} >= 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
-            for b in range(64)
-        )
-    )
-    signed = sums.select("doc", bits.alias("simhash"))
+    signed = ex.groupBy("doc").agg(F.expr(bits).alias("simhash"))
     # explode drops token-less docs; re-add them map-only (no join)
     empty = df.where(F.size(F.expr(tokens)) == 0).select(
         F.col(f"`{id_col}`").alias("doc"), F.lit(-1).cast("long").alias("simhash")

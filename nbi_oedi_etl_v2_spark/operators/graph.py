@@ -655,29 +655,12 @@ def label_propagation(
             .where(F.col("_rn") <= max_degree)
             .drop("_rn")
         )
-    else:
-        # r10: persist the edge table PARTITIONED BY dst (the
-        # max_degree window above already leaves hash(dst)
-        # partitioning, hence the else). hash(dst) satisfies the
-        # clustered distribution of BOTH per-round aggregates —
-        # groupBy(dst, lbl) and the groupBy(node=dst) argmax — so on
-        # the broadcast-labels path every round's vote pipeline runs
-        # exchange-free over the cache (guide §2.4: operations keyed
-        # the same way share one exchange). The per-round partial
-        # (dst, lbl) exchange this removes is up to EDGE-scale on a
-        # dense graph (per-partition NDV ≈ partition size), so one
-        # up-front edge shuffle buys its removal from every round.
-        # Results are partitioning-invariant (proven equal in the
-        # r10 A/B); measured warm medians: 9.73 → 7.07 s at sf0.1,
-        # 22.29 → 13.35 s at sf1 (all reps pairwise faster). The
-        # shuffled-labels fallback path re-exchanges by src per round
-        # regardless — unchanged there.
-        e = e.repartition("dst")
-    e = e.persist()
+    cache = e.persist()
+    repart = None
     try:
         labels = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select("dst"))
+            cache.select(F.col("src").alias("node"))
+            .union(cache.select("dst"))
             .distinct()
             .withColumn("lbl", F.col("node"))
             .localCheckpoint()
@@ -690,6 +673,37 @@ def label_propagation(
             edges.sparkSession, broadcast_labels, labels.count(),
             "label_propagation",
         )
+        e = cache
+        if use_bc and max_degree is None:
+            # r10/r11: on the BROADCAST-labels path, re-cache the
+            # edges PARTITIONED BY dst (the max_degree window above
+            # already leaves hash(dst) partitioning, hence the
+            # guard). hash(dst) satisfies the clustered distribution
+            # of BOTH per-round aggregates — groupBy(dst, lbl) and
+            # the groupBy(node=dst) argmax — so every round's vote
+            # pipeline runs exchange-free over the cache (guide
+            # §2.4: operations keyed the same way share one
+            # exchange). The per-round partial (dst, lbl) exchange
+            # this removes is up to EDGE-scale on a dense graph, so
+            # one up-front edge shuffle buys its removal from every
+            # round. Results are partitioning-invariant (proven
+            # equal in the r10 A/B); measured warm medians:
+            # 9.73 → 7.07 s at sf0.1, 22.29 → 13.35 s at sf1 (all
+            # reps pairwise faster). ADVICE r10: the SHUFFLED-labels
+            # fallback re-exchanges by src per round regardless, so
+            # it now skips this shuffle entirely (and a power-law
+            # celebrity dst no longer concentrates a partition on
+            # the path that gains nothing from it); the decision is
+            # made first, off the unpartitioned cache the node scan
+            # already materialized. The count() materializes the
+            # dst-partitioned copy FROM that cache (one cached scan,
+            # no recompute of the edge construction), after which
+            # the unpartitioned copy is dropped — the loop never
+            # holds both.
+            repart = cache.repartition("dst").persist()
+            repart.count()
+            cache.unpersist()
+            e = repart
         for rnd in range(rounds):
             if round_counter is not None:
                 round_counter.append(rnd)
@@ -727,7 +741,9 @@ def label_propagation(
             labels = labels.drop("_chg")
         return labels.select("node", F.col("lbl").alias("community"))
     finally:
-        e.unpersist()
+        cache.unpersist()
+        if repart is not None:
+            repart.unpersist()
 
 
 def label_propagation_oracle_sql(rounds: int = 5) -> str:

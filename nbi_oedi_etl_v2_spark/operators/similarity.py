@@ -555,14 +555,16 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = first_k_centroids(df, id_col, vec_col, nlist)
-    # widen a narrow scan ahead of the per-row centroid-argmin fold
-    # and the within-cluster pair join (r10, the narrow-scan funnel):
-    # a small embedding table is ONE file split. The prune set is a
-    # DISTINCT over an id column and the assignment is per-row, so
-    # the result is partitioning-invariant; wide inputs pass through.
-    from ._scale import widen_narrow_input
-
-    v = with_norm(widen_narrow_input(df), vec_col).select(
+    # NO widen here (r11 revert of the r10 `widen_narrow_input`,
+    # VERDICT r10 item 2): unlike cosine_topk/pq_topk — whose scoring
+    # fan-out feeds a broadcast join with no downstream exchange —
+    # the within-cluster pair join is a cid-keyed EQUI-join, so both
+    # sides get hash exchanges that already rebalance; the up-front
+    # round-robin exchange is pure overhead (the minhash/ngram
+    # lesson). Interleaved ABA at sf0.1: widen 2.58 vs no-widen
+    # 2.21 s med (slower 6/7 reps); at sf1 the difference is inside
+    # noise (20.64 vs 21.15). tools/ab_widen_similarity.py.
+    v = with_norm(df, vec_col).select(
         F.col(f"`{id_col}`").alias("vid"), "vec", "norm"
     )
     assign = ivf_assign(v, centroids, "vid", nprobe=1).select(
@@ -668,10 +670,13 @@ def _pq_cent_literal(cents: list[list[list[float]]]):
     ~1,200 py4j round-trips of driver time per query at the default
     8×16×8 shape (guide §5 — same lesson as cluster._sqdist_sql /
     membership.might_contain); the parsed tree is the identical
-    nested array<array<array<double>>> literal. Non-finite
+    nested array<array<array<double>>> literal, including the -0.0
+    sign (cluster._double_literal_sql, ADVICE r10). Non-finite
     coordinates (degenerate training data) fall back to the Column
     builder, whose literals accept inf/nan."""
     import math
+
+    from .cluster import _double_literal_sql
 
     if all(
         math.isfinite(x) for sub in cents for c in sub for x in c
@@ -683,7 +688,7 @@ def _pq_cent_literal(cents: list[list[list[float]]]):
                 + ",".join(
                     "array("
                     + ",".join(
-                        f"CAST({float(x)!r} AS DOUBLE)" for x in c
+                        _double_literal_sql(x) for x in c
                     )
                     + ")"
                     for c in sub

@@ -1,14 +1,19 @@
-"""Dump ``explain("formatted")`` for headline queries to plans/r10/.
+"""Dump ``explain("formatted")`` for headline queries to plans/<round>/.
 
 Usage:
     python tools/capture_plans.py <suffix> [--final] [name ...]
 
-Writes plans/r10/<query>_<suffix>.txt for each named headline query
-(default: all). Without ``--final`` this is planning only — no job is
-executed. With ``--final`` each query is executed once through the
-noop sink first and the FINAL adaptive plan is dumped (AQE runtime
-exchange reuse, skew splits and join rewrites are only visible
-there — guide §7.2).
+Writes plans/<round>/<query>_<suffix>.txt for each named headline
+query (default: all); the round directory comes from
+``$SPARK_GRAFT_PLANS_DIR`` (default ``r11``). Without ``--final``
+this is planning only — no job is executed. With ``--final`` the
+query's OWN QueryExecution is executed (its executedPlan's RDD is
+counted — no rows reach Python) and the FINAL adaptive plan is
+dumped (AQE runtime exchange reuse, skew splits and join rewrites
+are only visible there — guide §7.2). ADVICE r10 medium: the old
+form wrote the noop sink, which runs a SEPARATE QueryExecution, so
+``df._jdf.queryExecution()`` was never executed and every "--final"
+dump still said ``isFinalPlan=false``.
 """
 
 from __future__ import annotations
@@ -23,7 +28,9 @@ from nbi_oedi_etl_v2_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"),
 )
 
 
@@ -44,7 +51,12 @@ def main() -> None:
         try:
             df = fn(spark, SF_DIR)
             if final:
-                df.write.format("noop").mode("overwrite").save()
+                # Execute THIS df's QueryExecution so the adaptive
+                # plan finalizes (isFinalPlan=true). A noop write
+                # would run a separate QueryExecution and leave this
+                # one un-executed (ADVICE r10). The RDD count stays
+                # JVM-side — no rows cross to Python.
+                df._jdf.queryExecution().executedPlan().execute().count()
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
