@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -716,28 +716,46 @@ def label_propagation(
             # (count DESC, label ASC) argmax as ONE hash aggregate:
             # max of (c, -lbl) picks the highest count, then the
             # smallest label — no per-node sort window (the window
-            # formulation paid an extra sort-exchange per round)
+            # formulation paid an extra sort-exchange per round).
+            # r11 decomposition ABA (tools/ab_labelprop_decompose.py)
+            # measured and REJECTED two further round fusions here:
+            # a decimal-packed HashAggregate argmax (neutral at
+            # sf0.1, slightly worse at sf1 — the 128-bit arithmetic
+            # per pair costs what the dropped partition-local sort
+            # saved) and broadcasting `best` into the label-update
+            # join (−0.4 s at sf0.1 but +1-2 s at sf1 and worse with
+            # node count: the per-round BroadcastExchange serializes
+            # the whole vote pipeline behind a driver collect that
+            # grows with nodes, while the SortMergeJoin it replaced
+            # only exchanges node-scale rows peer-to-peer).
             best = neigh.groupBy("node").agg(
                 (-F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("n")))[
                     "n"
                 ]).alias("new_lbl")
             )
-            labels = (
-                labels.join(best, "node", "left")
-                .select(
-                    "node",
-                    F.coalesce("new_lbl", "lbl").alias("lbl"),
-                    (~F.coalesce("new_lbl", "lbl").eqNullSafe(F.col("lbl")))
-                    .cast("int")
-                    .alias("_chg"),
-                )
-                .localCheckpoint()
+            upd = labels.join(best, "node", "left").select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+                (~F.coalesce("new_lbl", "lbl").eqNullSafe(F.col("lbl")))
+                .cast("int")
+                .alias("_chg"),
             )
+            # r11 (the one fusion that SURVIVED both scales): the
+            # early-exit changed-count rides the checkpoint
+            # materialization as an Observation metric instead of a
+            # separate per-round job — one job less per round, zero
+            # semantics (same sum over the same rows, collected by
+            # the same execution). Decomposition ABA: 5.41 -> 4.72 s
+            # med at sf0.1, neutral at sf1 (13.96 vs 13.93).
             if early_exit:
-                # one cheap agg over the just-materialized checkpoint
-                changed = labels.agg(F.sum("_chg")).first()[0] or 0
-                if changed == 0:
+                obs = Observation()
+                labels = upd.observe(
+                    obs, F.sum("_chg").alias("chg")
+                ).localCheckpoint()
+                if (obs.get["chg"] or 0) == 0:
                     break
+            else:
+                labels = upd.localCheckpoint()
             labels = labels.drop("_chg")
         return labels.select("node", F.col("lbl").alias("community"))
     finally:

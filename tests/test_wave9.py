@@ -247,3 +247,48 @@ def test_labelprop_max_degree_samples_smallest_srcs(spark):
     }
     assert uncapped[9] == 5
     assert capped[9] == 1
+
+
+def test_labelprop_argmax_is_id_shift_invariant(spark):
+    # r11 pin for the argmax's value-range robustness (added while
+    # A/B-ing a decimal-packed argmax variant, which measured neutral
+    # and was NOT adopted — the pin outlives the experiment):
+    # shifting every id by a constant must shift every community by
+    # the same constant, including across the sign boundary and at
+    # extreme ids near 2^63-1 where a packed encoding could overflow.
+    base = [(1, 3), (2, 3), (3, 4), (9223372036854775806, 4)]
+    sym = base + [(b, a) for a, b in base]
+    pos = spark.createDataFrame(sym, "src long, dst long")
+    neg = spark.createDataFrame(
+        [(a - 2, b - 2) for a, b in sym], "src long, dst long"
+    )
+    out_pos = {
+        r.node: r.community
+        for r in graph.label_propagation(pos, rounds=3, early_exit=False).collect()
+    }
+    out_neg = {
+        r.node + 2: r.community + 2
+        for r in graph.label_propagation(neg, rounds=3, early_exit=False).collect()
+    }
+    assert out_pos == out_neg
+    # tie-break sanity on the decimal path: node 3 hears {1, 2} in
+    # round 1 → adopts 1 (count tie, smallest label wins)
+    one_round = {
+        r.node: r.community
+        for r in graph.label_propagation(pos, rounds=1, early_exit=False).collect()
+    }
+    assert one_round[3] == 1
+
+
+def test_labelprop_max_label_id_round_trips(spark):
+    # a node labeled 2^63-1 must round-trip through the per-round
+    # argmax unchanged (the negation in the (c, -lbl) struct ordering
+    # must not wrap)
+    e = spark.createDataFrame(
+        [(9223372036854775807, 1)], "src long, dst long"
+    )
+    out = {
+        r.node: r.community
+        for r in graph.label_propagation(e, rounds=1).collect()
+    }
+    assert out[1] == 9223372036854775807
