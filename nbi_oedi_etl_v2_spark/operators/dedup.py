@@ -558,18 +558,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ex = df.select(
         F.col(f"`{id_col}`").alias("doc"), F.explode(F.expr(tokens)).alias("t")
     ).select("doc", F.xxhash64("t").alias("h"))
-    # 64 conditional sums + the sign-bit assembly as ONE parsed
-    # expression (r11, guide §5 driver-time batching — the
-    # kmeans/bloom/PQ pattern): the Column-by-Column loop paid ~3
-    # py4j round trips per bit (~190 calls); the fused text form
-    # parses to the identical 64 sum aggregates with the bit OR
-    # chain in the aggregate's result projection.
-    bits = " | ".join(
-        f"(CASE WHEN sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
-        f"THEN 1 ELSE -1 END) >= 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
-        for b in range(64)
+    # NOTE (r11, measured then deferred): batching these 64
+    # conditional sums as ONE parsed F.expr (the minhash_signatures
+    # pattern above) saves ~250 ms of driver construction time
+    # (measured 386 -> 138 ms on the minhash twin). NOT applied:
+    # dedup_simhash is off the bench, and the round-11 driver
+    # rotation has no TOUCH slot left for a changed off-bench spec
+    # (rotation.py ROUND-11 NOTE — the forced age-5 cohort and the
+    # round-10 backlog consume the cap). The pattern is proven and
+    # one edit away when a slot opens.
+    sums = ex.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), F.lit(1)).otherwise(-1)
+            ).alias(f"c{b}")
+            for b in range(64)
+        ]
     )
-    signed = ex.groupBy("doc").agg(F.expr(bits).alias("simhash"))
+    bits = F.expr(
+        " | ".join(
+            f"(CASE WHEN c{b} >= 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
+            for b in range(64)
+        )
+    )
+    signed = sums.select("doc", bits.alias("simhash"))
     # explode drops token-less docs; re-add them map-only (no join)
     empty = df.where(F.size(F.expr(tokens)) == 0).select(
         F.col(f"`{id_col}`").alias("doc"), F.lit(-1).cast("long").alias("simhash")

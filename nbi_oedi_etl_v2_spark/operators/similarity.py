@@ -670,13 +670,20 @@ def _pq_cent_literal(cents: list[list[list[float]]]):
     ~1,200 py4j round-trips of driver time per query at the default
     8×16×8 shape (guide §5 — same lesson as cluster._sqdist_sql /
     membership.might_contain); the parsed tree is the identical
-    nested array<array<array<double>>> literal, including the -0.0
-    sign (cluster._double_literal_sql, ADVICE r10). Non-finite
-    coordinates (degenerate training data) fall back to the Column
-    builder, whose literals accept inf/nan."""
+    nested array<array<array<double>>> literal, with ONE documented
+    sign-of-zero exception (ADVICE r10, option 2): a -0.0 coordinate
+    parses through a DECIMAL literal and lands as +0.0. Provably
+    benign for every consumer of this literal — codebook values enter
+    only squared differences ((x − (−0.0))² ≡ (x − 0.0)² bit-for-bit
+    for all x, including ±0) and inner-product sums seeded at +0.0
+    ((−0.0)·y contributes the same sum as 0.0·y except against an
+    exact −0.0 partial, which the +0.0 seed precludes) — so encode
+    argmins and ADC scores are bit-identical either way.
+    cluster._double_literal_sql carries the sign-preserving emitter
+    for contexts where the sign could matter. Non-finite coordinates
+    (degenerate training data) fall back to the Column builder, whose
+    literals accept inf/nan."""
     import math
-
-    from .cluster import _double_literal_sql
 
     if all(
         math.isfinite(x) for sub in cents for c in sub for x in c
@@ -688,7 +695,7 @@ def _pq_cent_literal(cents: list[list[list[float]]]):
                 + ",".join(
                     "array("
                     + ",".join(
-                        _double_literal_sql(x) for x in c
+                        f"CAST({float(x)!r} AS DOUBLE)" for x in c
                     )
                     + ")"
                     for c in sub

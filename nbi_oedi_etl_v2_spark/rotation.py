@@ -1,4 +1,4 @@
-"""Driver-slot rotation policy (round 10).
+"""Driver-slot rotation policy (round 11).
 
 The verification driver records at most ``DRIVER_QUERY_CAP`` (50)
 correctness rows per round, while the registry holds 215 specs
@@ -41,38 +41,51 @@ the 29-spec r5 cohort at age 5 - they MUST all export this round or
 the bound breaks for the first time - with the remaining 5 slots
 from the r6 cohort oldest-first. ``DEFER_FIRST_ROW`` is EMPTY.
 
-ROUND-11 NOTE (computed at the end of round 10, don't rediscover
-it): merge CORRECTNESS_r10 greens first (expected: PIN + TOUCH(12) +
-2 wave-30 first rows + all 29 r5-cohort + 5 oldest r6 names ->
-the oldest cohort becomes r6 with 38 specs at age 5 at r11). The
-r11 forced set is PIN + new TOUCH + those 38 + the 4 deferred
-wave-31 first rows (see DEFER_FIRST_ROW below) - meaning at most
-5 r11 TOUCH slots remain; keep the r11 diff tight or defer fill,
-never the forced age-5 set. Bound 5 stays feasible while R <= 250
-(R = 215 after wave 31); the prospective capacity assert in
-tests/test_workload_oracle.py fails the round a spec lands past
-that ceiling.
+ROUND-11 STATE (executes the round-10 note verbatim):
+CORRECTNESS_r10 was 50/50 green and is merged below (every key in
+that file reads 10, including the two wave-30 first rows). The r11
+export is PIN(3) + TOUCH(8: the round-10 backlog the r10 verdict
+flagged plus this round's labelprop/minhash changes; 3 of the 8 sit
+inside the age-5 cohort) + the 4 wave-31 first rows (never-verified;
+DEFER_FIRST_ROW is now EMPTY) + the 38-spec r6 cohort at age 5 -
+they MUST all export this round or the bound breaks for the first
+time. That sums to EXACTLY the 50-row cap, with zero slack: one
+change this round (the simhash expression batching, measured, and
+the -0.0 literal emitter in _pq_cent_literal) was deliberately
+deferred/resolved-by-documentation because its spec's TOUCH row
+would not fit - see the TOUCH comment below.
+
+ROUND-12 NOTE (computed at the end of round 11, don't rediscover
+it): merge CORRECTNESS_r11 greens first; the oldest cohort then
+becomes the 37-spec r7 set at age 5 (41 specs read 8 at r11 -> wait
+for the merge, the exact cohort is whatever reads 7 after it). PIN +
+that cohort leaves ~9 slots for new TOUCH + fill. The deferred
+simhash batching (operators/dedup.py in-code note) is pre-measured
+and should take one of them if any code round happens. Bound 5
+stays feasible while R <= 250 (R = 215); the prospective capacity
+assert in tests/test_workload_oracle.py fails the round a spec
+lands past that ceiling.
 """
 
 from __future__ import annotations
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 STALENESS_BOUND_ROUNDS = 5
 
 # Latest round with a green driver row, from CORRECTNESS_r{1..7}.json.
 VERIFIED_ROUNDS: dict[str, int] = {
     "approx_distinct_users": 9,
     "asof_last_order_per_event": 9,
-    "corpus_balanced_shards": 6,
+    "corpus_balanced_shards": 10,
     "corpus_budget_select": 8,
     "corpus_contamination": 9,
-    "corpus_curate": 6,
+    "corpus_curate": 10,
     "corpus_dsir_weights": 8,
-    "corpus_global_shuffle": 6,
-    "corpus_hash_split": 6,
+    "corpus_global_shuffle": 10,
+    "corpus_hash_split": 10,
     "corpus_incremental_dedup": 8,
     "corpus_length_histogram": 8,
-    "corpus_mixture_sample": 6,
+    "corpus_mixture_sample": 10,
     "corpus_near_dedup": 7,
     "corpus_pack_chunks": 7,
     "corpus_pack_ffd": 9,
@@ -86,7 +99,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "customer_bloom_inactive": 6,
     "customer_entity_resolution": 6,
     "customer_fuzzy_name_pairs": 9,
-    "customers_per_segment": 9,
+    "customers_per_segment": 10,
     "customers_with_open_orders": 7,
     "customers_without_orders": 6,
     "dedup_components": 7,
@@ -99,36 +112,36 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "distinct_flags": 7,
     "documents_bpe_merges": 6,
     "documents_bpe_token_counts": 6,
-    "documents_hashed_features": 8,
+    "documents_hashed_features": 10,
     "documents_nb_token_logodds": 8,
     "documents_sliding_chunks": 8,
     "dq_profile_orders": 9,
     "embedding_normalize": 7,
     "embedding_quantize": 8,
-    "embedding_semantic_dedup": 5,
+    "embedding_semantic_dedup": 10,
     "embeddings_kmeans_lloyd": 7,
     "embeddings_random_projection": 8,
     "embeddings_triplet_mining": 8,
     "etl_gapfill_hours": 8,
     "etl_gapfill_interp": 6,
-    "etl_hourly_downsample": 5,
+    "etl_hourly_downsample": 10,
     "etl_incremental_agg_merge": 6,
     "etl_write_pipeline": 7,
-    "events_ab_proportion_test": 9,
+    "events_ab_proportion_test": 10,
     "events_anomaly_zscore": 9,
-    "events_audience_overlap": 5,
+    "events_audience_overlap": 10,
     "events_cm_frequency_rollup": 6,
     "events_cohort_retention": 9,
     "events_cuped_adjustment": 9,
     "events_cusum_changepoints": 8,
     "events_funnel": 9,
     "events_heavy_hitters": 6,
-    "events_hll_daily_rollup": 5,
+    "events_hll_daily_rollup": 10,
     "events_hourly_anomalies": 7,
     "events_in_prior_hour": 7,
     "events_interval_attribution": 9,
     "events_json_props_rollup": 8,
-    "events_json_roundtrip": 5,
+    "events_json_roundtrip": 10,
     "events_kaplan_meier_churn": 8,
     "events_markov_attribution": 8,
     "events_markov_transitions": 8,
@@ -136,15 +149,15 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "events_orc_roundtrip": 9,
     "events_pattern_users": 6,
     "events_pit_priority_lookup": 6,
-    "events_quantile_sketch_rollup": 5,
+    "events_quantile_sketch_rollup": 10,
     "events_seasonal_naive_backtest": 8,
     "events_seasonal_profile": 6,
-    "events_welch_value_ttest": 9,
+    "events_welch_value_ttest": 10,
     "ewma_alerts_batch": 6,
     "lineitem_association_rules": 7,
     "lineitem_benford_audit": 8,
-    "lineitem_bootstrap_mean_ci": 9,
-    "lineitem_bootstrap_mean_ci_blb": 9,
+    "lineitem_bootstrap_mean_ci": 10,
+    "lineitem_bootstrap_mean_ci_blb": 10,
     "lineitem_conformal_interval": 8,
     "lineitem_correlation_matrix": 6,
     "lineitem_double_price_quantiles": 6,
@@ -162,59 +175,61 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "lineitem_pca_top_component": 8,
     "lineitem_percentile_ranks": 7,
     "lineitem_price_trend": 6,
+    "lineitem_spearman_qty_price": 10,
     "lineitem_stump_splits": 7,
     "lineitem_weighted_price_quantiles": 6,
     "lineitem_winsorized_prices": 7,
     "monthly_active_customers": 6,
-    "multimodal_audio_decimate": 5,
+    "multimodal_audio_decimate": 10,
     "multimodal_decode": 9,
-    "multimodal_decode_jpeg": 5,
+    "multimodal_decode_jpeg": 10,
     "multimodal_decode_png": 9,
     "multimodal_decode_wav": 9,
-    "multimodal_image_near_dups": 5,
+    "multimodal_image_near_dups": 10,
     "multimodal_jpeg_headers": 6,
-    "multimodal_mp4_headers": 5,
+    "multimodal_mp4_headers": 10,
     "multimodal_png_headers": 6,
     "multimodal_wav_headers": 6,
     "nation_customer_rollup": 7,
     "orders_aqp_revenue_estimate": 6,
-    "orders_cdc_merge": 5,
+    "orders_cdc_merge": 10,
     "orders_chi2_priority_status": 9,
     "orders_cube": 8,
     "orders_dp_noised_counts": 7,
-    "orders_dq_constraints": 5,
+    "orders_dq_constraints": 10,
     "orders_fd_violations": 7,
-    "orders_gini_by_priority": 9,
+    "orders_gini_by_priority": 10,
     "orders_grouping_sets": 7,
-    "orders_ivm_join_delta": 5,
+    "orders_ivm_join_delta": 10,
     "orders_k_anonymity_audit": 6,
-    "orders_kruskal_priority": 9,
-    "orders_ks_price_drift": 9,
+    "orders_kruskal_priority": 10,
+    "orders_ks_price_drift": 10,
     "orders_lineitem_join_size_agms": 7,
+    "orders_mannwhitney_price_drift": 10,
     "orders_mi_feature_cells": 8,
-    "orders_moving_range_avg": 5,
+    "orders_moving_range_avg": 10,
     "orders_neyman_sample": 8,
     "orders_pivot_status": 7,
     "orders_psi_price_drift": 7,
     "orders_rollup": 6,
-    "orders_scd2_priority": 5,
+    "orders_scd2_priority": 10,
     "orders_schema_evolution_union": 6,
     "orders_skipping_bloom_scan": 6,
     "orders_skipping_scan": 6,
-    "orders_skyline": 5,
-    "orders_snapshot_diff": 5,
+    "orders_skyline": 10,
+    "orders_snapshot_diff": 10,
     "orders_table_fingerprint": 8,
     "orders_table_profile": 8,
     "orders_target_encode_priority": 8,
     "orders_window_suite": 6,
     "orders_woe_iv_priority": 8,
     "orders_zorder_key": 8,
-    "part_copurchase_bfs": 5,
-    "part_copurchase_kcore": 9,
-    "part_copurchase_labelprop": 9,
-    "part_copurchase_pagerank": 5,
-    "part_copurchase_sssp": 9,
-    "part_copurchase_triangles": 5,
+    "part_copurchase_bfs": 10,
+    "part_copurchase_kcore": 10,
+    "part_copurchase_labelprop": 10,
+    "part_copurchase_pagerank": 10,
+    "part_copurchase_sssp": 10,
+    "part_copurchase_triangles": 10,
     "part_item_similarity": 6,
     "price_percentiles_by_priority": 7,
     "q10_returned_items": 8,
@@ -225,7 +240,7 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "q15_top_supplier": 9,
     "q16_parts_supplier_counts": 9,
     "q17_small_quantity_revenue": 9,
-    "q18_large_volume_customers": 5,
+    "q18_large_volume_customers": 10,
     "q19_discounted_revenue": 9,
     "q1_pricing_summary": 7,
     "q20_excess_share_suppliers": 9,
@@ -239,23 +254,23 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "q7_volume_shipping": 9,
     "q8_market_share": 9,
     "q9_product_profit": 9,
-    "segment_active_customers": 9,
+    "segment_active_customers": 10,
     "sessionize_events": 7,
-    "similarity_topk": 5,
+    "similarity_topk": 10,
     "similarity_topk_ivf": 7,
-    "similarity_topk_ivfpq": 5,
-    "similarity_topk_lsh": 5,
-    "similarity_topk_pq": 5,
+    "similarity_topk_ivfpq": 10,
+    "similarity_topk_lsh": 10,
+    "similarity_topk_pq": 10,
     "streaming_attribution_join": 7,
     "streaming_cm_sketch": 6,
     "streaming_cusum_alerts": 9,
     "streaming_dedup_events": 7,
     "streaming_dim_enrich": 9,
     "streaming_ewma_alerts": 7,
-    "streaming_hourly_downsample": 5,
+    "streaming_hourly_downsample": 10,
     "streaming_sessionize": 7,
-    "text_bm25_topk": 5,
-    "text_compressibility": 5,
+    "text_bm25_topk": 10,
+    "text_compressibility": 10,
     "text_fingerprint": 7,
     "text_hybrid_rrf_topk": 7,
     "text_inverted_index": 6,
@@ -266,9 +281,9 @@ VERIFIED_ROUNDS: dict[str, int] = {
     "text_repetition_scores": 9,
     "text_token_pmi": 6,
     "text_token_stats": 7,
-    "text_vocabulary": 5,
+    "text_vocabulary": 10,
     "top10_orders_by_price": 6,
-    "topk_per_segment": 9,
+    "topk_per_segment": 10,
     "user_running_value": 7,
 }
 
@@ -280,61 +295,55 @@ PIN: frozenset[str] = frozenset({
     "topk_per_segment",
 })
 
-# TOUCH - specs whose operator code changed this round (round 10):
-# ADVICE r9 medium (two_level_prefix boundary guard -> full-outer
-# join; stats.py) touches its three consumers ->
-# orders_gini_by_priority / orders_ks_price_drift /
-# orders_kruskal_priority; VERDICT r9 wrong #1 (NULL-flag coalesce
-# + null_flags output in the two-sample tests) ->
-# orders_ks_price_drift (again), events_ab_proportion_test,
-# events_welch_value_ttest; ADVICE r9 low (ks totals derived from
-# the distinct table, not a second scan) -> orders_ks_price_drift;
-# ADVICE r9 low (_parse_mem_bytes rejects unknown unit suffixes;
-# operators/graph.py) -> part_copurchase_kcore /
-# part_copurchase_sssp / part_copurchase_labelprop; the
-# explode-funnel widening sweep (VERDICT r9 missing #1, with the
-# cheap plan-stats partition probe per wrong #2 — operators/
-# _scale.py) -> both bootstrap forms (probe swap under the existing
-# widen), documents_hashed_features (1.14 -> 1.00 s), and the JPEG
-# decode spec (the sweep's one big win: 1.71 -> 0.70 s at sf0.1 by
-# widening the id rows BEFORE payload synthesis — the payload column
-# itself never shuffles, per the plan pin). Audited and left
-# UNWIDENED with measurements: DSIR tokenize (flat 1.59 -> 1.63),
-# png/wav/raw decode (regressed — exchange overhead beats the cheap
-# decode), dedup shingle sites (minhash REGRESSED 1.61 -> 2.31,
-# ngram marginal 2.42 -> 2.10: the shingle fan-outs feed
-# aggregation exchanges that already rebalance).
+# TOUCH - specs whose operator code changed and must re-earn a
+# driver row (round 11). Six are the ROUND-10 BACKLOG (VERDICT r10
+# wrong #3 - code-changed late in r10, after that round's TOUCH set
+# was computed): embeddings_kmeans_lloyd (persist across Lloyd
+# rounds + argmin expr, f5ee118; also carries the r11 -0.0
+# sign-preserving literal emitter in cluster._sqdist_sql),
+# customer_bloom_inactive (bitset literal + distinct seen side,
+# b15ff27/5fcef98), lineitem_association_rules (in-plan denominator,
+# 9e21ca1), orders_table_profile (widen, 9e21ca1), documents_bpe_*
+# (triple-count batching bound, f84652b). Two are r11 code changes:
+# part_copurchase_labelprop (early-exit count rides the checkpoint
+# as an Observation metric) and dedup_minhash_lsh (the 64
+# min-aggregates as ONE parsed expression, 386 -> 138 ms driver
+# construction). NOT in TOUCH, with reasons: embedding_semantic_dedup
+# - its r11 change REVERTS the r10 widen, restoring code verified
+# AST-identical to the 510534a (r9) form that earned a green r9 row
+# (and its r10 row, with the widen, was also green; the oracle pin
+# in tests/test_workload_oracle.py covers it every round);
+# similarity_topk_pq / similarity_topk_ivfpq - untouched in r11 (the
+# -0.0 literal question in _pq_cent_literal is resolved by
+# documentation, ADVICE r10 option 2: the flip is provably benign in
+# squared-difference/ADC consumers, code byte-identical to r10);
+# dedup_simhash - the minhash-style expression batching was measured
+# (saves ~250 ms construction) and DEFERRED, not applied, exactly
+# because no TOUCH slot remains for an off-bench spec (see the
+# in-code note in operators/dedup.py). The budget: PIN(3) + these
+# 8 TOUCH (3 inside the age-5 cohort, so 5 extra) + 4 wave-31 first
+# rows + the 38-spec forced age-5 cohort = exactly 50.
 TOUCH: frozenset[str] = frozenset({
-    "orders_gini_by_priority",
-    "orders_ks_price_drift",
-    "orders_kruskal_priority",
-    "events_ab_proportion_test",
-    "events_welch_value_ttest",
-    "part_copurchase_kcore",
-    "part_copurchase_sssp",
+    "embeddings_kmeans_lloyd",
+    "customer_bloom_inactive",
+    "lineitem_association_rules",
+    "orders_table_profile",
+    "documents_bpe_merges",
+    "documents_bpe_token_counts",
     "part_copurchase_labelprop",
-    "lineitem_bootstrap_mean_ci",
-    "lineitem_bootstrap_mean_ci_blb",
-    "documents_hashed_features",
-    "multimodal_decode_jpeg",
+    "dedup_minhash_lsh",
 })
 
-# ADVISED - explicit re-verification asks from VERDICT r9: none (the
-# verdict's items all resolve to TOUCH or to the forced age-5 fill).
+# ADVISED - explicit re-verification asks from VERDICT r10: none
+# beyond the TOUCH backlog above (the verdict's remaining items -
+# pagerank ABA, widen re-ABA - resolved to measurements without code
+# changes to their specs, or to TOUCH rows).
 ADVISED: frozenset[str] = frozenset()
 
-# DEFER_FIRST_ROW - the wave-31 inference specs (landed late in
-# round 10, after the r10 export was already fixed by the round-9
-# note's arithmetic): their first driver rows come at r11, inside
-# the 9-slot budget the ROUND-11 NOTE reserves beyond PIN + the
-# 38-spec forced age-5 cohort (4 first rows -> at most 5 r11 TOUCH
-# slots remain; keep the r11 diff tight).
-DEFER_FIRST_ROW: frozenset[str] = frozenset({
-    "orders_anova_priority",
-    "orders_levene_priority",
-    "events_logrank_arms",
-    "orders_bh_fdr_customers",
-})
+# DEFER_FIRST_ROW - EMPTY at r11: the four wave-31 inference specs
+# deferred from round 10 (anova, levene, logrank, bh_fdr) take their
+# first driver rows this round via the never-verified rule.
+DEFER_FIRST_ROW: frozenset[str] = frozenset()
 
 
 def build_driver_export(registry: set[str], cap: int) -> frozenset[str]:
