@@ -10,8 +10,18 @@ Patches ``operators._scale.widen_narrow_input`` to identity for the
 patch takes effect per call), alternating A/B in ONE session. Verifies
 result equality once (the widen is partitioning-invariant by design).
 
+NOTE (r11): the measurement this tool produced led to REVERTING the
+semantic_dedup widen (widen_on 2.58 vs widen_off 2.21 s med at
+sf0.1, slower 6/7 reps; sf1 inside noise 20.64 vs 21.15 — the
+cid-keyed pair join re-exchanges both sides, so the up-front
+round-robin exchange is pure overhead, the minhash lesson). At HEAD
+the semantic_dedup arm therefore measures identity-vs-identity; the
+cosine_topk and pq_topk arms still toggle their KEPT widens
+(plans/r11/AB_widen_similarity_kept_sites.json: cosine 0.47 on vs
+0.60 off, pq 1.52 on vs 2.06 off).
+
     python tools/ab_widen_similarity.py [--reps N] [keys...]
-    keys: semantic_dedup cosine_topk (default both)
+    keys: semantic_dedup cosine_topk pq_topk (default all)
 """
 
 from __future__ import annotations
